@@ -1,0 +1,275 @@
+"""REM: recursive exact-match alignment driver.
+
+The reference drives the recursion from C worker threads calling back into
+Python (/root/reference/reveallib/reveal.c:731-1338).  Here the driver is a
+host-side LIFO worklist over ESAIndex segments (threads=0 semantics of the
+reference, so output graphs are deterministic), with MUM enumeration running
+vectorized (device/numpy) per segment:
+
+    pop segment -> enumerate MUMs -> pick split anchor (picker) ->
+    graph surgery (graphalign) -> 3-way SA split -> push children.
+
+Public entry points:
+* ``align_seqs(name_seq_list, **cfg)``  — library API like rem.align
+  (rem.py:616-712);
+* ``align_genomes(files, **cfg)``       — fasta/gfa file inputs like
+  rem.align_genomes (rem.py:511-611).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import uuid
+from typing import List, Optional, Tuple
+
+from ..core.io_fasta import fasta_reader
+from ..core.textstore import TextStore
+from ..graph.pangraph import PanGraph
+from ..index.esa_index import ESAIndex
+from .graphops import (
+    IntervalIndex,
+    breaknode,
+    mergenodes,
+    prune_nodes,
+    segmentgraph,
+)
+from .picker import MumPicker, PickerConfig
+
+log = logging.getLogger(__name__)
+
+
+def graphalign(G: PanGraph, t: IntervalIndex, idx: ESAIndex, mum):
+    """Port of rem.graphalign (rem.py:318-377)."""
+    l, n, spd = mum
+    nodes = idx.nodes
+    mns = []
+    sp = [p for gid, p in spd]
+    matching = set()
+    for pos in sp:
+        matching.add((pos, pos + l))
+        old = t.lookup(pos)
+        assert old[1] - old[0] >= l
+        mn, other = breaknode(G, t, old, pos, l)
+        mns.append(mn)
+        nodes.discard(old)
+        for node in other:
+            nodes.add(node)
+
+    mn = mergenodes(G, mns)
+    msamples = set(G.nodes[mn]["offsets"].keys())
+
+    leading, trailing, rest = segmentgraph(G, mn, nodes)
+
+    newleftnode = mn
+    newrightnode = mn
+    for intv in leading:
+        if not set(G.nodes[intv]["offsets"].keys()) <= msamples:
+            newrightnode = idx.right_node
+            break
+    for intv in trailing:
+        if not set(G.nodes[intv]["offsets"].keys()) <= msamples:
+            newleftnode = idx.left_node
+            break
+
+    return leading, trailing, matching, rest, mn, newleftnode, newrightnode
+
+
+def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig):
+    """LIFO worklist replicating aligner()'s threads=0 order."""
+    picker = MumPicker(G, t, cfg)
+    queue = [root]
+    steps = 0
+    while queue:
+        idx = queue.pop()  # LIFO (reveal.c:21-27)
+        if len(idx.skipmums) == 0:
+            precomputed = False
+            if idx.main.nsamples > 2:
+                mums = idx.getmultimums(
+                    minlength=cfg.minlength, minn=cfg.minn
+                )
+            else:
+                mums = idx.getmums_rem(cfg.minlength)
+        else:
+            precomputed = True
+            mums = idx.skipmums
+
+        pick = picker(mums, idx, precomputed=precomputed, minlength=cfg.minlength)
+        if not pick:
+            continue
+        splitmum, skipleft, skipright = pick
+
+        l, n, spd = splitmum
+        result = graphalign(G, t, idx, splitmum)
+        leading, trailing, matching, rest, merged, newleft, newright = result
+
+        sp_positions = [p for gid, p in spd]
+        lead_idx, trail_idx, par_idx = idx.split_segments(
+            leading,
+            trailing,
+            matching,
+            rest,
+            sp_positions,
+            l,
+            newleft,
+            newright,
+            skipleft=skipleft,
+            skipright=skipright,
+        )
+        steps += 1
+        # push order parallel, leading, trailing (reveal.c:1295-1324)
+        if par_idx is not None:
+            queue.append(par_idx)
+        if lead_idx is not None:
+            queue.append(lead_idx)
+        if trail_idx is not None:
+            queue.append(trail_idx)
+    log.debug("alignment finished after %d anchor steps", steps)
+    return steps
+
+
+def align_seqs(
+    aobjs: List[Tuple[str, str]],
+    minlength: int = 20,
+    minn: int = 2,
+    seedsize: int = 0,
+    maxmums: int = 10000,
+    wpen: float = 1,
+    wscore: float = 1,
+    pcutoff: float = 1e-8,
+    gcmodel: str = "sumofpairs",
+    maxsize: Optional[int] = None,
+    trim: bool = True,
+    backend: str = "auto",
+):
+    """In-memory multi-alignment of (name, seq) tuples -> (G, idx).
+
+    Mirrors rem.align (rem.py:616-712): one shared start/end marker node,
+    prune_nodes afterwards, markers removed before returning.
+    """
+    ts = TextStore()
+    t = IntervalIndex()
+    G = PanGraph()
+
+    startnode = uuid.uuid4().hex
+    endnode = uuid.uuid4().hex
+    G.add_node(startnode)
+    G.add_node(endnode)
+
+    root_nodes = set()
+    for name, seq in aobjs:
+        ts.add_sample(name)
+        iv = ts.add_sequence(seq.upper())
+        if iv[1] - iv[0] > 0:
+            t.add(iv)
+            sid = len(G.graph["paths"])
+            G.graph["path2id"][name] = sid
+            G.graph["id2path"][sid] = name
+            G.graph["id2end"][sid] = len(seq)
+            G.graph["paths"].append(name)
+            G.add_node(iv, offsets={sid: 0}, aligned=0)
+            G.add_edge(startnode, iv, paths={sid}, ofrom="+", oto="+")
+            G.add_edge(iv, endnode, paths={sid}, ofrom="+", oto="+")
+            root_nodes.add(iv)
+
+    idx = ESAIndex.construct(ts, backend=backend)
+    idx.nodes = root_nodes
+
+    cfg = PickerConfig(
+        minlength=minlength,
+        minn=minn,
+        maxmums=maxmums,
+        wpen=wpen,
+        wscore=wscore,
+        seedsize=seedsize,
+        pcutoff=pcutoff,
+        gcmodel=gcmodel,
+        maxsize=maxsize,
+        trim=trim,
+    )
+    _align_loop(G, t, idx, cfg)
+
+    prune_nodes(G, T=idx.main.T)
+
+    G.remove_node(startnode)
+    G.remove_node(endnode)
+    return G, idx
+
+
+def align_genomes(
+    inputfiles: List[str],
+    contigs: bool = True,
+    toupper: bool = True,
+    backend: str = "auto",
+    **cfgkw,
+):
+    """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
+    module).  Mirrors rem.align_genomes (rem.py:511-611)."""
+    from ..core.io_gfa import read_gfa_into
+
+    ts = TextStore()
+    t = IntervalIndex()
+    G = PanGraph()
+    root_nodes = set()
+
+    for i, sample in enumerate(inputfiles):
+        if sample.endswith(".gfa") or sample.endswith(".gfa.gz"):
+            ts.add_sample(os.path.basename(sample))
+            read_gfa_into(sample, ts, t, G, root_nodes)
+        else:
+            read_fasta_into(
+                sample, ts, t, G, root_nodes, contigs=contigs, toupper=toupper
+            )
+
+    if ts.nsamples <= 1:
+        raise ValueError(
+            "Specify at least 2 targets to construct an alignment."
+        )
+
+    idx = ESAIndex.construct(ts, backend=backend)
+    idx.nodes = root_nodes
+
+    cfg = PickerConfig(**cfgkw)
+    _align_loop(G, t, idx, cfg)
+    return G, idx
+
+
+def read_fasta_into(
+    fasta: str,
+    ts: TextStore,
+    t: IntervalIndex,
+    G: PanGraph,
+    root_nodes: set,
+    contigs: bool = True,
+    toupper: bool = True,
+):
+    """Port of utils.read_fasta (utils.py:304-375): per-sequence start/end
+    endpoint markers, per-path registry entries."""
+    if contigs:
+        ts.add_sample(os.path.basename(fasta))
+    for name, seq in fasta_reader(fasta, toupper=toupper):
+        if not contigs:
+            ts.add_sample(name)
+        name = name.replace(":", "").replace(";", "")
+        if name in G.graph["paths"]:
+            raise ValueError(
+                "duplicate sequence name in graph: %r" % name
+            )
+        sid = len(G.graph["paths"])
+        G.graph["paths"].append(name)
+        G.graph["path2id"][name] = sid
+        G.graph["id2path"][sid] = name
+        G.graph["id2end"][sid] = len(seq)
+
+        iv = ts.add_sequence(seq)
+        t.add(iv)
+        startnode = uuid.uuid4().hex
+        endnode = uuid.uuid4().hex
+        G.add_node(startnode, offsets={sid: 0}, endpoint=True)
+        G.graph["startnodes"].append(startnode)
+        G.add_node(iv, offsets={sid: 0}, aligned=0)
+        G.add_node(endnode, offsets={sid: len(seq)}, endpoint=True)
+        G.graph["endnodes"].append(endnode)
+        G.add_edge(startnode, iv, paths={sid}, ofrom="+", oto="+")
+        G.add_edge(iv, endnode, paths={sid}, ofrom="+", oto="+")
+        root_nodes.add(iv)
