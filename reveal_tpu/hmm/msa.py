@@ -1,0 +1,411 @@
+"""ProbCons-style consistency MSA over the TPU pair-HMM kernels.
+
+Pipeline identical to the reference's probconslib (DoAlign,
+/root/reference/probcons/Probcons.cc:312-544):
+
+1. all-pairs posterior matrices (device batch, hmm.pairhmm) sparsified at
+   POSTERIOR_CUTOFF=0.01 (SparseMatrix.h:14,67) + expected-accuracy
+   distances from the pairwise MEA alignment;
+2. ``consistency`` rounds of the relaxation transform
+   P' = (2P_xy + sum_z P_xz P_zy)/N (DoRelaxation, Probcons.cc:1135-1248;
+   gap-aware variant Relax_gap adds the p_gap outer product,
+   Probcons.cc:1291-1353), masked to the previous sparsity pattern and
+   re-cut — expressed here as dense matmuls;
+3. expected-accuracy guide tree (EvolutionaryTree.h:104-160);
+4. progressive alignment: BuildPosterior sum over mapped sparse cells +
+   maximum-expected-accuracy DP with D>=L>=U tie-breaking
+   (ProbabilisticModel.h:641-701,1018-1089; ChooseBestOfThree
+   ScoreType.h:320);
+5. ``refinement`` rounds of random-bipartition realignment
+   (DoIterativeRefinement, Probcons.cc:1467-1490);
+6. per-column confidence annotation = 200 * mean pairwise posterior
+   (ComputeAnnotation/ComputeScore, Probcons.cc:1545-1602).
+
+Host orchestration is numpy; the O(L^2) posterior computation runs on
+device.  Alignment strings use '-' for gaps like the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .pairhmm import batch_posteriors
+
+log = logging.getLogger(__name__)
+
+POSTERIOR_CUTOFF = 0.01
+
+
+def _sparsify(p: np.ndarray) -> np.ndarray:
+    q = np.where(p >= POSTERIOR_CUTOFF, p, 0.0).astype(np.float32)
+    q[0, :] = 0
+    q[:, 0] = 0
+    return q
+
+
+def _mea_dp(post: np.ndarray) -> Tuple[List[str], float]:
+    """MEA alignment DP over a (L1+1)x(L2+1) posterior; returns the edit
+    string (list over columns of 'B'/'X'/'Y') and the total score.
+
+    Vectorized per row; tie-breaking matches ChooseBestOfThree: D >= L >= U.
+    """
+    L1 = post.shape[0] - 1
+    L2 = post.shape[1] - 1
+    old = np.zeros(L2 + 1, dtype=np.float32)
+    # traceback: 0=D,1=L,2=U
+    tb = np.zeros((L1 + 1, L2 + 1), dtype=np.uint8)
+    tb[0, :] = 1  # 'L'
+    for i in range(1, L1 + 1):
+        tb[i, 0] = 2  # 'U'
+        d = post[i, 1:] + old[:-1]
+        u = old[1:]
+        # c[j] = winner of D vs U at column j (D wins ties)
+        c = np.where(d >= u, d, u)
+        cb = np.where(d >= u, 0, 2).astype(np.uint8)
+        # now fold in L (new[j-1]): new[j] = max(c[j], new[j-1]),
+        # with D/U >= L on ties (ChooseBestOfThree checks x1>=x2 (D vs L)
+        # first, then >= x3; L beats U on ties but D beats L)
+        new = np.empty(L2 + 1, dtype=np.float32)
+        new[0] = 0.0
+        run = 0.0
+        # running max with tie semantics: choose c[j] if c[j] >= run for
+        # D-winner, or c[j] > run ... reference: x1=D, x2=L, x3=U.
+        # D chosen if D>=L and D>=U; L chosen if L>D and L>=U; U otherwise.
+        prev = 0.0
+        for j in range(1, L2 + 1):
+            dv = d[j - 1]
+            lv = new[j - 1]
+            uv = u[j - 1]
+            if dv >= lv:
+                if dv >= uv:
+                    new[j] = dv
+                    tb[i, j] = 0
+                else:
+                    new[j] = uv
+                    tb[i, j] = 2
+            elif lv >= uv:
+                new[j] = lv
+                tb[i, j] = 1
+            else:
+                new[j] = uv
+                tb[i, j] = 2
+        old = new
+    total = float(old[L2])
+
+    # traceback
+    out = []
+    r, c_ = L1, L2
+    while r != 0 or c_ != 0:
+        ch = tb[r, c_]
+        if ch == 1:
+            c_ -= 1
+            out.append("Y")
+        elif ch == 2:
+            r -= 1
+            out.append("X")
+        else:
+            r -= 1
+            c_ -= 1
+            out.append("B")
+    out.reverse()
+    return out, total
+
+
+def _mea_dp_fast(post: np.ndarray) -> Tuple[List[str], float]:
+    """Row-vectorized MEA DP.
+
+    Exact same cell values and traceback choices as _mea_dp: within a row,
+    new[j] = max(c[j], new[j-1]) where c[j] = max-with-D-preference(d, u);
+    the L choice applies when new[j-1] > c[j] (strict, since D>=L wins for
+    equality) — computed via running argmax over prefix maxima.
+    """
+    L1 = post.shape[0] - 1
+    L2 = post.shape[1] - 1
+    old = np.zeros(L2 + 1, dtype=np.float32)
+    tb = np.zeros((L1 + 1, L2 + 1), dtype=np.uint8)
+    tb[0, :] = 1
+    for i in range(1, L1 + 1):
+        tb[i, 0] = 2
+        d = post[i, 1:] + old[:-1]
+        u = old[1:]
+        c = np.where(d >= u, d, u)
+        cb = np.where(d >= u, 0, 2).astype(np.uint8)
+        # new[j] = max(new[j-1], c[j]) (all candidates >= 0; new[0]=0)
+        m = np.maximum.accumulate(c)
+        mprev = np.empty_like(m)
+        mprev[0] = 0.0
+        mprev[1:] = m[:-1]
+        mprev = np.maximum(mprev, 0.0)
+        # ChooseBestOfThree(d, l, u) tie order: pick L iff (l > d) and
+        # (l >= u); given cb: when cb==D (d>=u) that is l > c; when cb==U
+        # (u>d) that is l >= c
+        use_l = np.where(cb == 0, mprev > c, mprev >= c)
+        new = np.empty(L2 + 1, dtype=np.float32)
+        new[0] = 0.0
+        new[1:] = np.maximum(c, mprev)
+        tb[i, 1:] = np.where(use_l, 1, cb)
+        old = new
+    total = float(old[L2])
+    out = []
+    r, c_ = L1, L2
+    while r != 0 or c_ != 0:
+        ch = tb[r, c_]
+        if ch == 1:
+            c_ -= 1
+            out.append("Y")
+        elif ch == 2:
+            r -= 1
+            out.append("X")
+        else:
+            r -= 1
+            c_ -= 1
+            out.append("B")
+    out.reverse()
+    return out, total
+
+
+class _Aln:
+    """A (sub-)alignment: rows of gapped strings + original labels."""
+
+    def __init__(self, labels: List[int], rows: List[str]):
+        self.labels = labels
+        self.rows = rows
+
+    @property
+    def length(self) -> int:
+        return len(self.rows[0]) if self.rows else 0
+
+    def mapping(self, r: int) -> np.ndarray:
+        """mapping[k] = alignment column (1-based) of residue k (1-based),
+        mapping[0]=0 (Sequence::GetMapping, Sequence.h:391-397)."""
+        row = self.rows[r]
+        out = [0]
+        for i, ch in enumerate(row):
+            if ch != "-":
+                out.append(i + 1)
+        return np.array(out, dtype=np.int64)
+
+
+def _build_posterior(a1: _Aln, a2: _Aln, mats) -> np.ndarray:
+    """BuildPosterior (ProbabilisticModel.h:1018-1089): sum sparse pairwise
+    posteriors into alignment-column coordinates."""
+    L1 = a1.length
+    L2 = a2.length
+    post = np.zeros((L1 + 1, L2 + 1), dtype=np.float32)
+    for i, first in enumerate(a1.labels):
+        m1 = a1.mapping(i)
+        for j, second in enumerate(a2.labels):
+            m2 = a2.mapping(j)
+            if first < second:
+                P = mats[(first, second)]
+                # scatter-add P[ii, jj] into post[m1[ii], m2[jj]]
+                post[np.ix_(m1, m2)] += P
+            else:
+                P = mats[(second, first)]
+                post[np.ix_(m1, m2)] += P.T
+    return post
+
+
+def _align_alignments(a1: _Aln, a2: _Aln, mats) -> Tuple["_Aln", float]:
+    post = _build_posterior(a1, a2, mats)
+    edit, total = _mea_dp_fast(post)
+    rows1 = _add_gaps(a1.rows, edit, "X")
+    rows2 = _add_gaps(a2.rows, edit, "Y")
+    merged = _Aln(a1.labels + a2.labels, rows1 + rows2)
+    # SortByLabel (Probcons.cc:1113-1114)
+    order = np.argsort(np.array(merged.labels), kind="stable")
+    merged = _Aln(
+        [merged.labels[k] for k in order], [merged.rows[k] for k in order]
+    )
+    return merged, total
+
+
+def _add_gaps(rows: List[str], edit: List[str], keep: str) -> List[str]:
+    """Sequence::AddGaps: expand rows by the edit string; this group's
+    characters advance on 'B' and `keep`, others insert '-'."""
+    out = []
+    for row in rows:
+        buf = []
+        pos = 0
+        for e in edit:
+            if e == "B" or e == keep:
+                buf.append(row[pos])
+                pos += 1
+            else:
+                buf.append("-")
+        out.append("".join(buf))
+    return out
+
+
+def _compute_tree(dist: np.ndarray) -> list:
+    """Guide tree by repeated best-pair merging (EvolutionaryTree.h:104).
+    Returns a nested tuple tree of leaf indices."""
+    n = len(dist)
+    d = dist.copy()
+    valid = [True] * n
+    nodes: List = list(range(n))
+    for _ in range(n - 1):
+        best = -1.0
+        bp = None
+        for i in range(n):
+            if not valid[i]:
+                continue
+            for j in range(i + 1, n):
+                if not valid[j]:
+                    continue
+                if d[i, j] > best:
+                    best = d[i, j]
+                    bp = (i, j)
+        i, j = bp
+        nodes[i] = (nodes[i], nodes[j])
+        nodes[j] = None
+        for k in range(n):
+            if valid[k]:
+                d[i, k] = d[k, i] = (d[k, i] + d[k, j]) * best / 2
+        valid[j] = False
+    return nodes[0]
+
+
+def probcons_align(
+    aobjs: Sequence[Tuple[str, str]],
+    consistency: int = 2,
+    refinement: int = 100,
+    pretraining: int = 0,
+    consgap: bool = False,
+    seed: int = 0,
+):
+    """Drop-in equivalent of probconslib.probcons().align(...)
+    (Probcons.cc:1608-1713).  Returns ([(name, alnseq)...], conf list).
+    """
+    del pretraining  # the binding accepts it; training is not reachable
+    names = [n for n, s in aobjs]
+    seqs = [s for n, s in aobjs]
+    N = len(seqs)
+    if N == 1:
+        return [(names[0], seqs[0])], [0] * len(seqs[0])
+
+    # ---- stage 1: all-pairs posteriors + expected-accuracy distances ----
+    pair_keys = [(a, b) for a in range(N) for b in range(a + 1, N)]
+    res = batch_posteriors([(seqs[a], seqs[b]) for a, b in pair_keys])
+    mats = {}
+    dist = np.zeros((N, N), dtype=np.float64)
+    for (a, b), (p, tot) in zip(pair_keys, res):
+        mats[(a, b)] = _sparsify(p)
+        # expected-accuracy distance uses the dense posterior
+        # (DoAlign, Probcons.cc:384-400)
+        edit, score = _mea_dp_fast(p)
+        dist[a, b] = dist[b, a] = score / max(
+            1, min(len(seqs[a]), len(seqs[b]))
+        )
+
+    # ---- stage 2: consistency transform ----
+    for _ in range(consistency):
+        new_mats = {}
+        for (a, b) in pair_keys:
+            P = mats[(a, b)]
+            acc = 2.0 * P.astype(np.float64)
+            for z in range(N):
+                if z == a or z == b:
+                    continue
+                Paz = mats[(a, z)] if a < z else mats[(z, a)].T
+                Pzb = mats[(z, b)] if z < b else mats[(b, z)].T
+                acc += Paz.astype(np.float64) @ Pzb.astype(np.float64)
+                if consgap:
+                    pgx = 1.0 - Paz.sum(axis=1)
+                    pgy = 1.0 - Pzb.sum(axis=0)
+                    acc += np.outer(pgx, pgy)
+            acc /= N
+            # mask to the previous sparsity pattern (DoRelaxation
+            # Probcons.cc:1203-1234), then re-cutoff
+            acc[P == 0] = 0
+            new_mats[(a, b)] = _sparsify(acc.astype(np.float32))
+        mats = new_mats
+
+    # ---- stage 3+4: guide tree + progressive alignment ----
+    tree = _compute_tree(dist)
+
+    def process(node) -> _Aln:
+        if isinstance(node, int):
+            return _Aln([node], [seqs[node]])
+        left = process(node[0])
+        right = process(node[1])
+        merged, _ = _align_alignments(left, right, mats)
+        return merged
+
+    aln = process(tree)
+
+    # ---- stage 5: iterative refinement ----
+    rng = np.random.default_rng(seed)
+    for _ in range(refinement):
+        mask = rng.integers(0, 2, size=N)
+        g1 = [k for k in range(N) if mask[k]]
+        g2 = [k for k in range(N) if not mask[k]]
+        if not g1 or not g2:
+            continue
+        aln = _refine_once(aln, g1, g2, mats)
+
+    # ---- stage 6: column confidence ----
+    conf = _annotation(aln, mats)
+
+    rows_by_label = {l: r for l, r in zip(aln.labels, aln.rows)}
+    return [(names[k], rows_by_label[k]) for k in range(N)], conf
+
+
+def _project(aln: _Aln, group: List[int]) -> _Aln:
+    """MultiSequence::Project (MultiSequence.h:653-700): drop all-gap
+    columns of the sub-alignment."""
+    idxs = [aln.labels.index(g) for g in sorted(group)]
+    rows = [aln.rows[i] for i in idxs]
+    cols = [
+        c
+        for c in range(len(rows[0]))
+        if any(r[c] != "-" for r in rows)
+    ]
+    return _Aln(
+        [aln.labels[i] for i in idxs],
+        ["".join(r[c] for c in cols) for r in rows],
+    )
+
+
+def _refine_once(aln: _Aln, g1, g2, mats) -> _Aln:
+    a1 = _project(aln, g1)
+    a2 = _project(aln, g2)
+    merged, _ = _align_alignments(a1, a2, mats)
+    return merged
+
+
+def _annotation(aln: _Aln, mats) -> List[int]:
+    """ComputeAnnotation/ComputeScore (Probcons.cc:1545-1602)."""
+    L = aln.length
+    n = len(aln.rows)
+    pos = [0] * n
+    conf = []
+    for c in range(L):
+        active = []
+        for r in range(n):
+            if aln.rows[r][c] != "-":
+                pos[r] += 1
+                active.append((aln.labels[r], pos[r]))
+        active.sort()
+        if len(active) <= 1:
+            conf.append(0)
+            continue
+        val = 0.0
+        for i in range(len(active)):
+            for j in range(i + 1, len(active)):
+                a, pa = active[i]
+                b, pb = active[j]
+                P = mats[(a, b)] if a < b else None
+                if P is None:
+                    P = mats[(b, a)]
+                    v = P[pb, pa]
+                else:
+                    v = P[pa, pb]
+                val += float(v)
+        conf.append(
+            int(200 * val / (len(active) * (len(active) - 1)))
+        )
+    return conf

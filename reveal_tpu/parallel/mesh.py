@@ -1,0 +1,81 @@
+"""Multi-chip sharding for the alignment pipeline.
+
+The reference is single-node pthreads (SURVEY.md §2.3); the TPU-native
+scale-out path instead shards the generalized text/ESA across a device mesh
+and turns each pipeline step into collectives (BASELINE.json north star):
+
+* candidate-MUM scoring: the adjacent-SA-entry conditions
+  (reveal.c:55-180) are elementwise over (SA, LCP, SO) shards; per-shard
+  top-k candidate tables are all-gathered into the global table and
+  validity counts all-reduced;
+* bubble refinement: the pair-HMM batch is sharded over the mesh on the
+  batch axis; global cell counts / log-probabilities are psum'd.
+
+``make_mesh`` builds a 1D "shard" mesh; ``build_pipeline_step`` returns the
+jittable full step used by the multichip dry-run and (in later rounds) the
+distributed rem driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_mesh(n_devices=None, axis: str = "shard"):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
+    """Jitted sharded pipeline step.
+
+    fn(SA, LCP, xb, yb, lx, ly) ->
+        (mum_count, cand_lengths, cand_positions, cells, logprob_sum)
+
+    SA/LCP: (n,) int32, sharded over the mesh axis (n divisible by mesh
+    size).  xb/yb: (B, L+1) uint8 pair batch, lx/ly: (B,) int32 — batch
+    axis sharded.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..hmm.pairhmm import get_masked_kernel
+
+    posterior_masked = get_masked_kernel()
+    axis = mesh.axis_names[0]
+
+    def shard_fn(sa, lcp, x, y, lxs, lys):
+        # --- candidate MUM scoring on this SA/LCP shard -------------------
+        prev_sa = jnp.roll(sa, 1)
+        straddle = (sa > nsep0) != (prev_sa > nsep0)
+        unique = (lcp > jnp.roll(lcp, 1)) & (lcp > jnp.roll(lcp, -1))
+        valid = straddle & unique & (lcp > 0)
+        lengths = jnp.where(valid, lcp, 0)
+        local_count = jnp.sum(valid.astype(jnp.int32))
+        total_count = jax.lax.psum(local_count, axis)
+        top_l, top_i = jax.lax.top_k(lengths, topk)
+        all_l = jax.lax.all_gather(top_l, axis, tiled=True)
+        all_p = jax.lax.all_gather(sa[top_i], axis, tiled=True)
+
+        # --- pair-HMM refine on this pair-batch shard ---------------------
+        _, tots = jax.vmap(posterior_masked)(x, y, lxs, lys)
+        cells = jnp.sum(lxs.astype(jnp.float32) * lys.astype(jnp.float32))
+        cells = jax.lax.psum(cells, axis)
+        logprob = jax.lax.psum(jnp.sum(tots), axis)
+        return total_count, all_l, all_p, cells, logprob
+
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,72 @@
+"""ProbCons-style MSA pipeline tests."""
+
+import numpy as np
+import pytest
+
+from reveal_tpu.hmm.msa import (
+    _mea_dp,
+    _mea_dp_fast,
+    probcons_align,
+)
+
+
+def test_mea_fast_matches_scalar():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        L1 = int(rng.integers(1, 15))
+        L2 = int(rng.integers(1, 15))
+        post = rng.random((L1 + 1, L2 + 1), dtype=np.float32)
+        post[0, :] = 0
+        post[:, 0] = 0
+        # sparsify-like zeros
+        post[post < 0.3] = 0
+        e1, t1 = _mea_dp(post)
+        e2, t2 = _mea_dp_fast(post)
+        assert abs(t1 - t2) < 1e-5
+        assert e1 == e2
+
+
+def _check_alignment(aobjs, aln):
+    cols = {len(s) for _, s in aln}
+    assert len(cols) == 1
+    for (name, orig), (name2, row) in zip(aobjs, aln):
+        assert name == name2
+        assert row.replace("-", "") == orig
+
+
+def test_pair_alignment():
+    aobjs = [("a", "ACGTACGT"), ("b", "ACGTCGT")]
+    aln, conf = probcons_align(aobjs, consistency=0, refinement=0)
+    _check_alignment(aobjs, aln)
+    assert len(conf) == len(aln[0][1])
+    # high-confidence columns exist where sequences agree (for 2 seqs the
+    # score maxes at 200*P/2 = 100)
+    assert max(conf) > 90
+
+
+def test_three_way_alignment():
+    aobjs = [
+        ("a", "ACGGTACGTTAGCAT"),
+        ("b", "ACGGTACGTAGCAT"),
+        ("c", "ACGGTTCGTTAGCAT"),
+    ]
+    aln, conf = probcons_align(aobjs, consistency=2, refinement=10)
+    _check_alignment(aobjs, aln)
+    # the shared prefix should align into full columns: count columns where
+    # all three have bases
+    full = sum(
+        1
+        for i in range(len(aln[0][1]))
+        if all(row[i] != "-" for _, row in aln)
+    )
+    assert full >= 12
+
+
+def test_identical_sequences_align_perfectly():
+    s = "ACGTTGCAGGCT"
+    aobjs = [("x", s), ("y", s), ("z", s)]
+    aln, conf = probcons_align(aobjs, consistency=1, refinement=5)
+    _check_alignment(aobjs, aln)
+    assert all(row == s for _, row in aln)
+    # conf caps at 200*C(n,2)/(n*(n-1)) = 100
+    assert min(conf) > 90
