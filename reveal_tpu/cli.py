@@ -1,0 +1,553 @@
+"""reveal-tpu command line interface.
+
+Subcommand-compatible with the reference CLI
+(/root/reference/reveal/reveal.py:41-393): rem, bubbles, variants, refine
+(alias realign), unzip, extract, stats, split, merge, comp, subgraph,
+convert, align, plot/gplot, chop, transform, finish, chain, rearrangements,
+annotate.  Run ``python -m reveal_tpu.cli <subcommand> -h``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+log = logging.getLogger(__name__)
+
+TRACE = 1
+
+
+def _global_parser():
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument(
+        "-l",
+        "--log-level",
+        dest="loglevel",
+        type=int,
+        default=20,
+        help="Log level: 1=trace 10=debug 20=info 30=warn 40=error 50=fatal.",
+    )
+    p.add_argument(
+        "--64",
+        dest="sa64",
+        action="store_true",
+        default=False,
+        help="Use 64-bit suffix arrays (host path).",
+    )
+    p.add_argument(
+        "--backend",
+        dest="backend",
+        default="auto",
+        choices=["auto", "jax", "np"],
+        help="Index-construction backend (device vs host).",
+    )
+    return p
+
+
+# ---------------------------------------------------------------------------
+# subcommands
+# ---------------------------------------------------------------------------
+
+def rem_cmd(args):
+    from .align.rem import align_genomes
+    from .align.graphops import prune_nodes
+    from .core.io_gfa import seq2node, write_gfa
+
+    G, idx = align_genomes(
+        args.inputfiles,
+        contigs=not args.nocontigs,
+        backend=args.backend,
+        minlength=args.minlength,
+        minn=args.minn,
+        maxmums=args.maxmums,
+        wpen=args.wpen,
+        wscore=args.wscore,
+        seedsize=args.seedsize,
+        pcutoff=args.pcutoff,
+        gcmodel=args.gcmodel,
+        maxsize=args.maxsize,
+        trim=not args.notrim,
+    )
+
+    if args.output is None:
+        pref = []
+        for f in args.inputfiles:
+            bn = os.path.basename(f)
+            pref.append(bn[: bn.find(".")] if "." in bn else bn)
+        args.output = "_".join(pref) + ".gfa.gz"
+
+    T = idx.main.T
+    if len(G.graph["paths"]) > 2:
+        prune_nodes(G, T=T)
+    seq2node(G, T)
+
+    # identity stats (rem.align_cmd, rem.py:470-490)
+    import numpy as np
+
+    totbases = (
+        idx.main.nT
+        - int((T == ord("$")).sum())
+        - int((T == ord("N")).sum())
+        - int((T == ord("n")).sum())
+    )
+    alignedbases = alignednodes = 0
+    nsamples = idx.main.nsamples
+    for n, d in G.nodes.items():
+        if isinstance(n, str) or d.get("aligned", 0) == 0:
+            continue
+        if nsamples > 2:
+            alignedbases += (n[1] - n[0]) * len(
+                [
+                    k
+                    for k in d["offsets"]
+                    if not G.graph["id2path"][k].startswith("*")
+                ]
+            )
+        else:
+            alignedbases += (n[1] - n[0]) * 2
+        alignednodes += 1
+    log.info(
+        "%s (%.2f%% identity, %d bases out of %d aligned, %d nodes aligned).",
+        "-".join(os.path.basename(f) for f in args.inputfiles),
+        alignedbases / float(totbases) * 100 if totbases else 0,
+        alignedbases,
+        totbases,
+        alignednodes,
+    )
+
+    out = write_gfa(G, T, outputfile=args.output)
+    log.info("Graph written to: %s", out)
+
+
+def bubbles_cmd(args):
+    from .core.io_gfa import read_gfa
+    from .graph.varcall import write_bubbles_table
+
+    G = read_gfa(args.graph[0])
+    write_bubbles_table(G)
+
+
+def variants_cmd(args):
+    from .core.io_gfa import read_gfa
+    from .graph.varcall import VariantFilter, write_variants
+
+    G = read_gfa(args.graph[0])
+    fmt = (
+        "vcf"
+        if args.vcf
+        else "bed"
+        if args.bed
+        else "fasta"
+        if args.fastaout
+        else "table"
+    )
+    flt = VariantFilter(
+        minsize=args.minsize,
+        mindiff=args.mindiff,
+        maxdiff=args.maxdiff,
+        vtype=args.type,
+        nogaps=args.nogaps,
+        minflank=args.minflank,
+        refonly=args.refonly,
+    )
+    write_variants(G, reference=args.reference, flt=flt, fmt=fmt)
+
+
+def refine_cmd(args):
+    from .align.graphops import prune_nodes
+    from .core.io_gfa import read_gfa, write_gfa
+    from .graph.simplify import contract
+    from .hmm.refine import refine_all
+
+    G = read_gfa(args.graph[0])
+    if not (args.all or args.complex or args.simple):
+        log.error("Specify one of --all --simple --complex.")
+        sys.exit(1)
+    G = refine_all(
+        G,
+        minlength=args.minlength,
+        minsize=args.minsize,
+        mindiff=args.mindiff,
+        maxdiff=args.maxdiff,
+        maxsize=args.maxsize,
+        maxcumsize=args.maxcumsize,
+        mincumsize=args.mincumsize,
+        complex_only=args.complex,
+        simple_only=args.simple,
+        nogaps=args.nogaps,
+        minconf=args.minconf,
+        constrans=args.constrans,
+        consgap=args.consgap,
+        nrefinements=args.nrefinements,
+        uniqueonly=args.uniqueonly,
+    )
+    fn = (
+        args.outfile
+        if args.outfile
+        else args.graph[0]
+        .replace(".gfa.gz", ".realigned.gfa")
+        .replace(".gfa", ".realigned.gfa")
+    )
+    if not fn.endswith(".realigned.gfa") and ".gfa" not in fn:
+        fn += ".gfa"
+    prune_nodes(G)
+    order = [n for n in G.topological_sort() if not isinstance(n, str)]
+    contract(G, order)
+    out = write_gfa(G, None, outputfile=fn)
+    log.info("Refined graph written to: %s", out)
+
+
+def unzip_cmd(args):
+    from .core.io_gfa import read_gfa, write_gfa
+    from .graph.unzip import unzip_graph
+
+    G = read_gfa(args.graph[0])
+    unzip_graph(
+        G,
+        minunzip=args.minunzip,
+        mindiff=args.mindiff,
+        maxdiff=args.maxdiff,
+    )
+    if args.output is None:
+        base = args.graph[0]
+        for ext in (".gfa.gz", ".gfa"):
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+                break
+        of = base + ".unzipped.gfa"
+    else:
+        of = args.output + ".gfa"
+    out = write_gfa(G, None, outputfile=of)
+    log.info("Unzipped graph written to: %s", out)
+
+
+def extract_cmd(args):
+    from .core.io_gfa import read_gfa
+    from .graph.extract import extract
+
+    G = read_gfa(args.graph)
+    width = args.width
+    for sample in args.input:
+        seq = extract(G, sample)
+        sys.stdout.write(">%s\n" % sample)
+        for i in range(0, len(seq), width):
+            sys.stdout.write(seq[i : i + width] + "\n")
+
+
+def split_cmd(args):
+    from .core.io_gfa import read_gfa, write_gfa
+
+    G = read_gfa(args.graph[0])
+    base = args.graph[0]
+    for ext in (".gfa.gz", ".gfa"):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    for i, comp in enumerate(G.weakly_connected_components()):
+        sg = G.subgraph(comp)
+        # restrict path registry to paths present in this component
+        present = set()
+        for n in sg.nodes:
+            present |= set(sg.nodes[n].get("offsets", {}).keys())
+        sg.graph["path2id"] = {
+            p: sid
+            for p, sid in G.graph["path2id"].items()
+            if sid in present
+        }
+        out = write_gfa(sg, None, outputfile="%s.%d.gfa" % (base, i))
+        log.info("Wrote %s", out)
+
+
+def merge_cmd(args):
+    from .core.io_gfa import read_gfa, write_gfa
+
+    G = None
+    from .graph.pangraph import PanGraph
+
+    G = PanGraph()
+    for f in args.graphs:
+        read_gfa(f, graph=G, remap=True)
+    out = write_gfa(G, None, outputfile=args.output or "merged.gfa")
+    log.info("Merged graph written to: %s", out)
+
+
+def comp_cmd(args):
+    from .core.encoding import rc_str
+    from .core.io_gfa import read_gfa, write_gfa
+
+    G = read_gfa(args.graph[0])
+    # reverse the graph: complement sequences, flip edges, relabel offsets
+    # (comp.py:4-31)
+    genome2length = {}
+    for sid in G.graph["id2path"]:
+        maxp = 0
+        for n in G.nodes:
+            d = G.nodes[n]
+            if sid in d.get("offsets", {}):
+                maxp = max(maxp, d["offsets"][sid] + len(d.get("seq", "")))
+        genome2length[sid] = maxp
+    for n in G.nodes:
+        d = G.nodes[n]
+        if "seq" in d:
+            d["seq"] = rc_str(d["seq"])
+        for sid in d.get("offsets", {}):
+            d["offsets"][sid] = genome2length[sid] - (
+                d["offsets"][sid] + len(d.get("seq", ""))
+            )
+    # flip edges
+    from .graph.pangraph import PanGraph
+
+    H = PanGraph()
+    H.graph = G.graph
+    for n in G.nodes:
+        H.add_node(n, **G.nodes[n])
+    for u, v, d in G.edges(data=True):
+        H.add_edge(v, u, **d)
+    H.graph["startnodes"], H.graph["endnodes"] = (
+        H.graph["endnodes"],
+        H.graph["startnodes"],
+    )
+    out = write_gfa(H, None, outputfile=args.output or "rc.gfa")
+    log.info("Reverse-complemented graph written to: %s", out)
+
+
+def subgraph_cmd(args):
+    from .core.io_gfa import read_gfa, write_gfa
+
+    G = read_gfa(args.inputfiles[0])
+    nodes = set(int(n) for n in args.inputfiles[1:])
+    sg = G.subgraph(nodes)
+    present = set()
+    for n in sg.nodes:
+        present |= set(sg.nodes[n].get("offsets", {}).keys())
+    sg.graph["path2id"] = {
+        p: sid for p, sid in G.graph["path2id"].items() if sid in present
+    }
+    out = write_gfa(sg, None, outputfile=args.outfile)
+    log.info("Subgraph written to: %s", out)
+
+
+def stats_cmd(args):
+    from .core.io_gfa import read_gfa
+    from .graph.bubbles import Variant, bubbles
+
+    G = read_gfa(args.graph[0])
+    samples = [p for p in G.graph["paths"] if not p.startswith("*")]
+    sys.stdout.write("Graph: %s\n" % args.graph[0])
+    sys.stdout.write("Nodes: %d\n" % G.number_of_nodes())
+    sys.stdout.write("Edges: %d\n" % G.number_of_edges())
+    sys.stdout.write("Samples (%d): %s\n" % (len(samples), ",".join(samples)))
+    tot = 0
+    sharedby = {}
+    for n in G.nodes:
+        d = G.nodes[n]
+        if "seq" not in d:
+            continue
+        l = len(d["seq"])
+        tot += l
+        k = len(
+            [
+                s
+                for s in d.get("offsets", {})
+                if not G.graph["id2path"][s].startswith("*")
+            ]
+        )
+        sharedby[k] = sharedby.get(k, 0) + l
+    sys.stdout.write("Total sequence: %d bp\n" % tot)
+    for k in sorted(sharedby):
+        sys.stdout.write(
+            "  shared by %d samples: %d bp\n" % (k, sharedby[k])
+        )
+    vtypes = {}
+    for b in bubbles(G):
+        v = Variant(b)
+        vtypes[v.vtype] = vtypes.get(v.vtype, 0) + 1
+    for t in sorted(vtypes):
+        sys.stdout.write("Variants (%s): %d\n" % (t, vtypes[t]))
+
+
+def align_cmd(args):
+    """Emit the meta-pipeline shell script (align.py:6-86)."""
+    prog = "python -m reveal_tpu.cli"
+    graphs = []
+    print("set -e")
+    for f in args.inputfiles:
+        graphs.append(f)
+    names = [os.path.basename(f).split(".")[0] for f in args.inputfiles]
+    stem = "_".join(names[: min(len(names), 6)])
+    print(
+        "%s rem %s -o %s.gfa" % (prog, " ".join(args.inputfiles), stem)
+    )
+    print("%s variants %s.gfa --vcf > %s.vcf" % (prog, stem, stem))
+    print("%s unzip %s.gfa -u10" % (prog, stem))
+    print(
+        "%s variants %s.unzipped.gfa --vcf > %s.unzipped.vcf"
+        % (prog, stem, stem)
+    )
+    print(
+        "%s refine %s.unzipped.gfa --all --maxsize=10000" % (prog, stem)
+    )
+    print(
+        "%s variants %s.unzipped.realigned.gfa --vcf > "
+        "%s.unzipped.realigned.vcf" % (prog, stem, stem)
+    )
+
+
+def _unimplemented(name):
+    def cmd(args):
+        log.fatal(
+            "subcommand %r is not implemented yet in reveal_tpu", name
+        )
+        sys.exit(2)
+
+    return cmd
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    logging.addLevelName(TRACE, "TRACE")
+    parser = argparse.ArgumentParser(
+        prog="reveal-tpu",
+        description="TPU-native whole-genome multi-aligner "
+        "(graph-based, REVEAL method).",
+    )
+    sub = parser.add_subparsers(dest="cmd")
+    gp = _global_parser()
+
+    p = sub.add_parser("rem", parents=[gp], help="Recursive exact-match graph alignment.")
+    p.add_argument("inputfiles", nargs="+", help="Fasta or gfa inputs.")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-m", "--minlength", type=int, default=20)
+    p.add_argument("-n", "--minn", type=int, default=2)
+    p.add_argument("--maxmums", type=int, default=10000)
+    p.add_argument("--wpen", type=int, default=1)
+    p.add_argument("--wscore", type=int, default=1)
+    p.add_argument("--seedsize", type=int, default=0)
+    p.add_argument("--pcutoff", type=float, default=1e-8)
+    p.add_argument("--gcmodel", default="sumofpairs")
+    p.add_argument("--maxsize", type=int, default=None)
+    p.add_argument("--notrim", action="store_true")
+    p.add_argument("--nocontigs", action="store_true")
+    p.set_defaults(func=rem_cmd)
+
+    p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")
+    p.add_argument("graph", nargs=1)
+    p.set_defaults(func=bubbles_cmd)
+
+    p = sub.add_parser("variants", parents=[gp], help="Call variants from bubbles.")
+    p.add_argument("graph", nargs=1)
+    p.add_argument("--vcf", action="store_true")
+    p.add_argument("--bed", action="store_true")
+    p.add_argument("--fastaout", action="store_true")
+    p.add_argument("-r", "--reference", default=None)
+    p.add_argument("--minsize", type=int, default=0)
+    p.add_argument("--mindiff", type=int, default=0)
+    p.add_argument("--maxdiff", type=int, default=None)
+    p.add_argument("--type", default="all")
+    p.add_argument("--nogaps", action="store_true")
+    p.add_argument("--minflank", type=int, default=0)
+    p.add_argument("--refonly", action="store_true")
+    p.set_defaults(func=variants_cmd)
+
+    for name in ("refine", "realign"):
+        p = sub.add_parser(name, parents=[gp], help="Realign bubbles with the pair-HMM MSA.")
+        p.add_argument("graph", nargs=1)
+        p.add_argument("--all", action="store_true")
+        p.add_argument("--complex", action="store_true")
+        p.add_argument("--simple", action="store_true")
+        p.add_argument("-o", "--outfile", default=None)
+        p.add_argument("-m", "--minlength", type=int, default=20)
+        p.add_argument("--minsize", type=int, default=None)
+        p.add_argument("--mindiff", type=int, default=0)
+        p.add_argument("--maxdiff", type=int, default=None)
+        p.add_argument("--maxsize", type=int, default=10000)
+        p.add_argument("--maxcumsize", type=int, default=None)
+        p.add_argument("--mincumsize", type=int, default=0)
+        p.add_argument("--nogaps", action="store_true")
+        p.add_argument("--minconf", type=int, default=0)
+        p.add_argument("--constrans", type=int, default=2)
+        p.add_argument("--consgap", action="store_true", default=False)
+        p.add_argument("--nrefinements", type=int, default=100)
+        p.add_argument("--uniqueonly", action="store_true")
+        p.set_defaults(func=refine_cmd)
+
+    p = sub.add_parser("unzip", parents=[gp], help="Unzip bubbles (indel wiggle).")
+    p.add_argument("graph", nargs=1)
+    p.add_argument("-u", "--minunzip", type=int, default=0)
+    p.add_argument("--mindiff", type=int, default=0)
+    p.add_argument("--maxdiff", type=int, default=None)
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=unzip_cmd)
+
+    p = sub.add_parser("extract", parents=[gp], help="Extract path sequence from graph.")
+    p.add_argument("graph")
+    p.add_argument("input", nargs="+")
+    p.add_argument("--width", type=int, default=100)
+    p.set_defaults(func=extract_cmd)
+
+    p = sub.add_parser("split", parents=[gp], help="Split graph into connected components.")
+    p.add_argument("graph", nargs=1)
+    p.set_defaults(func=split_cmd)
+
+    p = sub.add_parser("merge", parents=[gp], help="Merge gfa graphs into one file.")
+    p.add_argument("graphs", nargs="+")
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=merge_cmd)
+
+    p = sub.add_parser("comp", parents=[gp], help="Reverse complement a graph.")
+    p.add_argument("graph", nargs=1)
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=comp_cmd)
+
+    p = sub.add_parser("subgraph", parents=[gp], help="Export a node-set subgraph.")
+    p.add_argument("inputfiles", nargs="+", help="<graph.gfa> <node ids...>")
+    p.add_argument("-o", "--outfile", default="subgraph.gfa")
+    p.set_defaults(func=subgraph_cmd)
+
+    p = sub.add_parser("stats", parents=[gp], help="Graph statistics.")
+    p.add_argument("graph", nargs=1)
+    p.set_defaults(func=stats_cmd)
+
+    p = sub.add_parser("align", parents=[gp], help="Emit the full align pipeline as a shell script.")
+    p.add_argument("inputfiles", nargs="+")
+    p.set_defaults(func=align_cmd)
+
+    for name in (
+        "plot",
+        "gplot",
+        "chop",
+        "transform",
+        "finish",
+        "chain",
+        "rearrangements",
+        "annotate",
+        "convert",
+        "matches",
+    ):
+        p = sub.add_parser(name, parents=[gp])
+        p.add_argument("inputfiles", nargs="*")
+        p.set_defaults(func=_unimplemented(name))
+
+    args = parser.parse_args(argv)
+    if not getattr(args, "cmd", None):
+        parser.print_help()
+        return 1
+
+    logging.basicConfig(
+        level=args.loglevel,
+        format="%(asctime)-15s %(levelname)s: %(message)s",
+    )
+    try:
+        return args.func(args) or 0
+    except BrokenPipeError:
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

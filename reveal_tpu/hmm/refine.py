@@ -1,0 +1,439 @@
+"""Bubble refinement: realign bubble alleles with the pair-HMM MSA and
+splice the refined subgraph back into the variation graph.
+
+Port of /root/reference/reveal/refine.py:
+
+* ``refine_all``: bubble selection (simple/complex/size/diff/cumsize
+  windows, gap filter), drop-nested selection, per-bubble realignment
+  (refine.py:377-525);
+* ``refine_bubble``: extract per-path allele sequences, run the
+  consistency MSA, rebuild a column graph (refine.py:149-273);
+* ``msa_to_graph``: MSA columns -> DAG honoring per-column confidence —
+  low-confidence columns become per-sample nodes (refine.py:640-830);
+* ``replace_bubble``: splice the refined subgraph between source and sink
+  (refine.py:90-147).
+
+The pair-HMM posteriors inside the MSA run batched on device; bubbles are
+processed in a host loop (cross-bubble device batching is a planned
+optimization).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+from .msa import probcons_align
+from ..graph.bubbles import Bubble, bubbles
+from ..graph.extract import extract
+from ..graph.pangraph import PanGraph
+
+log = logging.getLogger(__name__)
+
+
+def msa_to_graph(
+    aobjs,
+    idoffset: int = 0,
+    minconf: int = 0,
+    constrans: int = 2,
+    consgap: bool = True,
+    nrefinements: int = 100,
+) -> Optional[PanGraph]:
+    """MSA + column-graph construction (refine.msa2graph for the
+    reveal_probcons method)."""
+    nn = idoffset
+    ng = PanGraph()
+    for name, seq in aobjs:
+        sid = len(ng.graph["paths"])
+        ng.graph["path2id"][name] = sid
+        ng.graph["id2path"][sid] = name
+        ng.graph["id2end"][sid] = len(seq)
+        ng.graph["paths"].append(name)
+
+    aln, confidence = probcons_align(
+        aobjs,
+        consistency=constrans,
+        refinement=nrefinements,
+        consgap=consgap,
+    )
+    seqs = [""] * len(aobjs)
+    for name, seq in aln:
+        seqs[ng.graph["path2id"][name]] = seq
+
+    ncols = len(seqs[0])
+    offsets = {o: -1 for o in range(len(seqs))}
+    nid = nn
+    sid2pnode: Dict[int, int] = {}
+    pbase2node = {}
+    pcol = {}
+    pp = None
+
+    for i in range(ncols):
+        col = {}
+        base2node = {}
+        sid2node = {}
+        p = confidence[i]
+
+        for j in range(len(seqs)):
+            col.setdefault(seqs[j][i], set()).add(j)
+            if seqs[j][i] != "-":
+                offsets[j] += 1
+
+        for base in col:
+            if i == 0:
+                if p >= minconf:
+                    ng.add_node(
+                        nid,
+                        seq=base,
+                        offsets={
+                            sid: offsets[sid]
+                            for sid in offsets
+                            if sid in col[base]
+                        },
+                        p=[p],
+                    )
+                    base2node[base] = nid
+                    for sid in col[base]:
+                        sid2node[sid] = nid
+                    nid += 1
+                else:  # new node per sequence
+                    for sid in col[base]:
+                        ng.add_node(
+                            nid, seq=base, offsets={sid: offsets[sid]}, p=[p]
+                        )
+                        sid2node[sid] = nid
+                        if base in base2node:
+                            base2node[base].append(nid)
+                        else:
+                            base2node[base] = [nid]
+                        nid += 1
+            else:
+                if p >= minconf and pp >= minconf:
+                    for pbase in pcol:
+                        overlap = pcol[pbase] & col[base]
+                        if len(overlap) == 0:
+                            continue
+                        elif len(overlap) == len(col[base]) == len(
+                            pcol[pbase]
+                        ):  # append to previous column's node
+                            ng.nodes[pbase2node[pbase]]["seq"] += base
+                            ng.nodes[pbase2node[pbase]]["p"].append(p)
+                            base2node[base] = pbase2node[pbase]
+                            for sid in overlap:
+                                sid2node[sid] = sid2pnode[sid]
+                        else:
+                            if base not in base2node:
+                                ng.add_node(
+                                    nid, seq=base, offsets=dict(), p=[p]
+                                )
+                                base2node[base] = nid
+                                for sid in col[base]:
+                                    sid2node[sid] = nid
+                                nid += 1
+                            for sid in overlap:
+                                ng.nodes[base2node[base]]["offsets"][sid] = (
+                                    offsets[sid]
+                                )
+                            ng.add_edge(
+                                pbase2node[pbase],
+                                base2node[base],
+                                paths=set(overlap),
+                                oto="+",
+                                ofrom="+",
+                            )
+                elif p < minconf and pp >= minconf:
+                    for sid in col[base]:
+                        ng.add_node(
+                            nid, seq=base, offsets={sid: offsets[sid]}, p=[p]
+                        )
+                        ng.add_edge(
+                            sid2pnode[sid], nid, paths={sid}, oto="+",
+                            ofrom="+",
+                        )
+                        sid2node[sid] = nid
+                        if base in base2node:
+                            base2node[base].append(nid)
+                        else:
+                            base2node[base] = [nid]
+                        nid += 1
+                elif p >= minconf and pp < minconf:
+                    ng.add_node(nid, seq=base, offsets=dict(), p=[p])
+                    for sid in col[base]:
+                        ng.nodes[nid]["offsets"][sid] = offsets[sid]
+                        if not ng.has_edge(sid2pnode[sid], nid):
+                            ng.add_edge(
+                                sid2pnode[sid],
+                                nid,
+                                paths={sid},
+                                oto="+",
+                                ofrom="+",
+                            )
+                        else:
+                            ng.edge(sid2pnode[sid], nid)["paths"].add(sid)
+                        sid2node[sid] = nid
+                        base2node[base] = nid
+                    nid += 1
+                else:  # both below minconf: extend per-sample nodes
+                    for sid in col[base]:
+                        ng.nodes[sid2pnode[sid]]["seq"] += base
+                        ng.nodes[sid2pnode[sid]]["p"].append(p)
+                    sid2node = sid2pnode
+
+        assert len(sid2node) == len(seqs)
+        sid2pnode = sid2node
+        pbase2node = base2node
+        pcol = col
+        pp = p
+
+    # remove gap placeholders (refine.py:777-806)
+    remove = []
+    for node in list(ng.nodes):
+        data = ng.nodes[node]
+        incroffset = data["seq"][0] == "-"
+        data["seq"] = data["seq"].replace("-", "")
+        if data["seq"] == "":
+            remove.append(node)
+        elif incroffset:
+            for sid in data["offsets"]:
+                data["offsets"][sid] += 1
+        data["aligned"] = 1 if len(data["offsets"]) > 1 else 0
+
+    for node in remove:
+        ine = list(ng.in_edges(node, data=True))
+        oute = list(ng.out_edges(node, data=True))
+        for in1, _, ind in ine:
+            for _, out2, outd in oute:
+                overlap = ind["paths"] & outd["paths"]
+                if len(overlap) >= 1:
+                    if ng.has_edge(in1, out2):
+                        ng.edge(in1, out2)["paths"] |= overlap
+                    else:
+                        ng.add_edge(
+                            in1, out2, paths=set(overlap), ofrom="+", oto="+"
+                        )
+    for node in remove:
+        ng.remove_node(node)
+
+    # contract unary chains with identical path sets (refine.py:808-819)
+    updated = True
+    while updated:
+        updated = False
+        for v, t in list(ng.edges()):
+            if (
+                len(ng.succ[v]) == 1
+                and len(ng.pred[t]) == 1
+                and ng.nodes[v]["offsets"].keys()
+                == ng.nodes[t]["offsets"].keys()
+            ):
+                ng.nodes[v]["seq"] += ng.nodes[t]["seq"]
+                for suc in list(ng.successors(t)):
+                    ng.add_edge(v, suc, **ng.edge(t, suc))
+                ng.remove_node(t)
+                updated = True
+                break
+
+    return ng
+
+
+def refine_bubble(
+    sg: PanGraph,
+    bubble: Bubble,
+    offsets: Dict[int, int],
+    paths,
+    minconf: int = 0,
+    constrans: int = 2,
+    consgap: bool = True,
+    nrefinements: int = 100,
+    uniqueonly: bool = False,
+    **_,
+):
+    """refine.py:149-273 (reveal_probcons method)."""
+    if len(bubble.nodes) == 3:
+        return None
+
+    aobjs = []
+    if uniqueonly:
+        d = {}
+        for sid in sorted(paths):
+            seq = extract(sg, sg.graph["id2path"][sid])
+            if len(seq) > 0:
+                d.setdefault(seq, []).append(str(sid))
+        if len(d) <= 1:
+            return None
+        aobjs = [(",".join(d[seq]), seq) for seq in d]
+    else:
+        for sid in sorted(paths):
+            seq = extract(sg, sg.graph["id2path"][sid])
+            if len(seq) > 0:
+                aobjs.append((str(sid), seq))
+        if len(aobjs) <= 1:
+            return None
+
+    ng = msa_to_graph(
+        aobjs,
+        minconf=minconf,
+        constrans=constrans,
+        consgap=consgap,
+        nrefinements=nrefinements,
+    )
+    if ng is None:
+        return None
+
+    # map path ids back to the original graph's id space
+    for _, _, data in ng.edges(data=True):
+        newpaths = set()
+        for p in data["paths"]:
+            for x in ng.graph["id2path"][p].split(","):
+                newpaths.add(int(x))
+        data["paths"] = newpaths
+    for node in ng.nodes:
+        data = ng.nodes[node]
+        newoffsets = {}
+        for sid in data["offsets"]:
+            for x in ng.graph["id2path"][sid].split(","):
+                newoffsets[int(x)] = data["offsets"][sid]
+        data["offsets"] = newoffsets
+
+    ng.graph["paths"] = sg.graph["paths"]
+    ng.graph["path2id"] = sg.graph["path2id"]
+    ng.graph["id2path"] = sg.graph["id2path"]
+
+    path2start = {}
+    path2end = {}
+    for node in ng.nodes:
+        data = ng.nodes[node]
+        for sid in data["offsets"]:
+            if (
+                sid not in path2start
+                or data["offsets"][sid] < path2start[sid][1]
+            ):
+                path2start[sid] = (node, data["offsets"][sid])
+            if sid not in path2end or data["offsets"][sid] > path2end[sid][1]:
+                path2end[sid] = (node, data["offsets"][sid])
+        corrected = {
+            sid: data["offsets"][sid] + offsets[sid]
+            for sid in data["offsets"]
+        }
+        data["offsets"] = corrected
+
+    return bubble, ng, path2start, path2end
+
+
+def replace_bubble(G: PanGraph, bubble, ng: PanGraph, path2start, path2end, nn):
+    """refine.py:90-147."""
+    assert nn not in G.nodes
+    for node in bubble.nodes[1:-1]:
+        G.remove_node(node)
+
+    mapping = {}
+    for node in ng.nodes:
+        mapping[node] = nn
+        nn += 1
+    for node in ng.nodes:
+        G.add_node(mapping[node], **ng.nodes[node])
+    for u, v, d in ng.edges(data=True):
+        G.add_edge(mapping[u], mapping[v], **d)
+
+    for sid in path2start:
+        startnode = mapping[path2start[sid][0]]
+        if G.has_edge(bubble.source, startnode):
+            G.edge(bubble.source, startnode)["paths"].add(sid)
+        else:
+            G.add_edge(
+                bubble.source, startnode, ofrom="+", oto="+", paths={sid}
+            )
+    for sid in path2end:
+        endnode = mapping[path2end[sid][0]]
+        if G.has_edge(endnode, bubble.sink):
+            G.edge(endnode, bubble.sink)["paths"].add(sid)
+        else:
+            G.add_edge(endnode, bubble.sink, ofrom="+", oto="+", paths={sid})
+    return G, nn
+
+
+def refine_all(
+    G: PanGraph,
+    minlength: int = 20,
+    minsize: Optional[int] = None,
+    mindiff: int = 0,
+    maxdiff: Optional[int] = None,
+    maxsize: int = 10000,
+    maxcumsize: Optional[int] = None,
+    mincumsize: int = 0,
+    complex_only: bool = False,
+    simple_only: bool = False,
+    nogaps: bool = False,
+    **kwargs,
+):
+    """refine.py:377-525 (sequential path; device batching inside MSA)."""
+    if minsize is None:
+        minsize = minlength
+
+    realignbubbles = []
+    for b in bubbles(G):
+        if complex_only and b.issimple():
+            continue
+        if simple_only and not b.issimple():
+            continue
+        if nogaps and any(
+            "N" in G.nodes[n].get("seq", "") for n in b.nodes
+        ):
+            continue
+        if b.maxsize - b.minsize < mindiff:
+            continue
+        if maxdiff is not None and b.maxsize - b.minsize > maxdiff:
+            continue
+        if b.minsize < minsize:
+            continue
+        if b.maxsize > maxsize:
+            continue
+        if maxcumsize is not None and b.cumsize > maxcumsize:
+            continue
+        if b.cumsize < mincumsize:
+            continue
+        if len(b.nodes) == 3:
+            continue
+        realignbubbles.append(b)
+
+    if not realignbubbles:
+        log.info("No bubbles qualify for realignment.")
+        return G
+
+    realignbubbles.sort(key=lambda b: b.source_idx)
+    distinct = [realignbubbles[0]]
+    p = 0
+    for i in range(1, len(realignbubbles)):
+        if realignbubbles[i].source_idx >= realignbubbles[p].sink_idx:
+            distinct.append(realignbubbles[i])
+            p = i
+    log.info("Realigning %d bubbles", len(distinct))
+
+    nn = max((n for n in G.nodes if isinstance(n, int)), default=0) + 1
+    for bubble in distinct:
+        G.nodes[bubble.source]["aligned"] = 1
+        G.nodes[bubble.sink]["aligned"] = 1
+
+        bnodes = list(set(bubble.nodes) - {bubble.source, bubble.sink})
+        sg = G.subgraph(bnodes)
+        offsets = {
+            sid: G.nodes[bubble.source]["offsets"][sid]
+            + len(G.nodes[bubble.source]["seq"])
+            for sid in G.nodes[bubble.source]["offsets"]
+        }
+        paths = set(G.nodes[bubble.source]["offsets"]) & set(
+            G.nodes[bubble.sink]["offsets"]
+        )
+        t0 = time.time()
+        res = refine_bubble(sg, bubble, offsets, paths, **kwargs)
+        log.debug(
+            "refine bubble <%s,%s> took %.3fs",
+            bubble.source,
+            bubble.sink,
+            time.time() - t0,
+        )
+        if res is None:
+            continue
+        bubble, ng, path2start, path2end = res
+        G, nn = replace_bubble(G, bubble, ng, path2start, path2end, nn)
+    return G
