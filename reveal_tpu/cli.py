@@ -367,6 +367,32 @@ def stats_cmd(args):
         sys.stdout.write("Variants (%s): %d\n" % (t, vtypes[t]))
 
 
+def chop_cmd(args):
+    from .core.io_gfa import read_gfa, write_gfa
+    from .graph.chop import chop, chop_check
+
+    prefix = args.graph[0]
+    for ext in (".gfa.gz", ".gfa"):
+        if prefix.endswith(ext):
+            prefix = prefix[: -len(ext)]
+    G = read_gfa(args.graph[0])
+    Gorg = G.copy() if args.check else None
+    chop(G, k=args.k, extend=not args.noextend)
+    for node in G.nodes:
+        if isinstance(node, str):
+            continue
+        d = G.nodes[node]
+        d["seq"] = d.get("prefix", "") + d["seq"] + d.get("suffix", "")
+    gof = (args.output or prefix + ".chopped") + ".gfa.gz"
+    out = write_gfa(G, None, outputfile=gof, remap=False)
+    log.info("Chopped graph written to: %s", out)
+    if args.check:
+        ok = chop_check(Gorg, G, args.k)
+        if not ok:
+            sys.exit(1)
+        log.info("All %d-mers covered.", args.k)
+
+
 def align_cmd(args):
     """Emit the meta-pipeline shell script (align.py:6-86)."""
     prog = "python -m reveal_tpu.cli"
@@ -514,10 +540,17 @@ def main(argv=None):
     p.add_argument("inputfiles", nargs="+")
     p.set_defaults(func=align_cmd)
 
+    p = sub.add_parser("chop", parents=[gp], help="Overlap graph for k-length read mapping.")
+    p.add_argument("graph", nargs=1)
+    p.add_argument("-k", type=int, default=100)
+    p.add_argument("--noextend", action="store_true")
+    p.add_argument("--check", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=chop_cmd)
+
     for name in (
         "plot",
         "gplot",
-        "chop",
         "transform",
         "finish",
         "chain",

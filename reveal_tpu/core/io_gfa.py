@@ -311,10 +311,157 @@ def read_gfa(
 
 
 def read_gfa_into(gfafile, ts, t, G, root_nodes):
-    """Graph input for alignment (graph-vs-genome): sequences are fed into
-    the text store; nodes become interval nodes.  (utils.read_gfa with an
-    index, utils.py:377-659.)"""
-    raise NotImplementedError(
-        "graph inputs to rem are not wired yet; coming with the "
-        "graph-vs-genome alignment milestone"
-    )
+    """Graph input for alignment: every S-line sequence is appended to the
+    text store (each node gets its own sentinel), nodes become
+    (start, end) interval nodes, per-path offsets come from walking the
+    P lines (utils.read_gfa with an index, utils.py:377-659).
+
+    The caller must have registered the sample (ts.add_sample) already,
+    mirroring align_genomes (rem.py:536-547).
+    """
+    nmapping = {}
+    edges = []
+    paths = []
+
+    with _open(gfafile) as f:
+        for line in f:
+            if line.startswith("S"):
+                s = line.strip().split("\t")
+                nodeid = int(s[1])
+                seq = s[2] if len(s) > 2 else ""
+                iv = ts.add_sequence(seq.upper())
+                t.add(iv)
+                G.add_node(iv, aligned=0, offsets={})
+                root_nodes.add(iv)
+                nmapping[nodeid] = iv
+            elif line.startswith("L"):
+                edges.append(line)
+            elif line.startswith("P"):
+                paths.append(line)
+
+    for line in edges:
+        e = line.strip().split("\t")
+        if e[2] != "+" or e[4] != "+":
+            continue  # DiGraph flavor drops inversion edges
+        tags = {"ofrom": e[2], "oto": e[4]}
+        if len(e) > 5:
+            tags["cigar"] = e[5]
+        tags["paths"] = set()
+        G.add_edge(nmapping[int(e[1])], nmapping[int(e[3])], **tags)
+
+    if not paths:
+        raise ValueError("No paths defined in GFA: %s" % gfafile)
+
+    startnodes = set()
+    endnodes = set()
+
+    for line in paths:
+        cols = line.rstrip().split("\t")
+        sample = cols[1]
+        if sample in G.graph["paths"]:
+            raise ValueError("Graph already contains path %r" % sample)
+        G.graph["paths"].append(sample)
+        sid = len(G.graph["path2id"])
+        G.graph["path2id"][sample] = sid
+        G.graph["id2path"][sid] = sample
+
+        o = 0
+        path = []
+        if len(cols) >= 3 and cols[2]:
+            path = [(nid[:-1], nid[-1:]) for nid in cols[2].split(",")]
+            pnode = None
+            for pi, (nid, orientation) in enumerate(path):
+                node = nmapping[int(nid)]
+                G.nodes[node]["offsets"][sid] = o
+                o += node[1] - node[0]
+                if pi > 0:
+                    if not G.has_edge(pnode, node):
+                        raise ValueError(
+                            "Path %r has %s -> %s but no such edge"
+                            % (sample, pnode, node)
+                        )
+                    G.edge(pnode, node)["paths"].add(sid)
+                pnode = node
+
+        start = uuid.uuid4().hex
+        G.add_node(start, offsets={sid: 0}, endpoint=True)
+        if path:
+            G.add_edge(
+                start,
+                nmapping[int(path[0][0])],
+                paths={sid},
+                ofrom="+",
+                oto=path[0][1],
+            )
+        startnodes.add(start)
+
+        end = uuid.uuid4().hex
+        G.add_node(end, offsets={sid: o}, endpoint=True)
+        if path:
+            G.add_edge(
+                nmapping[int(path[-1][0])],
+                end,
+                paths={sid},
+                ofrom=path[-1][1],
+                oto="+",
+            )
+        endnodes.add(end)
+        G.graph["id2end"][sid] = o
+
+    # drop untraversed edges/nodes
+    for u, v in [
+        (u, v) for u, v, d in G.edges(data=True) if d["paths"] == set()
+    ]:
+        G.remove_edge(u, v)
+    for n in [
+        n
+        for n in list(G.nodes)
+        if G.nodes[n].get("offsets") == {} and not isinstance(n, str)
+    ]:
+        if isinstance(n, tuple):
+            t.remove(n)
+            root_nodes.discard(n)
+        G.remove_node(n)
+
+    # merge start/end markers per weakly connected component
+    for comp in G.weakly_connected_components():
+        startmerge = [n for n in comp if n in startnodes]
+        endmerge = [n for n in comp if n in endnodes]
+        if endmerge:
+            endnode = uuid.uuid4().hex
+            G.add_node(endnode, offsets={}, endpoint=True)
+            G.graph["endnodes"].append(endnode)
+            for node in endmerge:
+                for k, v in G.nodes[node]["offsets"].items():
+                    G.nodes[endnode]["offsets"][k] = v
+                for pnode, _, d in list(G.in_edges(node, data=True)):
+                    if not G.has_edge(pnode, endnode):
+                        G.add_edge(
+                            pnode,
+                            endnode,
+                            paths=set(d["paths"]),
+                            ofrom=d["ofrom"],
+                            oto=d["oto"],
+                        )
+                    else:
+                        G.edge(pnode, endnode)["paths"] |= d["paths"]
+        if startmerge:
+            startnode = uuid.uuid4().hex
+            G.add_node(startnode, offsets={}, endpoint=True)
+            G.graph["startnodes"].append(startnode)
+            for node in startmerge:
+                for k, v in G.nodes[node]["offsets"].items():
+                    G.nodes[startnode]["offsets"][k] = v
+                for _, nnode, d in list(G.out_edges(node, data=True)):
+                    if not G.has_edge(startnode, nnode):
+                        G.add_edge(
+                            startnode,
+                            nnode,
+                            paths=set(d["paths"]),
+                            ofrom=d["ofrom"],
+                            oto=d["oto"],
+                        )
+                    else:
+                        G.edge(startnode, nnode)["paths"] |= d["paths"]
+        for n in startmerge + endmerge:
+            G.remove_node(n)

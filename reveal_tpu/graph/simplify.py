@@ -1,9 +1,12 @@
 """Graph simplification: unary-chain contraction.
 
-Port of utils.contract/contract_nodes
-(/root/reference/reveal/utils.py:23-59): stretches of nodes connected by
-single in/out edges are merged into their first node, concatenating
-sequences.
+Semantic port of utils.contract/contract_nodes
+(/root/reference/reveal/utils.py:23-59): maximal stretches of nodes
+connected by unique in/out edges are merged into their first node,
+concatenating sequences.  Unlike the reference (which only merges pairs
+that happen to be adjacent in the supplied topological order), chains are
+followed explicitly, which is order-independent and contracts every
+stretch in one pass.
 """
 
 from __future__ import annotations
@@ -14,27 +17,28 @@ from .pangraph import PanGraph
 
 
 def contract(G: PanGraph, topsort: List) -> List:
-    if not topsort:
-        return topsort
-    newtopsort = [topsort[0]]
-    stretches = [[]]
-    pnode = topsort[0]
-    for node in topsort[1:]:
-        pred = list(G.predecessors(node))
-        suc = list(G.successors(pnode))
-        if pred == [pnode] and suc == [node]:
-            if len(stretches[-1]) == 0:
-                stretches[-1].append(pnode)
-            stretches[-1].append(node)
-        else:
-            if len(stretches[-1]) != 0:
-                stretches.append([])
-            newtopsort.append(node)
-        pnode = node
-
-    for stretch in stretches:
-        if stretch:
+    consumed = set()
+    newtopsort = []
+    for node in topsort:
+        if node in consumed or node not in G.nodes:
+            continue
+        stretch = [node]
+        cur = node
+        while True:
+            sucs = list(G.successors(cur))
+            if len(sucs) != 1:
+                break
+            nxt = sucs[0]
+            if isinstance(nxt, str) or nxt in consumed:
+                break
+            if len(list(G.predecessors(nxt))) != 1:
+                break
+            stretch.append(nxt)
+            consumed.add(nxt)
+            cur = nxt
+        if len(stretch) > 1:
             contract_nodes(G, stretch)
+        newtopsort.append(node)
     return newtopsort
 
 
