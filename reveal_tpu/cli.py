@@ -393,6 +393,67 @@ def chop_cmd(args):
         log.info("All %d-mers covered.", args.k)
 
 
+def plot_cmd(args):
+    from .viz import mumplot
+
+    out = mumplot(
+        args.fastas,
+        minlength=args.minlength,
+        rc=not args.norc,
+        maxmums=args.maxmums,
+        interactive=args.interactive,
+        output=args.output,
+        endpoints=args.endpoints,
+        showgaps=args.showgaps,
+        backend=args.backend,
+    )
+    if out:
+        log.info("Plot written to: %s", out)
+
+
+def gplot_cmd(args):
+    from .core.io_gfa import read_gfa
+    from .viz import plotgraph
+
+    G = read_gfa(args.graph)
+    x, y = args.x, args.y
+    if x is None and y is None:
+        x, y = G.graph["paths"][0], G.graph["paths"][1]
+    out = plotgraph(
+        G,
+        x,
+        y,
+        interactive=args.interactive,
+        region=args.region,
+        minlength=args.minlength,
+        output=args.output,
+    )
+    if out:
+        log.info("Plot written to: %s", out)
+
+
+def matches_cmd(args):
+    from .core.io_fasta import fasta_reader
+    from .core.textstore import TextStore
+    from .index.esa_index import ESAIndex
+
+    ts = TextStore()
+    for f in args.fastas:
+        ts.add_sample(f)
+        for name, seq in fasta_reader(f):
+            ts.add_sequence(seq.upper())
+    idx = ESAIndex.construct(ts, backend=args.backend)
+    mums = idx.getmums(args.minlength)
+    if args.rc:
+        idx2 = ESAIndex.construct(ts, backend=args.backend, rc=True)
+        mums += idx2.getmums(args.minlength)
+    sys.stdout.write("#length\tpos1\tpos2\trc\n")
+    for l, (sp1, sp2), isrc in mums:
+        sys.stdout.write(
+            "%d\t%d\t%d\t%d\n" % (l, sp1, sp2 - int(idx.nsep[0]) - 1, isrc)
+        )
+
+
 def align_cmd(args):
     """Emit the meta-pipeline shell script (align.py:6-86)."""
     prog = "python -m reveal_tpu.cli"
@@ -548,16 +609,40 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(func=chop_cmd)
 
+    p = sub.add_parser("plot", parents=[gp], help="MUM dotplot of two fasta files.")
+    p.add_argument("fastas", nargs=2)
+    p.add_argument("-m", "--minlength", type=int, default=20)
+    p.add_argument("--norc", action="store_true")
+    p.add_argument("--maxmums", type=int, default=10000)
+    p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("--endpoints", action="store_true")
+    p.add_argument("--showgaps", action="store_true")
+    p.set_defaults(func=plot_cmd)
+
+    p = sub.add_parser("gplot", parents=[gp], help="Dotplot from a graph's shared nodes.")
+    p.add_argument("graph")
+    p.add_argument("-x", default=None)
+    p.add_argument("-y", default=None)
+    p.add_argument("-m", "--minlength", type=int, default=1)
+    p.add_argument("-i", "--interactive", action="store_true")
+    p.add_argument("-r", "--region", default=None)
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=gplot_cmd)
+
+    p = sub.add_parser("matches", parents=[gp], help="Print MUMs between two fastas.")
+    p.add_argument("fastas", nargs=2)
+    p.add_argument("-m", "--minlength", type=int, default=20)
+    p.add_argument("--rc", action="store_true")
+    p.set_defaults(func=matches_cmd)
+
     for name in (
-        "plot",
-        "gplot",
         "transform",
         "finish",
         "chain",
         "rearrangements",
         "annotate",
         "convert",
-        "matches",
     ):
         p = sub.add_parser(name, parents=[gp])
         p.add_argument("inputfiles", nargs="*")

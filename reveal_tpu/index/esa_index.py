@@ -93,7 +93,11 @@ class ESAIndex:
         if rc:
             from ..core.encoding import revcomp
 
-            cut = int(nsep[0]) + 1
+            # reverse-complement from the first sample's final '$' onwards,
+            # like interface.c:168-172: '$' complements to itself, so the
+            # block stays sentinel-delimited and the rc-coordinate remap of
+            # getmums (reveal.c:98-99) holds
+            cut = int(nsep[0])
             T = T.copy()
             T[cut:] = revcomp(T[cut:])
         SA, LCP, SAi = build_esa(T, backend=backend)
