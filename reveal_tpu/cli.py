@@ -393,6 +393,36 @@ def chop_cmd(args):
         log.info("All %d-mers covered.", args.k)
 
 
+def transform_cmd(args):
+    from .transform.driver import TransformConfig, transform
+
+    cfg = TransformConfig(
+        minlength=args.minlength,
+        minctglength=args.minctglength,
+        cutn=args.cutn,
+        cluster=not args.nocluster,
+        maxdist=args.maxdist,
+        mincluster=args.mincluster,
+        rearrangecost=args.rearrangecost,
+        inversioncost=args.inversioncost,
+        _lambda=args._lambda,
+        eps=args.eps,
+        alfa=args.alfa,
+        gapopen=args.gapopen,
+        useheap=args.useheap,
+        lastn=args.lastn,
+        lastbp=args.lastbp,
+        greedy=args.greedy,
+        minchainsum=args.minchainsum,
+        optimise=not args.nooptimise,
+        outputbed=not args.nobed,
+        backend=args.backend,
+    )
+    for qry in args.contigs:
+        log.info("Running transform for %s", qry)
+        transform(args.reference[0], qry, cfg, output=args.output)
+
+
 def plot_cmd(args):
     from .viz import mumplot
 
@@ -636,8 +666,32 @@ def main(argv=None):
     p.add_argument("--rc", action="store_true")
     p.set_defaults(func=matches_cmd)
 
+    p = sub.add_parser("transform", parents=[gp], help="Layout draft contigs against a reference (breakpoint graph).")
+    p.add_argument("reference", nargs=1)
+    p.add_argument("contigs", nargs="+")
+    p.add_argument("-m", "--minlength", type=int, default=65)
+    p.add_argument("-c", "--minctglength", type=int, default=1000)
+    p.add_argument("--cutn", type=int, default=1000)
+    p.add_argument("--nocluster", action="store_true")
+    p.add_argument("--maxdist", type=int, default=90)
+    p.add_argument("--mincluster", type=int, default=65)
+    p.add_argument("--rearrangecost", type=int, default=1000)
+    p.add_argument("--inversioncost", type=int, default=1)
+    p.add_argument("--lambda", dest="_lambda", type=float, default=5)
+    p.add_argument("--eps", type=float, default=1)
+    p.add_argument("--alfa", type=float, default=1)
+    p.add_argument("--gapopen", type=int, default=10)
+    p.add_argument("--heap", dest="useheap", action="store_true")
+    p.add_argument("--lastn", type=int, default=50)
+    p.add_argument("--lastbp", type=int, default=10000)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--minchainsum", type=int, default=65)
+    p.add_argument("--nooptimise", action="store_true")
+    p.add_argument("--nobed", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=transform_cmd)
+
     for name in (
-        "transform",
         "finish",
         "chain",
         "rearrangements",

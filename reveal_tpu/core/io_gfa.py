@@ -196,6 +196,11 @@ def read_gfa(
     for line in paths:
         cols = line.rstrip().split("\t")
         sample = cols[1]
+        if sample.startswith("*"):
+            # DiGraph flavor excludes original-layout paths, which may
+            # traverse inversion edges (utils.py:496-499)
+            log.debug("DiGraph input: excluding path %s", sample)
+            continue
         if sample in G.graph["paths"]:
             raise ValueError("Graph already contains path %r" % sample)
         G.graph["paths"].append(sample)
