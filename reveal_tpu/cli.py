@@ -423,6 +423,226 @@ def transform_cmd(args):
         transform(args.reference[0], qry, cfg, output=args.output)
 
 
+def finish_cmd(args):
+    from .transform.finish import FinishConfig, finish
+
+    cfg = FinishConfig(
+        minlength=args.minlength,
+        cutn=args.cutn,
+        maxdist=args.maxdist,
+        mincluster=args.mincluster,
+        minchainsum=args.minchainsum,
+        fixedgapsize=args.fixedgapsize,
+        outputunmapped=not args.nounplaced,
+        backend=args.backend,
+    )
+    finish(args.reference, args.contigs, cfg, output=args.output)
+
+
+def convert_cmd(args):
+    import uuid as uuidmod
+
+    from .core.io_gfa import read_gfa, write_gfa
+    from .graph.pangraph import PanGraph
+
+    for graph in args.graphs:
+        if graph.endswith(".gfa") or graph.endswith(".gfa.gz"):
+            g = read_gfa(graph)
+            base = graph
+            for ext in (".gfa.gz", ".gfa"):
+                if base.endswith(ext):
+                    base = base[: -len(ext)]
+            if args.type == "gfa":
+                fn = write_gfa(g, None, outputfile=base + ".rewrite.gfa")
+                log.info("gfa graph written to: %s", fn)
+            elif args.type == "gml":
+                import networkx as nx
+
+                H = nx.DiGraph()
+                for n, d in g.nodes.items():
+                    H.add_node(
+                        str(n),
+                        **{
+                            k: str(v) if not isinstance(v, (str, int)) else v
+                            for k, v in d.items()
+                        },
+                    )
+                for u, v, d in g.edges(data=True):
+                    H.add_edge(
+                        str(u),
+                        str(v),
+                        **{
+                            k: str(w) if not isinstance(w, (str, int)) else w
+                            for k, w in d.items()
+                        },
+                    )
+                fn = base + ".gml"
+                nx.write_gml(H, fn)
+                log.info("gml graph written to: %s", fn)
+            elif args.type == "maf":
+                from .core.io_maf import graph2maf
+
+                fn = graph2maf(g, base + ".maf")
+                log.info("maf written to: %s", fn)
+            else:
+                log.fatal("Unknown conversion type: %s", args.type)
+                sys.exit(1)
+        elif graph.endswith((".fa", ".fasta", ".fna")):
+            from .core.io_fasta import fasta_reader
+
+            g = PanGraph()
+            base = graph[: graph.rfind(".")]
+            if args.aligned:
+                from .hmm.refine import build_column_graph
+
+                seqs = []
+                names = []
+                for name, seq in fasta_reader(graph, keepdash=True):
+                    names.append(name)
+                    seqs.append(seq.replace(".", "-"))
+                for i, name in enumerate(names):
+                    g.graph["paths"].append(name)
+                    g.graph["path2id"][name] = i
+                    g.graph["id2path"][i] = name
+                    g.graph["id2end"][i] = len(seqs[i].replace("-", ""))
+                build_column_graph(
+                    g, seqs, [100] * len(seqs[0]), minconf=0, idoffset=1
+                )
+                start = uuidmod.uuid4().hex
+                end = uuidmod.uuid4().hex
+                g.add_node(start, offsets={}, endpoint=True)
+                g.add_node(end, offsets={}, endpoint=True)
+                g.graph["startnodes"].append(start)
+                g.graph["endnodes"].append(end)
+                for i in range(len(names)):
+                    first = min(
+                        (
+                            (d["offsets"][i], n)
+                            for n, d in g.nodes.items()
+                            if i in d.get("offsets", {})
+                            and not isinstance(n, str)
+                        ),
+                    )[1]
+                    lastn = max(
+                        (
+                            (d["offsets"][i], n)
+                            for n, d in g.nodes.items()
+                            if i in d.get("offsets", {})
+                            and not isinstance(n, str)
+                        ),
+                    )[1]
+                    g.nodes[start]["offsets"][i] = 0
+                    g.nodes[end]["offsets"][i] = g.graph["id2end"][i]
+                    if g.has_edge(start, first):
+                        g.edge(start, first)["paths"].add(i)
+                    else:
+                        g.add_edge(
+                            start, first, paths={i}, ofrom="+", oto="+"
+                        )
+                    if g.has_edge(lastn, end):
+                        g.edge(lastn, end)["paths"].add(i)
+                    else:
+                        g.add_edge(lastn, end, paths={i}, ofrom="+", oto="+")
+            else:
+                start = uuidmod.uuid4().hex
+                end = uuidmod.uuid4().hex
+                g.graph["startnodes"] = [start]
+                g.graph["endnodes"] = [end]
+                g.add_node(start, offsets={}, endpoint=True)
+                g.add_node(end, offsets={}, endpoint=True)
+                for i, (name, seq) in enumerate(fasta_reader(graph)):
+                    g.graph["paths"].append(name)
+                    g.graph["path2id"][name] = i
+                    g.graph["id2path"][i] = name
+                    g.graph["id2end"][i] = len(seq)
+                    g.nodes[start]["offsets"][i] = 0
+                    g.nodes[end]["offsets"][i] = len(seq)
+                    g.add_node(i + 1, offsets={i: 0}, seq=seq, aligned=0)
+                    g.add_edge(start, i + 1, paths={i}, ofrom="+", oto="+")
+                    g.add_edge(i + 1, end, paths={i}, ofrom="+", oto="+")
+            fn = write_gfa(g, None, outputfile=base + ".gfa")
+            log.info("gfa graph written to: %s", fn)
+        else:
+            log.fatal("Unknown filetype: %s", graph)
+            sys.exit(1)
+
+
+def rearrangements_cmd(args):
+    """Report structural (rearrangement) edges: edges traversed only by
+    '*'-prefixed original-layout paths (bubbles.rearrangements_cmd,
+    bubbles.py:280-334).  Works from the raw GFA so inversion edges are
+    kept."""
+    import gzip as gzipmod
+
+    fn = args.graph[0]
+    opener = gzipmod.open if fn.endswith(".gz") else open
+    seqs = {}
+    paths = {}
+    with opener(fn, "rt") as f:
+        for line in f:
+            if line.startswith("S"):
+                s = line.rstrip().split("\t")
+                seqs[s[1]] = s[2] if len(s) > 2 else ""
+            elif line.startswith("P"):
+                cols = line.rstrip().split("\t")
+                if len(cols) >= 3 and cols[2]:
+                    paths[cols[1]] = [
+                        (x[:-1], x[-1]) for x in cols[2].split(",")
+                    ]
+    # per-edge traversals
+    edge2paths = {}
+    for sample, walk in paths.items():
+        for (a, ao), (b, bo) in zip(walk, walk[1:]):
+            edge2paths.setdefault((a, ao, b, bo), set()).add(sample)
+    refpaths = {p for p in paths if not p.startswith("*")}
+
+    # offsets of nodes on each path
+    node_off = {}
+    for sample, walk in paths.items():
+        o = 0
+        for n, _ in walk:
+            node_off.setdefault(n, {})[sample] = o
+            o += len(seqs.get(n, ""))
+
+    reference = args.reference
+    if reference is None:
+        cands = sorted(refpaths)
+        reference = cands[0] if cands else None
+
+    sys.stdout.write(
+        "#reference\tapproximate_pos\tcontigs\tsource\tsink\tinvert\tpaths\n"
+    )
+    n = 0
+    for (a, ao, b, bo), ps in edge2paths.items():
+        if ps & refpaths:
+            continue  # traversed by a reference-layout path: not structural
+        contigs = sorted(p for p in ps if p.startswith("*"))
+        pos = node_off.get(b, {})
+        vpos = None
+        vref = None
+        for p in sorted(pos):
+            if reference and p.startswith(reference):
+                vref, vpos = p, pos[p]
+                break
+        if vpos is None and pos:
+            vref = sorted(pos)[0]
+            vpos = pos[vref]
+        sys.stdout.write(
+            "%s\t%s\t%s\t%s\t%s\t%s\t%s\n"
+            % (
+                vref,
+                vpos,
+                contigs,
+                a,
+                b,
+                ao == bo,
+                ",".join(sorted(ps)),
+            )
+        )
+        n += 1
+    log.info("%d rearrangement edges.", n)
+
+
 def plot_cmd(args):
     from .viz import mumplot
 
@@ -691,12 +911,33 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(func=transform_cmd)
 
+    p = sub.add_parser("finish", parents=[gp], help="Order/orient draft contigs into pseudomolecules.")
+    p.add_argument("reference")
+    p.add_argument("contigs")
+    p.add_argument("-m", "--minlength", type=int, default=20)
+    p.add_argument("--cutn", type=int, default=0)
+    p.add_argument("--maxdist", type=int, default=90)
+    p.add_argument("--mincluster", type=int, default=65)
+    p.add_argument("--minchainsum", type=int, default=65)
+    p.add_argument("--fixedgapsize", type=int, default=None)
+    p.add_argument("--nounplaced", action="store_true")
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=finish_cmd)
+
+    p = sub.add_parser("convert", parents=[gp], help="Convert gfa<->gml/maf, fasta->gfa.")
+    p.add_argument("graphs", nargs="+")
+    p.add_argument("--type", default="gfa", choices=["gfa", "gml", "maf"])
+    p.add_argument("--aligned", action="store_true", help="Treat fasta input as a pre-computed MSA.")
+    p.set_defaults(func=convert_cmd)
+
+    p = sub.add_parser("rearrangements", parents=[gp], help="Report structural rearrangement edges.")
+    p.add_argument("graph", nargs=1)
+    p.add_argument("-r", "--reference", default=None)
+    p.set_defaults(func=rearrangements_cmd)
+
     for name in (
-        "finish",
         "chain",
-        "rearrangements",
         "annotate",
-        "convert",
     ):
         p = sub.add_parser(name, parents=[gp])
         p.add_argument("inputfiles", nargs="*")

@@ -61,6 +61,14 @@ def msa_to_graph(
     for name, seq in aln:
         seqs[ng.graph["path2id"][name]] = seq
 
+    build_column_graph(ng, seqs, confidence, minconf=minconf, idoffset=nn)
+    return ng
+
+
+def build_column_graph(ng, seqs, confidence, minconf=0, idoffset=0):
+    """MSA columns -> DAG (shared with convert's aligned-fasta input;
+    utils.aln2graph is the reference's duplicate of this logic)."""
+    nn = idoffset
     ncols = len(seqs[0])
     offsets = {o: -1 for o in range(len(seqs))}
     nid = nn
