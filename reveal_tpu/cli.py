@@ -643,6 +643,39 @@ def rearrangements_cmd(args):
     log.info("%d rearrangement edges.", n)
 
 
+def chain_cmd(args):
+    from .align.kdchain import chain_cmd_impl
+    from .core.io_gfa import write_gfa
+
+    G, T = chain_cmd_impl(
+        args.fastas,
+        minlength=args.minlength,
+        minn=args.minn,
+        maxmums=args.maxmums,
+        recurse=not args.norecurse,
+        gcmodel=args.gcmodel,
+        wpen=args.wpen,
+        wscore=args.wscore,
+        backend=args.backend,
+    )
+    if args.output is None:
+        pref = []
+        for f in args.fastas:
+            bn = os.path.basename(f)
+            pref.append(bn[: bn.find(".")] if "." in bn else bn)
+        args.output = "_".join(pref)
+    out = write_gfa(G, None, outputfile=args.output + ".gfa")
+    log.info("Chain graph written to: %s", out)
+
+
+def annotate_cmd(args):
+    from .graph.annotate import annotate_vcf
+
+    vcfin = open(args.vcf) if args.vcf != "-" else sys.stdin
+    n = annotate_vcf(vcfin, sys.stdout, mindiff=args.mindiff)
+    log.info("Annotated %d records.", n)
+
+
 def plot_cmd(args):
     from .viz import mumplot
 
@@ -935,13 +968,22 @@ def main(argv=None):
     p.add_argument("-r", "--reference", default=None)
     p.set_defaults(func=rearrangements_cmd)
 
-    for name in (
-        "chain",
-        "annotate",
-    ):
-        p = sub.add_parser(name, parents=[gp])
-        p.add_argument("inputfiles", nargs="*")
-        p.set_defaults(func=_unimplemented(name))
+    p = sub.add_parser("chain", parents=[gp], help="Graph construction by global multiMUM chaining.")
+    p.add_argument("fastas", nargs="+")
+    p.add_argument("-m", "--minlength", type=int, default=20)
+    p.add_argument("-n", "--minn", type=int, default=2)
+    p.add_argument("--maxmums", type=int, default=10000)
+    p.add_argument("--norecurse", action="store_true")
+    p.add_argument("--gcmodel", default="sumofpairs")
+    p.add_argument("--wpen", type=int, default=1)
+    p.add_argument("--wscore", type=int, default=1)
+    p.add_argument("-o", "--output", default=None)
+    p.set_defaults(func=chain_cmd)
+
+    p = sub.add_parser("annotate", parents=[gp], help="Add repeat classification to VCF records.")
+    p.add_argument("vcf")
+    p.add_argument("--mindiff", type=int, default=0)
+    p.set_defaults(func=annotate_cmd)
 
     args = parser.parse_args(argv)
     if not getattr(args, "cmd", None):
