@@ -60,9 +60,21 @@ def chain(
 
     mums must be relative-offset mums; returns [(mum, score)] from the right
     end back to (excluding) left — i.e. reversed chain like the reference.
+
+    The reference rescans `processed` and fully re-sorts `active` per mum
+    (O(k^2 log k)); here the processed->active eligibility test is a
+    vectorized numpy scan and the active list is kept sorted by
+    (-score, arrival order) with bisect insertion — scores never change
+    after assignment and the reference's stable sort places newly moved
+    entries after existing equal-score ones, so the traversal (and
+    tie-breaking) order is identical.
     """
     if len(mums) == 0:
         return []
+
+    import bisect
+
+    import numpy as np
 
     mums = list(mums)
     ref = next(iter(mums[0][2]))
@@ -77,28 +89,46 @@ def chain(
     link: Dict[int, int] = {}
     score: Dict[int, float] = {start: 0}
 
-    active = [left]
-    processed: List[RelMum] = []
+    dims = list(mums[0][2].keys())
+    ndim = len(dims)
+
+    # active: list of (negscore, counter, mum), sorted ascending — i.e. by
+    # score descending with ties in arrival order
+    counter = 0
+    active = [(-0.0, counter, left)]
+    counter += 1
+
+    # processed pool as growable arrays
+    cap = len(mums)
+    p_end = np.empty((cap, ndim), dtype=np.int64)  # start+len per dim
+    p_mums: List[RelMum] = []
+    p_live = np.zeros(cap, dtype=bool)
+    p_n = 0
 
     for mum in mums:
-        moved = []
-        for pmum in processed:
-            if all(pmum[2][c] + pmum[0] <= mum[2][c] for c in pmum[2]):
-                active.append(pmum)
-                moved.append(pmum)
-        for m in moved:
-            processed.remove(m)
-
-        active.sort(key=lambda x: score[x[2][ref]], reverse=True)
+        mstart = np.array([mum[2][c] for c in dims], dtype=np.int64)
+        if p_n:
+            elig = p_live[:p_n] & (p_end[:p_n] <= mstart).all(axis=1)
+            idxs = np.nonzero(elig)[0]
+            for pi in idxs.tolist():
+                p_live[pi] = False
+                pm = p_mums[pi]
+                s = score[pm[2][ref]]
+                bisect.insort(active, (-s, counter, pm))
+                counter += 1
 
         w = None
         best = None
-        for amum in active:
-            if not all(amum[2][c] + amum[0] <= mum[2][c] for c in amum[2]):
+        mul = wscore * (mum[0] * ((mum[1] * (mum[1] - 1)) // 2))
+        for negs, _, amum in active:
+            ok = True
+            for c in amum[2]:
+                if amum[2][c] + amum[0] > mum[2][c]:
+                    ok = False
+                    break
+            if not ok:
                 continue
-            s = score[amum[2][ref]] + (
-                wscore * (mum[0] * ((mum[1] * (mum[1] - 1)) // 2))
-            )
+            s = -negs + mul
             if w is not None and w > s:
                 break
             penalty = gapcost(
@@ -113,7 +143,10 @@ def chain(
 
         link[mum[2][ref]] = best[2][ref]
         score[mum[2][ref]] = w
-        processed.append(mum)
+        p_end[p_n] = [mum[2][c] + mum[0] for c in dims]
+        p_mums.append(mum)
+        p_live[p_n] = True
+        p_n += 1
 
     path = []
     while end != start:

@@ -32,7 +32,31 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from .pairhmm import batch_posteriors
+from .pairhmm import batch_posteriors as _batch_posteriors_xla
+
+_use_pallas = None
+
+
+def batch_posteriors(pairs, slice_output: bool = True):
+    """Dispatch to the Pallas TPU kernels when a TPU backend is active,
+    else the XLA row-scan kernels."""
+    global _use_pallas
+    if _use_pallas is None:
+        try:
+            import jax
+
+            _use_pallas = jax.default_backend() not in ("cpu",)
+        except Exception:
+            _use_pallas = False
+    if _use_pallas:
+        try:
+            from .pallas_pairhmm import batch_posteriors_pallas
+
+            return batch_posteriors_pallas(pairs, slice_output=slice_output)
+        except Exception as e:
+            log.warning("pallas pair-HMM failed (%s); falling back to XLA", e)
+            _use_pallas = False
+    return _batch_posteriors_xla(pairs, slice_output=slice_output)
 
 log = logging.getLogger(__name__)
 

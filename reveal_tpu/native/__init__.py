@@ -1,0 +1,120 @@
+"""Native host kernels (C++, built on demand with g++, loaded via ctypes).
+
+Provides the host-side equivalents of the reference's native layer
+(libdivsufsort + the C index internals): SA-IS suffix-array construction
+and the capped Kasai LCP pass.  The build is cached next to the source,
+keyed by a source hash; if no compiler is available the package degrades
+to the numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "esa.cpp")
+
+_lib = None
+_tried = False
+
+
+def _build_dir():
+    d = os.environ.get(
+        "REVEAL_TPU_NATIVE_CACHE",
+        os.path.expanduser("~/.cache/reveal_tpu_native"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_lib():
+    """Compile (if needed) and load the native library; None if
+    unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        with open(_SRC, "rb") as f:
+            src = f.read()
+        tag = hashlib.sha256(src).hexdigest()[:16]
+        so = os.path.join(_build_dir(), "esa_%s.so" % tag)
+        if not os.path.exists(so):
+            tmp = so + ".tmp.%d" % os.getpid()
+            cmd = [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                _SRC,
+                "-o",
+                tmp,
+            ]
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=300
+            )
+            os.replace(tmp, so)
+            log.info("built native kernels: %s", so)
+        lib = ctypes.CDLL(so)
+        lib.rtpu_sais64.restype = ctypes.c_int
+        lib.rtpu_sais64.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.rtpu_sais32.restype = ctypes.c_int
+        lib.rtpu_sais32.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        lib.rtpu_kasai64.restype = None
+        lib.rtpu_kasai64.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception as e:  # pragma: no cover
+        log.warning("native kernels unavailable (%s); using numpy", e)
+        _lib = None
+    return _lib
+
+
+def build_esa_native(T: np.ndarray):
+    """(SA, LCP, SAi) via SA-IS + capped Kasai.  Raises if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native kernels unavailable")
+    n = len(T)
+    T = np.ascontiguousarray(T, dtype=np.uint8)
+    SA = np.empty(n, dtype=np.int64)
+    rc = lib.rtpu_sais64(
+        T.ctypes.data, SA.ctypes.data, ctypes.c_int64(n)
+    )
+    if rc != 0:
+        raise RuntimeError("sais failed: %d" % rc)
+    SAi = np.empty(n, dtype=np.int64)
+    LCP = np.empty(n, dtype=np.int64)
+    lib.rtpu_kasai64(
+        T.ctypes.data,
+        SA.ctypes.data,
+        SAi.ctypes.data,
+        LCP.ctypes.data,
+        ctypes.c_int64(n),
+    )
+    return SA, LCP, SAi

@@ -1,0 +1,214 @@
+// Native host kernels for reveal_tpu: suffix array (SA-IS) and capped
+// Kasai LCP.
+//
+// The reference links libdivsufsort (/root/reference/divsufsort) for its
+// host suffix sort; this is an independent SA-IS (induced sorting)
+// implementation — the standard linear-time algorithm (Nong, Zhang & Chan
+// 2009) written from the algorithm description.  The LCP pass mirrors the
+// reference's compute_lcp semantics (interface.c:97-114): comparisons stop
+// at '$' and 'N' so matches never span sequence boundaries or gap runs.
+//
+// Exposed via a C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// generic SA-IS over an integer alphabet; S has n elements, values in
+// [0, K); S[n-1] must be the unique smallest element (sentinel 0).
+template <typename Char, typename Index>
+void sais(const Char* S, Index* SA, Index n, Index K) {
+  if (n == 0) return;
+  if (n == 1) {
+    SA[0] = 0;
+    return;
+  }
+  std::vector<bool> is_s(n);
+  is_s[n - 1] = true;
+  for (Index i = n - 2; i >= 0; --i) {
+    is_s[i] = (S[i] < S[i + 1]) || (S[i] == S[i + 1] && is_s[i + 1]);
+    if (i == 0) break;
+  }
+  auto is_lms = [&](Index i) {
+    return i > 0 && is_s[i] && !is_s[i - 1];
+  };
+
+  std::vector<Index> bkt(K, 0);
+  auto bucket_sizes = [&]() {
+    std::fill(bkt.begin(), bkt.end(), 0);
+    for (Index i = 0; i < n; ++i) bkt[S[i]]++;
+  };
+  auto bucket_ends = [&](std::vector<Index>& b) {
+    b.resize(K);
+    Index sum = 0;
+    for (Index c = 0; c < K; ++c) {
+      sum += bkt[c];
+      b[c] = sum;  // exclusive end
+    }
+  };
+  auto bucket_starts = [&](std::vector<Index>& b) {
+    b.resize(K);
+    Index sum = 0;
+    for (Index c = 0; c < K; ++c) {
+      b[c] = sum;
+      sum += bkt[c];
+    }
+  };
+
+  std::vector<Index> b;
+  const Index EMPTY = (Index)-1;
+
+  auto induce = [&](/* SA prefilled with LMS seeds or EMPTY */) {
+    // L-type left-to-right
+    bucket_starts(b);
+    for (Index i = 0; i < n; ++i) {
+      Index j = SA[i];
+      if (j != EMPTY && j > 0 && !is_s[j - 1]) {
+        SA[b[S[j - 1]]++] = j - 1;
+      }
+    }
+    // S-type right-to-left
+    bucket_ends(b);
+    for (Index i = n - 1; i >= 0; --i) {
+      Index j = SA[i];
+      if (j != EMPTY && j > 0 && is_s[j - 1]) {
+        SA[--b[S[j - 1]]] = j - 1;
+      }
+      if (i == 0) break;
+    }
+  };
+
+  bucket_sizes();
+
+  // step 1: place LMS suffixes at their bucket ends (text order), induce
+  std::fill(SA, SA + n, EMPTY);
+  bucket_ends(b);
+  for (Index i = n - 1; i >= 0; --i) {
+    if (is_lms(i)) SA[--b[S[i]]] = i;
+    if (i == 0) break;
+  }
+  induce();
+
+  // collect sorted LMS positions
+  std::vector<Index> lms_order;
+  lms_order.reserve(n / 2 + 1);
+  for (Index i = 0; i < n; ++i) {
+    if (SA[i] != EMPTY && is_lms(SA[i])) lms_order.push_back(SA[i]);
+  }
+  Index n_lms = (Index)lms_order.size();
+
+  // name LMS substrings
+  std::vector<Index> name(n, EMPTY);
+  Index cur_name = 0;
+  Index prev = EMPTY;
+  for (Index k = 0; k < n_lms; ++k) {
+    Index pos = lms_order[k];
+    if (prev == EMPTY) {
+      name[pos] = cur_name;
+    } else {
+      // compare LMS substrings at prev and pos
+      bool diff = false;
+      for (Index d = 0;; ++d) {
+        Index a = prev + d, c = pos + d;
+        if (a >= n || c >= n) {
+          diff = true;
+          break;
+        }
+        bool la = is_lms(a), lc = is_lms(c);
+        if (d > 0 && (la || lc)) {
+          diff = !(la && lc);
+          break;
+        }
+        if (S[a] != S[c] || is_s[a] != is_s[c]) {
+          diff = true;
+          break;
+        }
+      }
+      if (diff) ++cur_name;
+      name[pos] = cur_name;
+    }
+    prev = pos;
+  }
+  Index num_names = n_lms ? cur_name + 1 : 0;
+
+  // LMS positions in text order + their names form the reduced string
+  std::vector<Index> lms_text;
+  lms_text.reserve(n_lms);
+  for (Index i = 0; i < n; ++i) {
+    if (is_lms(i)) lms_text.push_back(i);
+  }
+  std::vector<Index> s1(n_lms), sa1(n_lms);
+  for (Index k = 0; k < n_lms; ++k) s1[k] = name[lms_text[k]];
+
+  if (num_names < n_lms) {
+    sais<Index, Index>(s1.data(), sa1.data(), n_lms, num_names);
+  } else {
+    for (Index k = 0; k < n_lms; ++k) sa1[s1[k]] = k;
+  }
+
+  // step 2: seed with LMS suffixes in their sorted order, induce again
+  std::fill(SA, SA + n, EMPTY);
+  bucket_ends(b);
+  for (Index k = n_lms - 1; k >= 0; --k) {
+    Index pos = lms_text[sa1[k]];
+    SA[--b[S[pos]]] = pos;
+    if (k == 0) break;
+  }
+  induce();
+}
+
+template <typename Index>
+int build_sa(const uint8_t* T, Index* SA, Index n) {
+  if (n <= 0) return 0;
+  // append virtual 0-sentinel: run over alphabet shifted by +1
+  std::vector<uint16_t> S(n + 1);
+  for (Index i = 0; i < n; ++i) S[i] = (uint16_t)T[i] + 1;
+  S[n] = 0;
+  std::vector<Index> SAx(n + 1);
+  sais<uint16_t, Index>(S.data(), SAx.data(), n + 1, 257);
+  // SAx[0] == n (the sentinel); the rest is the SA of T
+  std::memcpy(SA, SAx.data() + 1, sizeof(Index) * n);
+  return 0;
+}
+
+template <typename Index>
+void kasai_capped(const uint8_t* T, const Index* SA, Index* SAi, Index* LCP,
+                  Index n) {
+  for (Index i = 0; i < n; ++i) SAi[SA[i]] = i;
+  Index h = 0;
+  for (Index i = 0; i < n; ++i) {
+    Index k = SAi[i];
+    if (k == 0) {
+      LCP[k] = 0;
+    } else {
+      Index j = SA[k - 1];
+      while (i + h < n && j + h < n && T[i + h] == T[j + h] &&
+             T[i + h] != '$' && T[i + h] != 'N') {
+        ++h;
+      }
+      LCP[k] = h;
+    }
+    if (h > 0) --h;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int rtpu_sais32(const uint8_t* T, int32_t* SA, int32_t n) {
+  return build_sa<int32_t>(T, SA, n);
+}
+
+int rtpu_sais64(const uint8_t* T, int64_t* SA, int64_t n) {
+  return build_sa<int64_t>(T, SA, n);
+}
+
+void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,
+                  int64_t* LCP, int64_t n) {
+  kasai_capped<int64_t>(T, SA, SAi, LCP, n);
+}
+
+}  // extern "C"

@@ -7,12 +7,23 @@ path; bench.py runs on the real chip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon TPU plugin registers itself from sitecustomize at interpreter
+# startup (before this file runs), which overrides JAX_PLATFORMS; force the
+# platform back to CPU before any kernel dispatch so tests never go over
+# the remote-TPU tunnel.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import pathlib
 
