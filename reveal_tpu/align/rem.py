@@ -201,6 +201,9 @@ def align_genomes(
     contigs: bool = True,
     toupper: bool = True,
     backend: str = "auto",
+    safile=None,
+    lcpfile=None,
+    cache: bool = False,
     **cfgkw,
 ):
     """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
@@ -226,7 +229,9 @@ def align_genomes(
             "Specify at least 2 targets to construct an alignment."
         )
 
-    idx = ESAIndex.construct(ts, backend=backend)
+    idx = ESAIndex.construct(
+        ts, backend=backend, safile=safile, lcpfile=lcpfile, cache=cache
+    )
     idx.nodes = root_nodes
 
     cfg = PickerConfig(**cfgkw)

@@ -59,6 +59,9 @@ def rem_cmd(args):
         args.inputfiles,
         contigs=not args.nocontigs,
         backend=args.backend,
+        safile=args.sa,
+        lcpfile=args.lcp,
+        cache=args.cache,
         minlength=args.minlength,
         minn=args.minn,
         maxmums=args.maxmums,
@@ -738,30 +741,114 @@ def matches_cmd(args):
 
 
 def align_cmd(args):
-    """Emit the meta-pipeline shell script (align.py:6-86)."""
+    """Emit the meta-pipeline shell script (align.py:6-86): optional
+    per-draft transform, simultaneous or hierarchical ('sequential',
+    chunked per level — chunk jobs within one level are independent and
+    can run as parallel cluster jobs) rem, then unzip / refine /
+    per-stage variant calls."""
+    import uuid as uuidmod
+
     prog = "python -m reveal_tpu.cli"
-    graphs = []
-    print("set -e")
-    for f in args.inputfiles:
-        graphs.append(f)
-    names = [os.path.basename(f).split(".")[0] for f in args.inputfiles]
-    stem = "_".join(names[: min(len(names), 6)])
-    print(
-        "%s rem %s -o %s.gfa" % (prog, " ".join(args.inputfiles), stem)
+    out = sys.stdout
+    graphs = [args.reference[0]] if args.reference else []
+    step = 0
+
+    if args.transform and args.reference:
+        step += 1
+        out.write(
+            "#(%d) Convert draft assemblies to graphs (address "
+            "rearrangements)\n" % step
+        )
+        for f in args.inputfiles:
+            graph = os.path.splitext(f)[0] + ".gfa"
+            out.write(
+                "%s transform %s %s -o %s\n"
+                % (prog, args.reference[0], f, graph)
+            )
+            graphs.append(graph)
+    else:
+        graphs = (args.reference or []) + args.inputfiles
+
+    step += 1
+    out.write(
+        "#(%d) Use REM to construct an anchor-based alignment graph\n" % step
     )
-    print("%s variants %s.gfa --vcf > %s.vcf" % (prog, stem, stem))
-    print("%s unzip %s.gfa -u10" % (prog, stem))
-    print(
-        "%s variants %s.unzipped.gfa --vcf > %s.unzipped.vcf"
-        % (prog, stem, stem)
-    )
-    print(
-        "%s refine %s.unzipped.gfa --all --maxsize=10000" % (prog, stem)
-    )
-    print(
-        "%s variants %s.unzipped.realigned.gfa --vcf > "
-        "%s.unzipped.realigned.vcf" % (prog, stem, stem)
-    )
+    tmpfiles = []
+    if args.order == "sequential":
+        level = 0
+        while len(graphs) > 1:
+            step += 1
+            out.write("#(%d) Level (%d) alignments\n" % (step, level))
+            n = args.chunksize
+            k, m = divmod(len(graphs), n)
+            if k == 0:
+                chunks = [graphs]
+                graphs = []
+            else:
+                chunks = [graphs[i * n : i * n + n] for i in range(k)]
+                graphs = graphs[-m:] if m != 0 else []
+            for chunk in chunks:
+                if len(chunks) == 1 and graphs == []:
+                    out.write(
+                        "%s rem %s -o %s.gfa\n"
+                        % (prog, " ".join(chunk), args.output)
+                    )
+                    graphs.append(args.output + ".gfa")
+                else:
+                    tmp = uuidmod.uuid4().hex
+                    out.write(
+                        "%s rem %s -o %s.gfa\n"
+                        % (prog, " ".join(chunk), tmp)
+                    )
+                    graphs.append(tmp + ".gfa")
+                    tmpfiles.append(tmp + ".gfa")
+            level += 1
+    else:  # simultaneous
+        out.write(
+            "%s rem %s -m%d -o %s.gfa\n"
+            % (prog, " ".join(graphs), args.minlength, args.output)
+        )
+
+    if tmpfiles:
+        step += 1
+        out.write("#(%d) Cleanup tempfiles\n" % step)
+        for tmp in tmpfiles:
+            out.write("rm %s\n" % tmp)
+
+    if not args.nounzip:
+        step += 1
+        out.write("#(%d) Unzip all bubbles in the graph\n" % step)
+        out.write("%s unzip %s.gfa -u10\n" % (prog, args.output))
+
+    if not args.norefine:
+        step += 1
+        out.write(
+            "#(%d) Refine all bubbles in the graph using the pair-HMM "
+            "MSA\n" % step
+        )
+        out.write(
+            "%s refine %s.unzipped.gfa --all --maxsize=10000 --minsize=2 "
+            "--mindiff=0 --minconf=%d -o %s.unzipped.realigned.gfa\n"
+            % (prog, args.output, args.minconf, args.output)
+        )
+
+    if not args.novariants:
+        step += 1
+        out.write("#(%d) Output variants\n" % step)
+        out.write(
+            "%s variants %s.gfa --vcf > %s.anchored.vcf\n"
+            % (prog, args.output, args.output)
+        )
+        if not args.nounzip:
+            out.write(
+                "%s variants %s.unzipped.gfa --vcf > %s.unzipped.vcf\n"
+                % (prog, args.output, args.output)
+            )
+        if not args.norefine:
+            out.write(
+                "%s variants %s.unzipped.realigned.gfa --vcf > "
+                "%s.refined.vcf\n" % (prog, args.output, args.output)
+            )
 
 
 def _unimplemented(name):
@@ -800,6 +887,9 @@ def main(argv=None):
     p.add_argument("--maxsize", type=int, default=None)
     p.add_argument("--notrim", action="store_true")
     p.add_argument("--nocontigs", action="store_true")
+    p.add_argument("--sa", default=None, help="Load precomputed suffix array (int64 raw).")
+    p.add_argument("--lcp", default=None, help="Load precomputed LCP array (int64 raw).")
+    p.add_argument("--cache", action="store_true", help="Write .reveal.{t,sa,lcp} cache files.")
     p.set_defaults(func=rem_cmd)
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")
@@ -882,6 +972,18 @@ def main(argv=None):
 
     p = sub.add_parser("align", parents=[gp], help="Emit the full align pipeline as a shell script.")
     p.add_argument("inputfiles", nargs="+")
+    p.add_argument("-r", "--reference", nargs=1, default=None,
+                   help="Reference for per-draft transform step.")
+    p.add_argument("--transform", action="store_true")
+    p.add_argument("--order", default="simultaneous",
+                   choices=["simultaneous", "sequential"])
+    p.add_argument("--chunksize", type=int, default=2)
+    p.add_argument("-m", "--minlength", type=int, default=20)
+    p.add_argument("--minconf", type=int, default=0)
+    p.add_argument("--nounzip", action="store_true")
+    p.add_argument("--norefine", action="store_true")
+    p.add_argument("--novariants", action="store_true")
+    p.add_argument("-o", "--output", default="prg")
     p.set_defaults(func=align_cmd)
 
     p = sub.add_parser("chop", parents=[gp], help="Overlap graph for k-length read mapping.")

@@ -86,18 +86,17 @@ def _superbubble_pairs(G: PanGraph):
         start = ordD[start_vertex]
         end = ordD[end_vertex]
         if start + 1 != end:
-            ocs = [x for x in outchild[start:end]]
-            ops = [x for x in outparent[start + 1 : end + 1]]
-            oc = max(ocs) if ocs else None
-            op = (
-                min((x for x in ops if x is not None), default=None)
-                if ops
-                else None
+            ocs = outchild[start:end]
+            ops = outparent[start + 1 : end + 1]
+            # py2 semantics: None sorts below every int, so max() skips
+            # None unless all are None, and min() returns None if present
+            oc = max(
+                (x for x in ocs if x is not None), default=None
             )
-            # the reference applies min() over a list that may contain None
-            # (py2 sorts None first); replicate: None present -> None is min
             if any(x is None for x in ops):
                 op = None
+            else:
+                op = min(ops, default=None)
         else:
             oc = outchild[start]
             op = outparent[end]

@@ -30,8 +30,10 @@ class VariantFilter:
     refonly: bool = False
 
 
-def write_bubbles_table(G: PanGraph, out: TextIO = sys.stdout) -> int:
+def write_bubbles_table(G: PanGraph, out: Optional[TextIO] = None) -> int:
     """bubbles_cmd (bubbles.py:239-278): per-subgraph bubble listing."""
+    if out is None:
+        out = sys.stdout
     out.write("#source\tsink\tsubgraph\ttype\n")
     n = 0
     for comp in G.weakly_connected_components():
@@ -58,9 +60,11 @@ def write_variants(
     reference: Optional[str] = None,
     flt: Optional[VariantFilter] = None,
     fmt: str = "table",  # table | vcf | bed | fasta
-    out: TextIO = sys.stdout,
+    out: Optional[TextIO] = None,
 ) -> int:
     """variants_cmd (bubbles.py:336-532)."""
+    if out is None:
+        out = sys.stdout
     flt = flt or VariantFilter()
     gori = sorted(p for p in G.graph["paths"] if not p.startswith("*"))
     if reference is None:

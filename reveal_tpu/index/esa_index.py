@@ -86,9 +86,19 @@ class ESAIndex:
     # ----------------------------------------------------------------------
     @classmethod
     def construct(
-        cls, textstore, backend: str = "auto", rc: bool = False
+        cls,
+        textstore,
+        backend: str = "auto",
+        rc: bool = False,
+        safile: Optional[str] = None,
+        lcpfile: Optional[str] = None,
+        cache: bool = False,
     ) -> "ESAIndex":
-        """Build the root index from a TextStore (interface.c:160-291)."""
+        """Build the root index from a TextStore (interface.c:160-291).
+
+        safile/lcpfile load precomputed int64 arrays; cache=True writes
+        .reveal.t/.sa/.lcp alongside the build (interface.c:182-285).
+        """
         T, SO, nsep = textstore.build()
         if rc:
             from ..core.encoding import revcomp
@@ -100,7 +110,21 @@ class ESAIndex:
             cut = int(nsep[0])
             T = T.copy()
             T[cut:] = revcomp(T[cut:])
-        SA, LCP, SAi = build_esa(T, backend=backend)
+        if safile and lcpfile:
+            SA = np.fromfile(safile, dtype=np.int64)
+            LCP = np.fromfile(lcpfile, dtype=np.int64)
+            if len(SA) != len(T) or len(LCP) != len(T):
+                raise ValueError(
+                    "cached SA/LCP size mismatch with current text"
+                )
+            SAi = np.empty(len(SA), dtype=np.int64)
+            SAi[SA] = np.arange(len(SA))
+        else:
+            SA, LCP, SAi = build_esa(T, backend=backend)
+        if cache:
+            T.tofile(".reveal.t")
+            SA.astype(np.int64).tofile(".reveal.sa")
+            LCP.astype(np.int64).tofile(".reveal.lcp")
         main = MainState(
             T=T,
             SAi=SAi,
