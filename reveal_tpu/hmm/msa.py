@@ -300,9 +300,14 @@ def probcons_align(
     pretraining: int = 0,
     consgap: bool = False,
     seed: int = 0,
+    precomputed=None,
 ):
     """Drop-in equivalent of probconslib.probcons().align(...)
     (Probcons.cc:1608-1713).  Returns ([(name, alnseq)...], conf list).
+
+    precomputed: optional [(posterior, total), ...] for the (a<b) pair
+    list, letting callers batch posterior computation across many MSA
+    problems (e.g. all bubbles of a refinement pass) in one device call.
     """
     del pretraining  # the binding accepts it; training is not reachable
     names = [n for n, s in aobjs]
@@ -313,7 +318,11 @@ def probcons_align(
 
     # ---- stage 1: all-pairs posteriors + expected-accuracy distances ----
     pair_keys = [(a, b) for a in range(N) for b in range(a + 1, N)]
-    res = batch_posteriors([(seqs[a], seqs[b]) for a, b in pair_keys])
+    if precomputed is not None:
+        res = precomputed
+        assert len(res) == len(pair_keys)
+    else:
+        res = batch_posteriors([(seqs[a], seqs[b]) for a, b in pair_keys])
     mats = {}
     dist = np.zeros((N, N), dtype=np.float64)
     for (a, b), (p, tot) in zip(pair_keys, res):
@@ -402,34 +411,29 @@ def _refine_once(aln: _Aln, g1, g2, mats) -> _Aln:
 
 
 def _annotation(aln: _Aln, mats) -> List[int]:
-    """ComputeAnnotation/ComputeScore (Probcons.cc:1545-1602)."""
+    """ComputeAnnotation/ComputeScore (Probcons.cc:1545-1602), vectorized:
+    conf[c] = int(200 * sum over active pairs of P[pos_a, pos_b]
+                  / (n_active * (n_active - 1)))."""
     L = aln.length
     n = len(aln.rows)
-    pos = [0] * n
-    conf = []
-    for c in range(L):
-        active = []
-        for r in range(n):
-            if aln.rows[r][c] != "-":
-                pos[r] += 1
-                active.append((aln.labels[r], pos[r]))
-        active.sort()
-        if len(active) <= 1:
-            conf.append(0)
-            continue
-        val = 0.0
-        for i in range(len(active)):
-            for j in range(i + 1, len(active)):
-                a, pa = active[i]
-                b, pb = active[j]
-                P = mats[(a, b)] if a < b else None
-                if P is None:
-                    P = mats[(b, a)]
-                    v = P[pb, pa]
-                else:
-                    v = P[pa, pb]
-                val += float(v)
-        conf.append(
-            int(200 * val / (len(active) * (len(active) - 1)))
-        )
-    return conf
+    act = np.array(
+        [[ch != "-" for ch in row] for row in aln.rows], dtype=bool
+    )  # (n, L)
+    pos = np.cumsum(act, axis=1)  # 1-based residue index where active
+    val = np.zeros(L, dtype=np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = aln.labels[i], aln.labels[j]
+            m = act[i] & act[j]
+            if not m.any():
+                continue
+            if a < b:
+                P = mats[(a, b)]
+                val[m] += P[pos[i][m], pos[j][m]]
+            else:
+                P = mats[(b, a)]
+                val[m] += P[pos[j][m], pos[i][m]]
+    nact = act.sum(axis=0)
+    denom = nact * (nact - 1)
+    conf = np.where(denom > 0, 200 * val / np.maximum(denom, 1), 0.0)
+    return [int(c) for c in conf]

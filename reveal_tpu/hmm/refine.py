@@ -39,6 +39,7 @@ def msa_to_graph(
     constrans: int = 2,
     consgap: bool = True,
     nrefinements: int = 100,
+    precomputed=None,
 ) -> Optional[PanGraph]:
     """MSA + column-graph construction (refine.msa2graph for the
     reveal_probcons method)."""
@@ -56,6 +57,7 @@ def msa_to_graph(
         consistency=constrans,
         refinement=nrefinements,
         consgap=consgap,
+        precomputed=precomputed,
     )
     seqs = [""] * len(aobjs)
     for name, seq in aln:
@@ -244,22 +246,11 @@ def build_column_graph(ng, seqs, confidence, minconf=0, idoffset=0):
     return ng
 
 
-def refine_bubble(
-    sg: PanGraph,
-    bubble: Bubble,
-    offsets: Dict[int, int],
-    paths,
-    minconf: int = 0,
-    constrans: int = 2,
-    consgap: bool = True,
-    nrefinements: int = 100,
-    uniqueonly: bool = False,
-    **_,
-):
-    """refine.py:149-273 (reveal_probcons method)."""
+def prepare_bubble_alleles(sg, bubble, paths, uniqueonly=False):
+    """Extract the per-path allele sequences for a bubble (the aobjs of
+    refine.py:158-196); None when there is nothing to refine."""
     if len(bubble.nodes) == 3:
         return None
-
     aobjs = []
     if uniqueonly:
         d = {}
@@ -277,6 +268,30 @@ def refine_bubble(
                 aobjs.append((str(sid), seq))
         if len(aobjs) <= 1:
             return None
+    return aobjs
+
+
+def refine_bubble(
+    sg: PanGraph,
+    bubble: Bubble,
+    offsets: Dict[int, int],
+    paths,
+    minconf: int = 0,
+    constrans: int = 2,
+    consgap: bool = True,
+    nrefinements: int = 100,
+    uniqueonly: bool = False,
+    aobjs=None,
+    precomputed=None,
+    **_,
+):
+    """refine.py:149-273 (reveal_probcons method)."""
+    if aobjs is None:
+        aobjs = prepare_bubble_alleles(
+            sg, bubble, paths, uniqueonly=uniqueonly
+        )
+    if aobjs is None:
+        return None
 
     ng = msa_to_graph(
         aobjs,
@@ -284,6 +299,7 @@ def refine_bubble(
         constrans=constrans,
         consgap=consgap,
         nrefinements=nrefinements,
+        precomputed=precomputed,
     )
     if ng is None:
         return None
@@ -418,10 +434,16 @@ def refine_all(
     log.info("Realigning %d bubbles", len(distinct))
 
     nn = max((n for n in G.nodes if isinstance(n, int)), default=0) + 1
+
+    # phase 1: extract every bubble's alleles, collect all posterior pairs
+    # so the pair-HMM runs as a few large device batches instead of one
+    # round-trip per bubble
+    work = []
+    all_pairs = []
+    pair_slices = []
     for bubble in distinct:
         G.nodes[bubble.source]["aligned"] = 1
         G.nodes[bubble.sink]["aligned"] = 1
-
         bnodes = list(set(bubble.nodes) - {bubble.source, bubble.sink})
         sg = G.subgraph(bnodes)
         offsets = {
@@ -432,8 +454,44 @@ def refine_all(
         paths = set(G.nodes[bubble.source]["offsets"]) & set(
             G.nodes[bubble.sink]["offsets"]
         )
+        aobjs = prepare_bubble_alleles(
+            sg, bubble, paths, uniqueonly=kwargs.get("uniqueonly", False)
+        )
+        if aobjs is None:
+            continue
+        seqs = [s for _, s in aobjs]
+        start = len(all_pairs)
+        for a in range(len(seqs)):
+            for b in range(a + 1, len(seqs)):
+                all_pairs.append((seqs[a], seqs[b]))
+        pair_slices.append((start, len(all_pairs)))
+        work.append((bubble, sg, offsets, paths, aobjs))
+
+    from .msa import batch_posteriors
+
+    t0 = time.time()
+    posteriors = batch_posteriors(all_pairs) if all_pairs else []
+    log.info(
+        "computed %d pair posteriors for %d bubbles in %.2fs",
+        len(all_pairs),
+        len(work),
+        time.time() - t0,
+    )
+
+    # phase 2: per-bubble MSA + graph splice on host
+    for (bubble, sg, offsets, paths, aobjs), (s, e) in zip(
+        work, pair_slices
+    ):
         t0 = time.time()
-        res = refine_bubble(sg, bubble, offsets, paths, **kwargs)
+        res = refine_bubble(
+            sg,
+            bubble,
+            offsets,
+            paths,
+            aobjs=aobjs,
+            precomputed=posteriors[s:e],
+            **kwargs,
+        )
         log.debug(
             "refine bubble <%s,%s> took %.3fs",
             bubble.source,
