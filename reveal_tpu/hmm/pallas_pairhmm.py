@@ -433,6 +433,17 @@ def batch_posteriors_pallas(pairs, slice_output: bool = True):
 
     out = [None] * len(pairs)
     for (L1p, L2p), idxs_all in buckets.items():
+        if L2p * 8 > 100_000:
+            # bucket too wide for the VMEM-resident batch layout; run
+            # these pairs through the XLA row-scan kernels instead
+            from .pairhmm import batch_posteriors as xla_bp
+
+            sub = xla_bp(
+                [pairs[i] for i in idxs_all], slice_output=slice_output
+            )
+            for bi, i in enumerate(idxs_all):
+                out[i] = sub[bi]
+            continue
         # VMEM budget: keep B * L2p bounded
         # empirically B*L2p=81920 uses ~9.2MB of the 16MB VMEM; 163840
         # overflows — cap with margin
