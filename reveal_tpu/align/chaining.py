@@ -92,10 +92,21 @@ def chain(
     dims = list(mums[0][2].keys())
     ndim = len(dims)
 
-    # active: list of (negscore, counter, mum), sorted ascending — i.e. by
-    # score descending with ties in arrival order
+    # active kept in (score desc, arrival) order.  Arrays are append-only
+    # buffers; `order` holds buffer indices in scan order (bisect insert
+    # moves list pointers, not array elements).
+    cap0 = len(mums) + 2
+    buf_end = np.empty((cap0, ndim), dtype=np.int64)
+    buf_score = np.empty(cap0, dtype=np.float64)
+    buf_mums: List[RelMum] = []
+
     counter = 0
-    active = [(-0.0, counter, left)]
+    active_keys = [(-0.0, counter)]
+    order: List[int] = [0]
+    buf_end[0] = [left[2][c] + left[0] for c in dims]
+    buf_score[0] = 0.0
+    buf_mums.append(left)
+    buf_n = 1
     counter += 1
 
     # processed pool as growable arrays
@@ -104,6 +115,26 @@ def chain(
     p_mums: List[RelMum] = []
     p_live = np.zeros(cap, dtype=bool)
     p_n = 0
+
+    CHUNK = 128
+
+    def _pen_vec(D):
+        """Vectorized gapcost over per-dim distances D: (m, ndim), with the
+        default lambda=1, eps=0 weights the picker uses."""
+        if gcmodel == "sumofpairs":
+            pen = np.zeros(len(D))
+            for i in range(ndim):
+                for j in range(i + 1, ndim):
+                    pen += np.abs(D[:, i] - D[:, j])
+            return pen
+        if gcmodel == "star-avg":
+            # reference uses the signed sum of (a-b); D here is signed
+            return np.abs(D.sum(axis=1)) / ndim
+        if gcmodel == "star-med":
+            return np.sort(np.abs(D), axis=1)[:, ndim // 2]
+        return np.zeros(len(D))
+
+    signed = gcmodel == "star-avg"
 
     for mum in mums:
         mstart = np.array([mum[2][c] for c in dims], dtype=np.int64)
@@ -114,13 +145,27 @@ def chain(
                 p_live[pi] = False
                 pm = p_mums[pi]
                 s = score[pm[2][ref]]
-                bisect.insort(active, (-s, counter, pm))
+                at = bisect.bisect(active_keys, (-s, counter))
+                active_keys.insert(at, (-s, counter))
+                order.insert(at, buf_n)
+                buf_end[buf_n] = [pm[2][c] + pm[0] for c in dims]
+                buf_score[buf_n] = s
+                buf_mums.append(pm)
+                buf_n += 1
                 counter += 1
 
+        mul = wscore * (mum[0] * ((mum[1] * (mum[1] - 1)) // 2))
         w = None
         best = None
-        mul = wscore * (mum[0] * ((mum[1] * (mum[1] - 1)) // 2))
-        for negs, _, amum in active:
+        k = len(order)
+
+        # scalar prefix with the exact early break — in well-anchored
+        # regions the best predecessor is found within a few entries
+        PREFIX = 64 if k > 64 else k
+        broke = False
+        for ai in range(PREFIX):
+            bidx = order[ai]
+            amum = buf_mums[bidx]
             ok = True
             for c in amum[2]:
                 if amum[2][c] + amum[0] > mum[2][c]:
@@ -128,18 +173,45 @@ def chain(
                     break
             if not ok:
                 continue
-            s = -negs + mul
+            s = buf_score[bidx] + mul
             if w is not None and w > s:
+                broke = True
                 break
             penalty = gapcost(
-                [amum[2][k] + amum[0] for k in mum[2]],
-                [mum[2][k] for k in mum[2]],
+                [amum[2][kk] + amum[0] for kk in mum[2]],
+                [mum[2][kk] for kk in mum[2]],
                 model=gcmodel,
             )
             tmpw = s - wpen * penalty
             if w is None or tmpw > w:
                 w = tmpw
                 best = amum
+
+        # chunked vector scan of the remainder in score-desc order: a whole
+        # chunk is skipped when the running max already exceeds its
+        # best-possible s (exactly the reference's early break; extra
+        # elements inside a taken chunk have tmpw <= s < w and cannot win)
+        for cs in range(PREFIX if not broke else k, k, CHUNK):
+            ce = min(k, cs + CHUNK)
+            top = order[cs]
+            s_top = buf_score[top] + mul
+            if w is not None and w > s_top:
+                break
+            oidx = np.array(order[cs:ce], dtype=np.int64)
+            ends = buf_end[oidx]
+            compat = (ends <= mstart[None, :]).all(axis=1)
+            if not compat.any():
+                continue
+            if signed:
+                D = (ends - mstart[None, :]).astype(np.float64)
+            else:
+                D = np.abs(ends - mstart[None, :]).astype(np.float64)
+            tmpw = buf_score[oidx] + mul - wpen * _pen_vec(D)
+            tmpw = np.where(compat, tmpw, -np.inf)
+            bi = int(np.argmax(tmpw))
+            if tmpw[bi] != -np.inf and (w is None or tmpw[bi] > w):
+                w = float(tmpw[bi])
+                best = buf_mums[int(oidx[bi])]
 
         link[mum[2][ref]] = best[2][ref]
         score[mum[2][ref]] = w

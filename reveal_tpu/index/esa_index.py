@@ -227,6 +227,38 @@ class ESAIndex:
         for pos in mum_positions:
             D_sa[main.SAi[pos : pos + mum_l]] = 3
 
+        try:
+            from ..native import split3_native
+
+            res = split3_native(self.SA, self.LCP, D_sa, main.SAi)
+        except Exception:
+            res = None
+        if res is not None:
+            children = [(sa, lcp) if len(sa) else None for sa, lcp in res]
+        else:
+            children = self._split_np(D_sa)
+
+        # lowercase matched text (reveal.c:1230-1234)
+        for pos in mum_positions:
+            t = main.T[pos : pos + mum_l]
+            low = (t >= ord("A")) & (t <= ord("Z"))
+            t[low] += 32
+
+        return self._make_children(
+            children,
+            leading,
+            trailing,
+            matching,
+            rest,
+            newleftnode,
+            newrightnode,
+            skipleft,
+            skipright,
+        )
+
+    def _split_np(self, D_sa):
+        """numpy fallback of the stable 3-way split."""
+        main = self.main
         children = []
         for cls_id in (1, 2, 4):
             sel = D_sa == cls_id
@@ -258,13 +290,21 @@ class ESAIndex:
 
         # reduceat caveat: segments between consecutive starts are
         # [starts[j], starts[j+1]) = [p_{j-1}+1, p_j+1) = [p_{j-1}+1, p_j] ✓
+        return children
 
-        # lowercase matched text (reveal.c:1230-1234)
-        for pos in mum_positions:
-            t = main.T[pos : pos + mum_l]
-            low = (t >= ord("A")) & (t <= ord("Z"))
-            t[low] += 32
-
+    def _make_children(
+        self,
+        children,
+        leading,
+        trailing,
+        matching,
+        rest,
+        newleftnode,
+        newrightnode,
+        skipleft,
+        skipright,
+    ):
+        main = self.main
         newdepth = self.depth + 1
         lead_idx = trail_idx = par_idx = None
         if children[0] is not None:

@@ -64,6 +64,27 @@ def pairwise_mums(
     n = len(SA)
     if n < 2:
         return []
+
+    # native per-segment scan when available
+    try:
+        from ..native import pairwise_mums_native
+
+        res = pairwise_mums_native(T, SA, LCP, nsep0, minl, rc, nT)
+    except Exception:
+        res = None
+    if res is not None:
+        ls, aa, bb = res
+        if rem_format:
+            return [
+                (li, 2, ((0, ai), (1, bi)))
+                for li, ai, bi in zip(ls.tolist(), aa.tolist(), bb.tolist())
+            ]
+        rcint = 1 if rc else 0
+        return [
+            (li, (ai, bi), rcint)
+            for li, ai, bi in zip(ls.tolist(), aa.tolist(), bb.tolist())
+        ]
+
     l = LCP[1:]
     prev_sa = SA[:-1]
     cur_sa = SA[1:]

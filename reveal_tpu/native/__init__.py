@@ -87,6 +87,18 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rtpu_pairwise_mums.restype = ctypes.c_int64
+        lib.rtpu_pairwise_mums.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 3
+        lib.rtpu_split3.restype = None
+        lib.rtpu_split3.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int64
+        ] + [ctypes.c_void_p] * 8
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -118,3 +130,69 @@ def build_esa_native(T: np.ndarray):
         ctypes.c_int64(n),
     )
     return SA, LCP, SAi
+
+
+def pairwise_mums_native(T, SA, LCP, nsep0, minl, rc, nT):
+    """Fast per-segment pairwise MUM scan; returns (l, a, b) int64 arrays
+    or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(SA)
+    out_l = np.empty(n, dtype=np.int64)
+    out_a = np.empty(n, dtype=np.int64)
+    out_b = np.empty(n, dtype=np.int64)
+    cnt = lib.rtpu_pairwise_mums(
+        T.ctypes.data,
+        np.ascontiguousarray(SA, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(LCP, dtype=np.int64).ctypes.data,
+        ctypes.c_int64(n),
+        ctypes.c_int64(nsep0),
+        ctypes.c_int64(minl),
+        ctypes.c_int(1 if rc else 0),
+        ctypes.c_int64(nT),
+        out_l.ctypes.data,
+        out_a.ctypes.data,
+        out_b.ctypes.data,
+    )
+    return out_l[:cnt], out_a[:cnt], out_b[:cnt]
+
+
+def split3_native(SA, LCP, D_sa, SAi):
+    """3-way stable split with running-min LCP; returns
+    ((sa_l, lcp_l), (sa_t, lcp_t), (sa_p, lcp_p)) trimmed to size, or None
+    if the library is unavailable.  Mutates SAi in place."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(SA)
+    SA = np.ascontiguousarray(SA, dtype=np.int64)
+    LCP = np.ascontiguousarray(LCP, dtype=np.int64)
+    D_sa = np.ascontiguousarray(D_sa, dtype=np.uint8)
+    sa_l = np.empty(n, dtype=np.int64)
+    lcp_l = np.empty(n, dtype=np.int64)
+    sa_t = np.empty(n, dtype=np.int64)
+    lcp_t = np.empty(n, dtype=np.int64)
+    sa_p = np.empty(n, dtype=np.int64)
+    lcp_p = np.empty(n, dtype=np.int64)
+    out_n = np.zeros(3, dtype=np.int64)
+    lib.rtpu_split3(
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        D_sa.ctypes.data,
+        ctypes.c_int64(n),
+        SAi.ctypes.data,
+        sa_l.ctypes.data,
+        lcp_l.ctypes.data,
+        sa_t.ctypes.data,
+        lcp_t.ctypes.data,
+        sa_p.ctypes.data,
+        lcp_p.ctypes.data,
+        out_n.ctypes.data,
+    )
+    il, it, ip = (int(x) for x in out_n)
+    return (
+        (sa_l[:il].copy(), lcp_l[:il].copy()),
+        (sa_t[:it].copy(), lcp_t[:it].copy()),
+        (sa_p[:ip].copy(), lcp_p[:ip].copy()),
+    )

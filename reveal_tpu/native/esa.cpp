@@ -196,10 +196,106 @@ void kasai_capped(const uint8_t* T, const Index* SA, Index* SAi, Index* LCP,
 
 }  // namespace
 
+namespace {
+
+// pairwise MUM scan over one segment (reveal.c:119-180 semantics):
+// adjacent SA entries with LCP >= minl, straddling nsep0, left-maximal,
+// unique.  Returns match count; fills (l, a, b) arrays.
+int64_t pairwise_mums(const uint8_t* T, const int64_t* SA,
+                      const int64_t* LCP, int64_t n, int64_t nsep0,
+                      int64_t minl, int rc, int64_t nT, int64_t* out_l,
+                      int64_t* out_a, int64_t* out_b) {
+  int64_t cnt = 0;
+  for (int64_t i = 1; i < n; ++i) {
+    int64_t l = LCP[i];
+    if (l < minl || l <= 0) continue;
+    int64_t prev = SA[i - 1], cur = SA[i];
+    if ((cur > nsep0) == (prev > nsep0)) continue;  // repeat
+    int64_t a = cur < prev ? cur : prev;
+    int64_t b = cur < prev ? prev : cur;
+    if (a > 0 && b > 0) {
+      uint8_t ta = T[a - 1], tb = T[b - 1];
+      if (!(ta != tb || ta == 'N' || ta == '$' ||
+            (ta >= 'a' && ta <= 'z'))) {
+        continue;  // not left-maximal
+      }
+    }
+    int64_t lb = LCP[i - 1];
+    int64_t la = (i == n - 1) ? 0 : LCP[i + 1];
+    if (lb >= l || la >= l) continue;  // not unique
+    if (rc) b = nsep0 + (nT - b - l);
+    out_l[cnt] = l;
+    out_a[cnt] = a;
+    out_b[cnt] = b;
+    ++cnt;
+  }
+  return cnt;
+}
+
+// 3-way stable split with running-min LCP (reveal.c:582-664).  D_sa is the
+// per-SA-slot class (1=leading, 2=trailing, 3=matched, 4=parallel,
+// 0=dropped).  Outputs are preallocated to n; returns counts via out_n.
+void split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
+            int64_t n, int64_t* SAi, int64_t* sa_l, int64_t* lcp_l,
+            int64_t* sa_t, int64_t* lcp_t, int64_t* sa_p, int64_t* lcp_p,
+            int64_t* out_n) {
+  int64_t il = 0, it = 0, ip = 0;
+  int64_t minl = 0, mint = 0, minp = 0;
+  int64_t lastl = -1, lastt = -1, lastp = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t d = D_sa[i];
+    if (d == 1) {
+      sa_l[il] = SA[i];
+      lcp_l[il] = il == 0 ? 0 : minl;
+      SAi[SA[i]] = il;
+      ++il;
+      lastl = i;
+    } else if (d == 2) {
+      sa_t[it] = SA[i];
+      lcp_t[it] = it == 0 ? 0 : mint;
+      SAi[SA[i]] = it;
+      ++it;
+      lastt = i;
+    } else if (d == 4) {
+      sa_p[ip] = SA[i];
+      lcp_p[ip] = ip == 0 ? 0 : minp;
+      SAi[SA[i]] = ip;
+      ++ip;
+      lastp = i;
+    }
+    if (i == n - 1) break;
+    int64_t nxt = LCP[i + 1];
+    minl = (i == lastl) ? nxt : (nxt < minl ? nxt : minl);
+    mint = (i == lastt) ? nxt : (nxt < mint ? nxt : mint);
+    minp = (i == lastp) ? nxt : (nxt < minp ? nxt : minp);
+  }
+  out_n[0] = il;
+  out_n[1] = it;
+  out_n[2] = ip;
+}
+
+}  // namespace
+
 extern "C" {
 
 int rtpu_sais32(const uint8_t* T, int32_t* SA, int32_t n) {
   return build_sa<int32_t>(T, SA, n);
+}
+
+int64_t rtpu_pairwise_mums(const uint8_t* T, const int64_t* SA,
+                           const int64_t* LCP, int64_t n, int64_t nsep0,
+                           int64_t minl, int rc, int64_t nT, int64_t* out_l,
+                           int64_t* out_a, int64_t* out_b) {
+  return pairwise_mums(T, SA, LCP, n, nsep0, minl, rc, nT, out_l, out_a,
+                       out_b);
+}
+
+void rtpu_split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
+                 int64_t n, int64_t* SAi, int64_t* sa_l, int64_t* lcp_l,
+                 int64_t* sa_t, int64_t* lcp_t, int64_t* sa_p,
+                 int64_t* lcp_p, int64_t* out_n) {
+  split3(SA, LCP, D_sa, n, SAi, sa_l, lcp_l, sa_t, lcp_t, sa_p, lcp_p,
+         out_n);
 }
 
 int rtpu_sais64(const uint8_t* T, int64_t* SA, int64_t n) {
