@@ -169,12 +169,14 @@ def split3_native(SA, LCP, D_sa, SAi):
     SA = np.ascontiguousarray(SA, dtype=np.int64)
     LCP = np.ascontiguousarray(LCP, dtype=np.int64)
     D_sa = np.ascontiguousarray(D_sa, dtype=np.uint8)
-    sa_l = np.empty(n, dtype=np.int64)
-    lcp_l = np.empty(n, dtype=np.int64)
-    sa_t = np.empty(n, dtype=np.int64)
-    lcp_t = np.empty(n, dtype=np.int64)
-    sa_p = np.empty(n, dtype=np.int64)
-    lcp_p = np.empty(n, dtype=np.int64)
+    counts = np.bincount(D_sa, minlength=5)
+    nl, nt, npar = int(counts[1]), int(counts[2]), int(counts[4])
+    sa_l = np.empty(nl, dtype=np.int64)
+    lcp_l = np.empty(nl, dtype=np.int64)
+    sa_t = np.empty(nt, dtype=np.int64)
+    lcp_t = np.empty(nt, dtype=np.int64)
+    sa_p = np.empty(npar, dtype=np.int64)
+    lcp_p = np.empty(npar, dtype=np.int64)
     out_n = np.zeros(3, dtype=np.int64)
     lib.rtpu_split3(
         SA.ctypes.data,
@@ -190,9 +192,4 @@ def split3_native(SA, LCP, D_sa, SAi):
         lcp_p.ctypes.data,
         out_n.ctypes.data,
     )
-    il, it, ip = (int(x) for x in out_n)
-    return (
-        (sa_l[:il].copy(), lcp_l[:il].copy()),
-        (sa_t[:it].copy(), lcp_t[:it].copy()),
-        (sa_p[:ip].copy(), lcp_p[:ip].copy()),
-    )
+    return ((sa_l, lcp_l), (sa_t, lcp_t), (sa_p, lcp_p))
