@@ -851,16 +851,6 @@ def align_cmd(args):
             )
 
 
-def _unimplemented(name):
-    def cmd(args):
-        log.fatal(
-            "subcommand %r is not implemented yet in reveal_tpu", name
-        )
-        sys.exit(2)
-
-    return cmd
-
-
 # ---------------------------------------------------------------------------
 
 def main(argv=None):
