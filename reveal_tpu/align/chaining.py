@@ -92,6 +92,50 @@ def chain(
     dims = list(mums[0][2].keys())
     ndim = len(dims)
 
+    # native full-DP fast path (identical semantics; falls back when the
+    # refcoord-keyed dict could alias, i.e. duplicate ref starts)
+    if (
+        gcmodel == "sumofpairs"
+        and float(wscore).is_integer()
+        and len(sp2mum) == len(mums)
+    ):
+        try:
+            from ..native import chain_native
+        except Exception:
+            chain_native = None
+        if chain_native is not None:
+            starts_arr = np.array(
+                [[m[2][c] for c in dims] for m in mums], dtype=np.int64
+            )
+            lens_arr = np.array([m[0] for m in mums], dtype=np.int64)
+            nmul_arr = np.array(
+                [
+                    int(wscore) * (m[0] * ((m[1] * (m[1] - 1)) // 2))
+                    for m in mums
+                ],
+                dtype=np.int64,
+            )
+            left_arr = np.array([left[2][c] for c in dims], dtype=np.int64)
+            res = chain_native(
+                starts_arr, lens_arr, nmul_arr, left_arr, float(wpen)
+            )
+            if res is not None:
+                nlink, nscores = res
+                if not (nlink == -2).any():
+                    for mi, m in enumerate(mums):
+                        rc_ = m[2][ref]
+                        score[rc_] = float(nscores[mi])
+                        link[rc_] = (
+                            start
+                            if nlink[mi] < 0
+                            else mums[int(nlink[mi])][2][ref]
+                        )
+                    path = []
+                    while end != start:
+                        path.append((sp2mum[end], score[end]))
+                        end = link[end]
+                    return path[1:]
+
     # active kept in (score desc, arrival) order.  Arrays are append-only
     # buffers; `order` holds buffer indices in scan order (bisect insert
     # moves list pointers, not array elements).

@@ -99,6 +99,18 @@ def get_lib():
         lib.rtpu_split3.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64
         ] + [ctypes.c_void_p] * 8
+        lib.rtpu_chain.restype = None
+        lib.rtpu_chain.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_double,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -193,3 +205,31 @@ def split3_native(SA, LCP, D_sa, SAi):
         out_n.ctypes.data,
     )
     return ((sa_l, lcp_l), (sa_t, lcp_t), (sa_p, lcp_p))
+
+
+def chain_native(starts, lens, nmul, left_start, wpen):
+    """Full chain DP in C; returns (link, scores) or None if unavailable.
+    starts: (k, d) int64 in the exact scan order; link[m] = predecessor
+    slot (-1 = left)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    nmul = np.ascontiguousarray(nmul, dtype=np.int64)
+    left_start = np.ascontiguousarray(left_start, dtype=np.int64)
+    k, d = starts.shape
+    link = np.empty(k, dtype=np.int64)
+    scores = np.empty(k, dtype=np.float64)
+    lib.rtpu_chain(
+        starts.ctypes.data,
+        lens.ctypes.data,
+        nmul.ctypes.data,
+        ctypes.c_int64(k),
+        ctypes.c_int64(d),
+        left_start.ctypes.data,
+        ctypes.c_double(wpen),
+        link.ctypes.data,
+        scores.ctypes.data,
+    )
+    return link, scores

@@ -276,7 +276,124 @@ void split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
 
 }  // namespace
 
+// sparse chaining DP (schemes.py:20-104 semantics as re-expressed in
+// align/chaining.py): mums pre-sorted by the ref dimension (with the
+// virtual `right` element included), sumofpairs gap cost with lambda=1,
+// eps=0.  Fills link[] (predecessor slot, -1 = left) and scores[].
+namespace {
+
+void chain_dp(const int64_t* starts,  // (k, d) row-major
+              const int64_t* lens,    // (k,)
+              const int64_t* nmul,    // (k,) precomputed wscore*l*C(n,2)
+              int64_t k, int64_t d, const int64_t* left_start,
+              double wpen, int64_t* link, double* scores) {
+  struct Key {
+    double negscore;
+    int64_t counter;
+  };
+  // active order: indices into slots; slot k is "left"
+  std::vector<int64_t> order;     // slot ids in (score desc, arrival)
+  std::vector<Key> keys;          // parallel to order
+  std::vector<double> slot_score(k + 1, 0.0);
+  std::vector<int64_t> slot_end((k + 1) * d);
+  for (int64_t j = 0; j < d; ++j) slot_end[k * d + j] = left_start[j];
+  order.push_back(k);
+  keys.push_back({-0.0, 0});
+  int64_t counter = 1;
+
+  std::vector<char> live(k, 0);
+  std::vector<int64_t> processed;  // slots in arrival order
+  processed.reserve(k);
+
+  std::vector<double> D(d);
+
+  for (int64_t m = 0; m < k; ++m) {
+    const int64_t* ms = starts + m * d;
+    // migrate eligible processed -> active
+    for (size_t pi = 0; pi < processed.size(); ++pi) {
+      int64_t p = processed[pi];
+      if (!live[p]) continue;
+      bool elig = true;
+      for (int64_t j = 0; j < d; ++j) {
+        if (slot_end[p * d + j] > ms[j]) {
+          elig = false;
+          break;
+        }
+      }
+      if (!elig) continue;
+      live[p] = 0;
+      Key key{-slot_score[p], counter++};
+      // upper_bound by (negscore, counter)
+      size_t lo = 0, hi = keys.size();
+      while (lo < hi) {
+        size_t mid = (lo + hi) / 2;
+        if (keys[mid].negscore < key.negscore ||
+            (keys[mid].negscore == key.negscore &&
+             keys[mid].counter < key.counter)) {
+          lo = mid + 1;
+        } else {
+          hi = mid;
+        }
+      }
+      keys.insert(keys.begin() + lo, key);
+      order.insert(order.begin() + lo, p);
+    }
+
+    double mul = (double)nmul[m];
+    double w = 0;
+    bool have_w = false;
+    int64_t best = -2;
+    for (size_t ai = 0; ai < order.size(); ++ai) {
+      int64_t a = order[ai];
+      bool ok = true;
+      for (int64_t j = 0; j < d; ++j) {
+        if (slot_end[a * d + j] > ms[j]) {
+          ok = false;
+          break;
+        }
+      }
+      if (!ok) continue;
+      double s = slot_score[a] + mul;
+      if (have_w && w > s) break;
+      double pen = 0;
+      for (int64_t j = 0; j < d; ++j) {
+        int64_t diff = ms[j] - slot_end[a * d + j];
+        D[j] = diff < 0 ? (double)(-diff) : (double)diff;
+      }
+      for (int64_t i = 0; i < d; ++i) {
+        for (int64_t j = i + 1; j < d; ++j) {
+          double dd = D[i] - D[j];
+          pen += dd < 0 ? -dd : dd;
+        }
+      }
+      double tmpw = s - wpen * pen;
+      if (!have_w || tmpw > w) {
+        w = tmpw;
+        have_w = true;
+        best = a;
+      }
+    }
+    link[m] = best == k ? -1 : best;
+    scores[m] = w;
+    slot_score[m] = w;
+    for (int64_t j = 0; j < d; ++j) {
+      slot_end[m * d + j] = ms[j] + lens[m];
+    }
+    live[m] = 1;
+    processed.push_back(m);
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+void rtpu_chain(const int64_t* starts, const int64_t* lens,
+                const int64_t* nmul, int64_t k, int64_t d,
+                const int64_t* left_start, double wpen, int64_t* link,
+                double* scores) {
+  chain_dp(starts, lens, nmul, k, d, left_start, wpen, link, scores);
+}
 
 int rtpu_sais32(const uint8_t* T, int32_t* SA, int32_t n) {
   return build_sa<int32_t>(T, SA, n);
