@@ -120,7 +120,35 @@ def rem_cmd(args):
         alignednodes,
     )
 
-    out = write_gfa(G, T, outputfile=args.output)
+    if args.gml:
+        import networkx as nx
+
+        H = nx.DiGraph()
+        for n, d in G.nodes.items():
+            H.add_node(
+                str(n),
+                **{
+                    k: str(v) if not isinstance(v, (str, int)) else v
+                    for k, v in d.items()
+                },
+            )
+        for u, v, d in G.edges(data=True):
+            H.add_edge(
+                str(u),
+                str(v),
+                **{
+                    k: str(w) if not isinstance(w, (str, int)) else w
+                    for k, w in d.items()
+                },
+            )
+        out = args.output
+        for ext in (".gfa.gz", ".gfa"):
+            if out.endswith(ext):
+                out = out[: -len(ext)]
+        out += ".gml"
+        nx.write_gml(H, out)
+    else:
+        out = write_gfa(G, T, outputfile=args.output)
     log.info("Graph written to: %s", out)
 
 
@@ -490,6 +518,13 @@ def convert_cmd(args):
             else:
                 log.fatal("Unknown conversion type: %s", args.type)
                 sys.exit(1)
+        elif graph.endswith(".maf"):
+            from .core.maf2graph import maf2graph
+
+            g = maf2graph(graph)
+            base = graph[: graph.rfind(".")]
+            fn = write_gfa(g, None, outputfile=base + ".gfa")
+            log.info("gfa graph written to: %s", fn)
         elif graph.endswith((".fa", ".fasta", ".fna")):
             from .core.io_fasta import fasta_reader
 
@@ -880,6 +915,7 @@ def main(argv=None):
     p.add_argument("--sa", default=None, help="Load precomputed suffix array (int64 raw).")
     p.add_argument("--lcp", default=None, help="Load precomputed LCP array (int64 raw).")
     p.add_argument("--cache", action="store_true", help="Write .reveal.{t,sa,lcp} cache files.")
+    p.add_argument("--gml", action="store_true", help="Write gml instead of gfa.")
     p.set_defaults(func=rem_cmd)
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")
