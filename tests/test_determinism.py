@@ -1,0 +1,80 @@
+"""Determinism and backend-equivalence guarantees."""
+
+import numpy as np
+
+from reveal_tpu.align.rem import align_seqs
+from reveal_tpu.core.io_gfa import seq2node, write_gfa
+
+
+def _graph_sig(G, T):
+    seq2node(G, T)
+    nodes = sorted(
+        (str(n), G.nodes[n]["seq"], tuple(sorted(G.nodes[n]["offsets"].items())))
+        for n in G.nodes
+        if not isinstance(n, str)
+    )
+    edges = sorted(
+        (str(u), str(v), tuple(sorted(d["paths"])))
+        for u, v, d in G.edges(data=True)
+    )
+    return nodes, edges
+
+
+def _pop(seed, n=3, length=4000):
+    rng = np.random.default_rng(seed)
+    base = "".join(rng.choice(list("ACGT"), size=length))
+
+    def mut(seq):
+        s = list(seq)
+        for _ in range(25):
+            i = int(rng.integers(0, len(s)))
+            s[i] = "ACGT"[int(rng.integers(0, 4))]
+        for _ in range(8):
+            i = int(rng.integers(0, len(s)))
+            if rng.random() < 0.5:
+                s.insert(i, "ACGT"[int(rng.integers(0, 4))])
+            else:
+                del s[i]
+        return "".join(s)
+
+    return [("g%d" % i, mut(base)) for i in range(n)]
+
+
+def test_rem_is_deterministic():
+    aobjs = _pop(21)
+    G1, i1 = align_seqs(list(aobjs), minlength=15, backend="np")
+    G2, i2 = align_seqs(list(aobjs), minlength=15, backend="np")
+    assert _graph_sig(G1, i1.main.T) == _graph_sig(G2, i2.main.T)
+
+
+def test_native_and_numpy_engines_agree():
+    """The native C fast paths (ESA, MUM scan, split, chain) must produce
+    the same graph as the pure-numpy engine."""
+    import reveal_tpu.native as nat
+
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    aobjs = _pop(22)
+    G1, i1 = align_seqs(list(aobjs), minlength=15, backend="np")
+
+    # disable every native entry point
+    saved = (
+        nat.pairwise_mums_native,
+        nat.split3_native,
+        nat.chain_native,
+    )
+    nat.pairwise_mums_native = lambda *a, **k: None
+    nat.split3_native = lambda *a, **k: None
+    nat.chain_native = lambda *a, **k: None
+    try:
+        G2, i2 = align_seqs(list(aobjs), minlength=15, backend="np")
+    finally:
+        (
+            nat.pairwise_mums_native,
+            nat.split3_native,
+            nat.chain_native,
+        ) = saved
+    assert _graph_sig(G1, i1.main.T) == _graph_sig(G2, i2.main.T)
