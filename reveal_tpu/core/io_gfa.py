@@ -363,6 +363,11 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
     for line in paths:
         cols = line.rstrip().split("\t")
         sample = cols[1]
+        if sample.startswith("*"):
+            # original-layout paths may traverse inversion edges that the
+            # DiGraph alignment mode drops (utils.py:496-499)
+            log.debug("DiGraph alignment input: excluding path %s", sample)
+            continue
         if sample in G.graph["paths"]:
             raise ValueError("Graph already contains path %r" % sample)
         G.graph["paths"].append(sample)
