@@ -224,6 +224,9 @@ def _write_bed(bedfile, syntenyblocks, edgecosts, ctg2range, refnames, ctgnames)
             if i == 0:
                 pblock = None
             cost = edgecosts[i]
+            # note: '- 2' (not '- 1') reproduces the reference's bound
+            # (transform.py:477), which leaves the second-to-last block's
+            # end unextended
             nblock = (
                 syntenyblocks[i + 1] if i < len(syntenyblocks) - 2 else None
             )
