@@ -109,6 +109,13 @@ def main():
         extra["rem_2a2b_mbp_per_s"] = round(r22, 3)
     except Exception as e:  # pragma: no cover
         extra["rem_2a2b_error"] = str(e)[:200]
+    try:
+        r33, dt33 = bench_rem(
+            "/root/reference/tests/3a.fa", "/root/reference/tests/3b.fa"
+        )
+        extra["rem_3a3b_mbp_per_s"] = round(r33, 3)
+    except Exception as e:  # pragma: no cover
+        extra["rem_3a3b_error"] = str(e)[:200]
 
     dev_cps, e2e_cps = bench_pairhmm()
     cps = dev_cps if dev_cps is not None else e2e_cps
