@@ -283,6 +283,88 @@ def multimems(
 
 
 # ---------------------------------------------------------------------------
+# device (JAX) pairwise MUM mask — the building block of the batched
+# recursion frontier (SURVEY.md §7 step 3): all conditions of
+# reveal.c:119-180 as elementwise/gather math over device arrays
+# ---------------------------------------------------------------------------
+
+_device_cache = {}
+
+
+def _get_mum_mask_fn():
+    fn = _device_cache.get("mask")
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    @jax.jit
+    def mum_mask(T, SA, LCP, nsep0, minl):
+        """Boolean MUM mask over SA slots (slot i pairs SA[i-1], SA[i]) plus
+        (l, a, b) candidate arrays (garbage where mask False)."""
+        n = SA.shape[0]
+        prev = jnp.roll(SA, 1)
+        l = LCP
+        straddle = (SA > nsep0) != (prev > nsep0)
+        a = jnp.minimum(SA, prev)
+        b = jnp.maximum(SA, prev)
+        ta = T[jnp.maximum(a - 1, 0)]
+        tb = T[jnp.maximum(b - 1, 0)]
+        lower = (ta >= ord("a")) & (ta <= ord("z"))
+        leftmax = (
+            (a == 0)
+            | (b == 0)
+            | (ta != tb)
+            | (ta == N_BYTE)
+            | (ta == SENTINEL)
+            | lower
+        )
+        lcp_next = jnp.concatenate([LCP[1:], jnp.zeros(1, LCP.dtype)])
+        lcp_prev = jnp.roll(LCP, 1)
+        unique = (lcp_prev < l) & (lcp_next < l)
+        iar = jnp.arange(n)
+        mask = (
+            (iar >= 1)
+            & (l >= minl)
+            & (l > 0)
+            & straddle
+            & leftmax
+            & unique
+        )
+        return mask, l, a, b
+
+    _device_cache["mask"] = mum_mask
+    return mum_mask
+
+
+def pairwise_mums_device(T_dev, SA_dev, LCP_dev, nsep0, minl):
+    """Device-resident pairwise MUM scan; returns numpy (l, a, b) arrays.
+
+    Demonstrates the frontier formulation: the host recursion can swap its
+    per-segment numpy/C scans for one batched call over a segment-id axis
+    (round-2 work), because every condition is elementwise here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = _get_mum_mask_fn()
+    mask, l, a, b = fn(
+        T_dev, SA_dev, LCP_dev, jnp.int32(nsep0), jnp.int32(minl)
+    )
+    mask = np.asarray(jax.device_get(mask))
+    idx = np.nonzero(mask)[0]
+    l = np.asarray(jax.device_get(l))[idx]
+    a = np.asarray(jax.device_get(a))[idx]
+    b = np.asarray(jax.device_get(b))[idx]
+    return l, a, b
+
+
+# ---------------------------------------------------------------------------
 # direct (slow) port of the reference stack walk — used as a test oracle
 # ---------------------------------------------------------------------------
 

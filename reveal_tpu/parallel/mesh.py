@@ -51,12 +51,26 @@ def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
     posterior_masked = get_masked_kernel()
     axis = mesh.axis_names[0]
 
-    def shard_fn(sa, lcp, x, y, lxs, lys):
+    def shard_fn(T, sa, lcp, x, y, lxs, lys):
         # --- candidate MUM scoring on this SA/LCP shard -------------------
+        # full reveal.c:119-180 conditions; T replicated so maximality
+        # gathers by suffix position work across shards
         prev_sa = jnp.roll(sa, 1)
         straddle = (sa > nsep0) != (prev_sa > nsep0)
+        a = jnp.minimum(sa, prev_sa)
+        b = jnp.maximum(sa, prev_sa)
+        ta = T[jnp.maximum(a - 1, 0)]
+        tb = T[jnp.maximum(b - 1, 0)]
+        leftmax = (
+            (a == 0)
+            | (b == 0)
+            | (ta != tb)
+            | (ta == ord("N"))
+            | (ta == ord("$"))
+            | ((ta >= ord("a")) & (ta <= ord("z")))
+        )
         unique = (lcp > jnp.roll(lcp, 1)) & (lcp > jnp.roll(lcp, -1))
-        valid = straddle & unique & (lcp > 0)
+        valid = straddle & leftmax & unique & (lcp > 0)
         lengths = jnp.where(valid, lcp, 0)
         local_count = jnp.sum(valid.astype(jnp.int32))
         total_count = jax.lax.psum(local_count, axis)
@@ -74,7 +88,15 @@ def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(
+            P(),  # T replicated
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+            P(axis),
+        ),
         out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )

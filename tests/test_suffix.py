@@ -113,3 +113,38 @@ def test_textstore_layout():
     # nsep[0] = final '$' of sample 0 (interface.c:42 stores n-1 when the
     # next sample is added)
     assert list(nsep) == [4, 8]
+
+
+def test_device_mum_mask_matches_host():
+    """Device pairwise-MUM scan (the frontier building block) vs host."""
+    import jax
+
+    import jax.numpy as jnp
+    from reveal_tpu.core.textstore import TextStore
+    from reveal_tpu.index.mums import pairwise_mums, pairwise_mums_device
+
+    rng = np.random.default_rng(4)
+    base = "".join(rng.choice(list("ACGT"), size=800))
+    mut = list(base)
+    for _ in range(12):
+        mut[int(rng.integers(0, len(mut)))] = "ACGT"[int(rng.integers(0, 4))]
+    ts = TextStore()
+    ts.add_sample("a")
+    ts.add_sequence(base)
+    ts.add_sample("b")
+    ts.add_sequence("".join(mut))
+    T, SO, nsep = ts.build()
+    sa = suffix_array_np(T)
+    lcp = lcp_from_sa_np(T, sa)
+
+    host = pairwise_mums(T, sa, lcp, int(nsep[0]), minl=10)
+    l, a, b = pairwise_mums_device(
+        jnp.asarray(T),
+        jnp.asarray(sa.astype(np.int32)),
+        jnp.asarray(lcp.astype(np.int32)),
+        int(nsep[0]),
+        10,
+    )
+    dev = sorted(zip(l.tolist(), a.tolist(), b.tolist()))
+    hst = sorted((m[0], m[2][0][1], m[2][1][1]) for m in host)
+    assert dev == hst
