@@ -1,0 +1,190 @@
+"""Second end-to-end CLI batch: the subcommands not exercised by
+test_cli.py (merge, comp, subgraph, matches, align script emission,
+chain, annotate, rearrangements, convert gml/maf)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from reveal_tpu.cli import main
+from reveal_tpu.core.encoding import rc_str
+from reveal_tpu.core.io_fasta import fasta_writer
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli2")
+    rng = np.random.default_rng(321)
+    base = "".join(rng.choice(list("ACGT"), size=4000))
+
+    def mutate(seq, nsubs, nindel):
+        s = list(seq)
+        for _ in range(nsubs):
+            i = int(rng.integers(0, len(s)))
+            s[i] = "ACGT"[int(rng.integers(0, 4))]
+        for _ in range(nindel):
+            i = int(rng.integers(0, len(s)))
+            if rng.random() < 0.5:
+                s.insert(i, "ACGT"[int(rng.integers(0, 4))])
+            else:
+                del s[i]
+        return "".join(s)
+
+    seqs = {}
+    for name in ("ga", "gb", "gc", "gd"):
+        seqs[name] = mutate(base, 30, 8)
+        fasta_writer(str(d / ("%s.fa" % name)), [(name, seqs[name])])
+    run(["rem", d / "ga.fa", d / "gb.fa", "-o", d / "ab.gfa",
+         "--backend", "np"])
+    run(["rem", d / "gc.fa", d / "gd.fa", "-o", d / "cd.gfa",
+         "--backend", "np"])
+    return d, seqs
+
+
+def run(args):
+    rc = main([str(a) for a in args])
+    assert rc == 0 or rc is None
+
+
+def _extract(path, sample, capsys):
+    run(["extract", path, sample])
+    capt = capsys.readouterr().out
+    return "".join(capt.split("\n")[1:]).strip()
+
+
+def test_merge(data, capsys):
+    d, seqs = data
+    out = str(d / "merged.gfa")
+    # duplicate path names are a hard error in the reference too
+    # (utils.py:503-510), so merge graphs with disjoint sample sets
+    run(["merge", d / "ab.gfa", d / "cd.gfa", "-o", out])
+    assert os.path.exists(out)
+    txt = open(out).read()
+    # all four paths survive the merge with remapped node ids
+    assert sum(l.startswith("P\t") for l in txt.split("\n")) == 4
+    for name in ("ga", "gb", "gc", "gd"):
+        assert _extract(out, name, capsys) == seqs[name]
+
+
+def test_comp_double_is_identity(data, capsys):
+    d, seqs = data
+    rc1 = str(d / "rc1.gfa")
+    rc2 = str(d / "rc2.gfa")
+    run(["comp", d / "ab.gfa", "-o", rc1])
+    run(["comp", rc1, "-o", rc2])
+    orig = _extract(str(d / "ab.gfa"), "ga", capsys)
+    once = _extract(rc1, "ga", capsys)
+    twice = _extract(rc2, "ga", capsys)
+    assert orig == seqs["ga"]
+    assert once == rc_str(seqs["ga"])
+    assert twice == seqs["ga"]
+
+
+def test_subgraph(data):
+    d, seqs = data
+    nodes = []
+    for line in open(str(d / "ab.gfa")):
+        if line.startswith("S"):
+            nodes.append(line.split("\t")[1])
+    assert len(nodes) >= 3
+    out = str(d / "sg.gfa")
+    run(["subgraph", str(d / "ab.gfa")] + nodes[:3] + ["-o", out])
+    assert os.path.exists(out)
+    got = [l.split("\t")[1] for l in open(out) if l.startswith("S")]
+    assert set(got) <= set(nodes[:3]) and got
+
+
+def test_matches(data, capsys):
+    d, seqs = data
+    run(["matches", d / "ga.fa", d / "gb.fa", "-m", "20",
+         "--backend", "np"])
+    capt = capsys.readouterr().out
+    lines = capt.strip().split("\n")
+    assert lines[0].startswith("#length")
+    assert len(lines) > 1
+    la, pa, pb, isrc = (int(x) for x in lines[1].split("\t"))
+    assert la >= 20 and isrc == 0
+    # the reported coordinates really are a shared 20+bp exact match
+    assert seqs["ga"][pa : pa + la] == seqs["gb"][pb : pb + la]
+
+
+def test_matches_rc(data, capsys):
+    d, seqs = data
+    # reverse complement gb so all long matches are rc matches
+    fasta_writer(str(d / "gb_rc.fa"), [("gb_rc", rc_str(seqs["gb"]))])
+    run(["matches", d / "ga.fa", d / "gb_rc.fa", "-m", "100", "--rc",
+         "--backend", "np"])
+    capt = capsys.readouterr().out
+    lines = capt.strip().split("\n")[1:]
+    assert lines and all(l.split("\t")[3] == "1" for l in lines)
+
+
+def test_align_script_sequential(data, capsys):
+    d, seqs = data
+    run(["align", d / "ga.fa", d / "gb.fa", d / "gc.fa",
+         "--order", "sequential", "--chunksize", "2", "-o", "prg"])
+    capt = capsys.readouterr().out
+    assert "rem" in capt and "unzip prg.gfa" in capt
+    assert "refine" in capt and "variants" in capt
+    # hierarchical: 2-chunk level produces a tmp graph + cleanup
+    assert "rm " in capt
+    # every non-comment line is a runnable pipeline command
+    for line in capt.strip().split("\n"):
+        assert line.startswith("#") or line.startswith(
+            ("python -m reveal_tpu.cli", "rm ")
+        ), line
+
+
+def test_align_script_simultaneous(data, capsys):
+    d, seqs = data
+    run(["align", d / "ga.fa", d / "gb.fa", "--order", "simultaneous",
+         "--norefine", "--nounzip", "-o", "out"])
+    capt = capsys.readouterr().out
+    assert "rem %s %s" % (d / "ga.fa", d / "gb.fa") in capt
+    assert "refine" not in capt and "unzip" not in capt
+
+
+def test_chain_roundtrip(data, capsys):
+    d, seqs = data
+    out = str(d / "chained")
+    run(["chain", d / "ga.fa", d / "gb.fa", "-m", "20", "-o", out,
+         "--backend", "np"])
+    assert os.path.exists(out + ".gfa")
+    # chain names paths by filename (kdchain sample = basename, as the
+    # reference does)
+    assert _extract(out + ".gfa", "ga.fa", capsys) == seqs["ga"]
+    assert _extract(out + ".gfa", "gb.fa", capsys) == seqs["gb"]
+
+
+def test_annotate(data, capsys, tmp_path):
+    d, seqs = data
+    run(["variants", d / "ab.gfa", "--vcf"])
+    vcf = capsys.readouterr().out
+    assert vcf.count("\n") > 5
+    vcff = tmp_path / "ab.vcf"
+    vcff.write_text(vcf)
+    run(["annotate", str(vcff)])
+    ann = capsys.readouterr().out
+    assert "##INFO=<ID=reveal_type" in ann
+    recs = [l for l in ann.split("\n") if l and not l.startswith("#")]
+    assert recs and all("reveal_type=" in r for r in recs)
+
+
+def test_rearrangements(data, capsys):
+    d, seqs = data
+    run(["rearrangements", d / "ab.gfa"])
+    capt = capsys.readouterr().out
+    # plain rem graph: header, no structural edges
+    assert capt.startswith("#reference\t")
+
+
+def test_convert_gml_and_maf(data):
+    d, seqs = data
+    run(["convert", d / "ab.gfa", "--type", "gml"])
+    assert os.path.exists(str(d / "ab.gml"))
+    run(["convert", d / "ab.gfa", "--type", "maf"])
+    maf = str(d / "ab.maf")
+    assert os.path.exists(maf)
+    txt = open(maf).read()
+    assert txt.startswith("##maf") and "\ns ga" in txt and "\ns gb" in txt
