@@ -46,6 +46,24 @@ class IntervalIndex:
             raise KeyError(pos)
         return iv
 
+    def lookup_batch(self, positions) -> List[Tuple[int, int]]:
+        """Point lookup for many positions.  (A numpy-snapshot variant was
+        tried and reverted: the index mutates between picker calls, so a
+        per-call snapshot of all intervals costs more than the bisects.)"""
+        sl = self._sl
+        inf = float("inf")
+        bisect = sl.bisect_right
+        out = []
+        for p in positions:
+            i = bisect((p, inf)) - 1
+            if i < 0:
+                raise KeyError(p)
+            iv = sl[i]
+            if not (iv[0] <= p < iv[1]):
+                raise KeyError(p)
+            out.append(iv)
+        return out
+
     def __len__(self):
         return len(self._sl)
 

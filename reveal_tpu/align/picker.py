@@ -85,12 +85,49 @@ class MumPicker:
         return (l, n, qlpoint)
 
     def maptooffsets(self, mums):
+        """Batched variant of per-mum lookup(): one vectorized interval
+        lookup for every occurrence position, with the '*'-path filter
+        hoisted out of the inner loop.  qlpoint insertion order (set
+        iteration) is kept identical to lookup() — chain() dimension order
+        depends on it."""
+        G = self.G
+        id2path = G.graph["id2path"]
+        real = {
+            sid for sid, p in id2path.items() if not p.startswith("*")
+        }
+        positions = []
+        counts = []
+        for mum in mums:
+            spd = mum[2]
+            sp = (
+                list(spd.values())
+                if isinstance(spd, dict)
+                else [p for gid, p in spd]
+            )
+            positions.extend(sp)
+            counts.append(len(sp))
+        nodes = self.t.lookup_batch(positions) if positions else []
+
         mapping = {}
         relmums = []
-        for mum in mums:
-            relmum = self.lookup(mum)
+        j = 0
+        for mum, c in zip(mums, counts):
+            n = 0
+            qlpoint = {}
+            for pos, node in zip(
+                positions[j : j + c], nodes[j : j + c]
+            ):
+                ndata = G.nodes[node]
+                offs = ndata["offsets"]
+                nsamples = {o for o in offs if o in real}
+                n += len(nsamples)
+                rel = pos - node[0]
+                for k in nsamples:
+                    qlpoint[k] = offs[k] + rel
+            j += c
+            relmum = (mum[0], n, qlpoint)
             relmums.append(relmum)
-            mapping[tuple(relmum[2].values())] = mum
+            mapping[tuple(qlpoint.values())] = mum
         return relmums, mapping
 
     # -- the picker --------------------------------------------------------

@@ -390,7 +390,30 @@ def _repair_leading(idx: ESAIndex, matching_intervals):
     """Port of bubble_sort (reveal.c:666-727): for every new matching
     interval, suffixes that start before the match and whose LCP crosses the
     match start are re-inserted at their corrected position with truncated
-    LCP; following entries get their LCP capped."""
+    LCP; following entries get their LCP capped.
+
+    The native C++ path (repair_leading_native) is the plain full scan of
+    the C original; the numpy fallback below prefilters candidate indices
+    first (equivalent: entries past the current scan position never move,
+    and every in-place mutation only lowers LCPs or writes values that
+    cannot enable a new firing at an already-passed index)."""
+    if len(idx.SA) and matching_intervals:
+        try:
+            from ..native import repair_leading_native
+
+            if repair_leading_native(
+                idx.SA,
+                idx.LCP,
+                idx.main.SAi,
+                [b for b, _ in matching_intervals],
+            ):
+                return
+        except Exception:
+            pass
+    _repair_leading_py(idx, matching_intervals)
+
+
+def _repair_leading_py(idx: ESAIndex, matching_intervals):
     SA = idx.SA
     LCP = idx.LCP
     SAi = idx.main.SAi

@@ -87,6 +87,12 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rtpu_repair_leading.restype = None
+        lib.rtpu_repair_leading.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         lib.rtpu_pairwise_mums.restype = ctypes.c_int64
         lib.rtpu_pairwise_mums.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64,
@@ -168,6 +174,33 @@ def pairwise_mums_native(T, SA, LCP, nsep0, minl, rc, nT):
         out_b.ctypes.data,
     )
     return out_l[:cnt], out_a[:cnt], out_b[:cnt]
+
+
+def repair_leading_native(SA, LCP, SAi, begins) -> bool:
+    """In-place boundary repair (bubble_sort semantics) on the child's
+    SA/LCP and the global SAi.  Returns False (caller should use the
+    Python path) when the library is unavailable or the arrays are not
+    mutable contiguous int64 buffers."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    for a in (SA, LCP, SAi):
+        if (
+            a.dtype != np.int64
+            or not a.flags["C_CONTIGUOUS"]
+            or not a.flags["WRITEABLE"]
+        ):
+            return False
+    b = np.ascontiguousarray(begins, dtype=np.int64)
+    lib.rtpu_repair_leading(
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        SAi.ctypes.data,
+        ctypes.c_int64(len(SA)),
+        b.ctypes.data,
+        ctypes.c_int64(len(b)),
+    )
+    return True
 
 
 def split3_native(SA, LCP, D_sa, SAi):

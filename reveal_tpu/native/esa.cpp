@@ -274,6 +274,41 @@ void split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
   out_n[2] = ip;
 }
 
+// boundary repair after a split (bubble_sort, reveal.c:666-727 semantics):
+// for every new matching-interval start `begin` (ascending), suffixes that
+// start before the match and whose LCP crosses it are re-inserted at their
+// corrected position with truncated LCP; following entries get their LCP
+// capped.  Mutates SA/LCP (the child's arrays) and SAi (the global
+// inverse) in place.
+void repair_leading(int64_t* SA, int64_t* LCP, int64_t* SAi, int64_t n,
+                    const int64_t* begins, int64_t nb) {
+  if (n == 0) return;
+  for (int64_t bi = 0; bi < nb; ++bi) {
+    const int64_t begin = begins[bi];
+    for (int64_t i = 0; i < n; ++i) {
+      if (SA[i] < begin && SA[i] + LCP[i] > begin) {
+        const int64_t tmp_sa = SA[i];
+        const int64_t tmp_lcp = LCP[i];
+        const int64_t thr = begin - tmp_sa;
+        int64_t x = i;
+        while (x > 0 && LCP[x] >= thr) --x;
+        if (x < i) {
+          std::memmove(SA + x + 1, SA + x, (i - x) * sizeof(int64_t));
+          std::memmove(LCP + x + 1, LCP + x, (i - x) * sizeof(int64_t));
+          for (int64_t j = x + 1; j <= i; ++j) SAi[SA[j]] = j;
+        }
+        SA[x] = tmp_sa;
+        SAi[tmp_sa] = x;
+        LCP[x + 1] = thr;
+        if (i < n - 1 && tmp_lcp < LCP[i + 1]) LCP[i + 1] = tmp_lcp;
+      } else if (i < n - 1 && SA[i] < begin && SA[i] + LCP[i + 1] > begin &&
+                 LCP[i + 1] > LCP[i]) {
+        LCP[i + 1] = begin - SA[i];
+      }
+    }
+  }
+}
+
 }  // namespace
 
 // sparse chaining DP (schemes.py:20-104 semantics as re-expressed in
@@ -417,6 +452,11 @@ void rtpu_split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
 
 int rtpu_sais64(const uint8_t* T, int64_t* SA, int64_t n) {
   return build_sa<int64_t>(T, SA, n);
+}
+
+void rtpu_repair_leading(int64_t* SA, int64_t* LCP, int64_t* SAi, int64_t n,
+                         const int64_t* begins, int64_t nb) {
+  repair_leading(SA, LCP, SAi, n, begins, nb);
 }
 
 void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,

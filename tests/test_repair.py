@@ -1,0 +1,93 @@
+"""Differential tests: native C++ boundary repair (bubble_sort port) vs
+the numpy/Python implementation, plus an end-to-end rem equivalence."""
+
+import numpy as np
+import pytest
+
+from reveal_tpu.core.textstore import TextStore
+from reveal_tpu.index.suffix import lcp_from_sa_np, suffix_array_np
+
+
+class _FakeMain:
+    def __init__(self, SAi):
+        self.SAi = SAi
+
+
+class _FakeIdx:
+    def __init__(self, SA, LCP, SAi):
+        self.SA = SA
+        self.LCP = LCP
+        self.main = _FakeMain(SAi)
+
+
+def _random_state(seed, m=400):
+    rng = np.random.default_rng(seed)
+    base = "".join(rng.choice(list("ACGT"), size=m))
+    mut = list(base)
+    for _ in range(m // 40):
+        mut[int(rng.integers(0, len(mut)))] = "ACGT"[int(rng.integers(0, 4))]
+    ts = TextStore()
+    ts.add_sample("a")
+    ts.add_sequence(base)
+    ts.add_sample("b")
+    ts.add_sequence("".join(mut))
+    T, SO, nsep = ts.build()
+    SA = suffix_array_np(T).astype(np.int64)
+    LCP = lcp_from_sa_np(T, SA).astype(np.int64)
+    SAi = np.empty(len(SA), dtype=np.int64)
+    SAi[SA] = np.arange(len(SA))
+    return T, SA, LCP, SAi, rng
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_native_repair_matches_python(seed):
+    from reveal_tpu.index.esa_index import _repair_leading_py
+    from reveal_tpu.native import repair_leading_native
+
+    T, SA, LCP, SAi, rng = _random_state(seed)
+    n = len(SA)
+    begins = sorted(int(x) for x in rng.integers(1, n - 1, size=3))
+    intervals = [(b, b + 20) for b in begins]
+
+    sa_p, lcp_p, sai_p = SA.copy(), LCP.copy(), SAi.copy()
+    _repair_leading_py(_FakeIdx(sa_p, lcp_p, sai_p), intervals)
+
+    sa_n, lcp_n, sai_n = SA.copy(), LCP.copy(), SAi.copy()
+    ok = repair_leading_native(sa_n, lcp_n, sai_n, begins)
+    assert ok, "native library unavailable"
+
+    assert np.array_equal(sa_p, sa_n)
+    assert np.array_equal(lcp_p, lcp_n)
+    assert np.array_equal(sai_p, sai_n)
+
+
+def test_rem_same_graph_with_and_without_native_repair(
+    tmp_path, monkeypatch
+):
+    import reveal_tpu.native as native
+    from reveal_tpu.core.io_fasta import fasta_writer
+    from reveal_tpu.cli import main
+
+    rng = np.random.default_rng(42)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    mut = list(base)
+    for _ in range(40):
+        i = int(rng.integers(0, len(mut)))
+        if rng.random() < 0.5:
+            mut[i] = "ACGT"[int(rng.integers(0, 4))]
+        else:
+            del mut[i]
+    fasta_writer(str(tmp_path / "a.fa"), [("a", base)])
+    fasta_writer(str(tmp_path / "b.fa"), [("b", "".join(mut))])
+
+    out1 = str(tmp_path / "native.gfa")
+    main(["rem", str(tmp_path / "a.fa"), str(tmp_path / "b.fa"), "-o",
+          out1, "--backend", "np"])
+
+    monkeypatch.setattr(
+        native, "repair_leading_native", lambda *a, **k: False
+    )
+    out2 = str(tmp_path / "python.gfa")
+    main(["rem", str(tmp_path / "a.fa"), str(tmp_path / "b.fa"), "-o",
+          out2, "--backend", "np"])
+    assert open(out1).read() == open(out2).read()
