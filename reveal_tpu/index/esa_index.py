@@ -214,28 +214,35 @@ class ESAIndex:
         """
         main = self.main
         n = self.n
-        # segment-local D, indexed by position in this segment's SA (the C
-        # writes D[SAi[j]]; SAi maps text positions of this segment's nodes
-        # to their slot in this segment's SA)
-        D_sa = np.zeros(n, dtype=np.uint8)
-        for begin, end in leading:
-            D_sa[main.SAi[begin:end]] = 1
-        for begin, end in trailing:
-            D_sa[main.SAi[begin:end]] = 2
-        for begin, end in rest:
-            D_sa[main.SAi[begin:end]] = 4
-        for pos in mum_positions:
-            D_sa[main.SAi[pos : pos + mum_l]] = 3
-
+        # classification is segment-local: the C engine writes D[SAi[j]]
+        # (SAi maps text positions of this segment's nodes to their slot in
+        # this segment's SA); class order matters — matched (3) overwrites
+        # last
+        res = None
         try:
-            from ..native import split3_native
+            from ..native import split3_full_native
 
-            res = split3_native(self.SA, self.LCP, D_sa, main.SAi)
+            iv = (
+                [(b, e, 1) for b, e in leading]
+                + [(b, e, 2) for b, e in trailing]
+                + [(b, e, 4) for b, e in rest]
+                + [(p, p + mum_l, 3) for p in mum_positions]
+            )
+            res = split3_full_native(self.SA, self.LCP, main.SAi, iv)
         except Exception:
             res = None
         if res is not None:
             children = [(sa, lcp) if len(sa) else None for sa, lcp in res]
         else:
+            D_sa = np.zeros(n, dtype=np.uint8)
+            for begin, end in leading:
+                D_sa[main.SAi[begin:end]] = 1
+            for begin, end in trailing:
+                D_sa[main.SAi[begin:end]] = 2
+            for begin, end in rest:
+                D_sa[main.SAi[begin:end]] = 4
+            for pos in mum_positions:
+                D_sa[main.SAi[pos : pos + mum_l]] = 3
             children = self._split_np(D_sa)
 
         # lowercase matched text (reveal.c:1230-1234)

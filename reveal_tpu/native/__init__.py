@@ -93,6 +93,13 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rtpu_split3_full.restype = None
+        lib.rtpu_split3_full.argtypes = [ctypes.c_void_p] * 2 + [
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 3
         lib.rtpu_pairwise_mums.restype = ctypes.c_int64
         lib.rtpu_pairwise_mums.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64,
@@ -201,6 +208,44 @@ def repair_leading_native(SA, LCP, SAi, begins) -> bool:
         ctypes.c_int64(len(b)),
     )
     return True
+
+
+def split3_full_native(SA, LCP, SAi, intervals):
+    """Classify + 3-way split in one native call.  intervals: iterable of
+    (begin, end, cls) with cls in {1: leading, 2: trailing, 4: rest,
+    3: matched}, applied in order (later classes overwrite).  Returns
+    ((sa_l, lcp_l), (sa_t, lcp_t), (sa_p, lcp_p)) — views into a shared
+    buffer — or None if the library is unavailable.  Mutates SAi."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(SA)
+    SA = np.ascontiguousarray(SA, dtype=np.int64)
+    LCP = np.ascontiguousarray(LCP, dtype=np.int64)
+    if SAi.dtype != np.int64 or not SAi.flags["C_CONTIGUOUS"]:
+        return None
+    iv = np.array(intervals, dtype=np.int64).reshape(-1, 3)
+    iv = np.ascontiguousarray(iv)
+    sa_buf = np.empty(n, dtype=np.int64)
+    lcp_buf = np.empty(n, dtype=np.int64)
+    out_n = np.zeros(3, dtype=np.int64)
+    lib.rtpu_split3_full(
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        ctypes.c_int64(n),
+        SAi.ctypes.data,
+        iv.ctypes.data,
+        ctypes.c_int64(len(iv)),
+        sa_buf.ctypes.data,
+        lcp_buf.ctypes.data,
+        out_n.ctypes.data,
+    )
+    nl, nt, npar = int(out_n[0]), int(out_n[1]), int(out_n[2])
+    return (
+        (sa_buf[:nl], lcp_buf[:nl]),
+        (sa_buf[nl : nl + nt], lcp_buf[nl : nl + nt]),
+        (sa_buf[nl + nt : nl + nt + npar], lcp_buf[nl + nt : nl + nt + npar]),
+    )
 
 
 def split3_native(SA, LCP, D_sa, SAi):

@@ -274,6 +274,38 @@ void split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
   out_n[2] = ip;
 }
 
+// full split step (aligner() post-callback work, reveal.c:1005-1324):
+// classify this segment's SA slots from the node/match intervals (via the
+// segment-local inverse SAi), then stable 3-way split with running-min
+// LCP, children written contiguously into sa_buf/lcp_buf as
+// [leading | trailing | parallel].  Interval classes overwrite in input
+// order (callers pass leading, trailing, rest, then matched=3 last, like
+// the numpy D_sa construction).  SAi is rewritten for child slots.
+void split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
+                 int64_t* SAi, const int64_t* iv, int64_t niv,
+                 int64_t* sa_buf, int64_t* lcp_buf, int64_t* out_n) {
+  std::vector<uint8_t> D(n, 0);
+  for (int64_t k = 0; k < niv; ++k) {
+    const int64_t begin = iv[k * 3];
+    const int64_t end = iv[k * 3 + 1];
+    const uint8_t cls = (uint8_t)iv[k * 3 + 2];
+    for (int64_t p = begin; p < end; ++p) D[SAi[p]] = cls;
+  }
+  int64_t c1 = 0, c2 = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (D[i] == 1) ++c1;
+    else if (D[i] == 2) ++c2;
+  }
+  int64_t* sa_l = sa_buf;
+  int64_t* lcp_l = lcp_buf;
+  int64_t* sa_t = sa_buf + c1;
+  int64_t* lcp_t = lcp_buf + c1;
+  int64_t* sa_p = sa_buf + c1 + c2;
+  int64_t* lcp_p = lcp_buf + c1 + c2;
+  split3(SA, LCP, D.data(), n, SAi, sa_l, lcp_l, sa_t, lcp_t, sa_p, lcp_p,
+         out_n);
+}
+
 // boundary repair after a split (bubble_sort, reveal.c:666-727 semantics):
 // for every new matching-interval start `begin` (ascending), suffixes that
 // start before the match and whose LCP crosses it are re-inserted at their
@@ -457,6 +489,12 @@ int rtpu_sais64(const uint8_t* T, int64_t* SA, int64_t n) {
 void rtpu_repair_leading(int64_t* SA, int64_t* LCP, int64_t* SAi, int64_t n,
                          const int64_t* begins, int64_t nb) {
   repair_leading(SA, LCP, SAi, n, begins, nb);
+}
+
+void rtpu_split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
+                      int64_t* SAi, const int64_t* iv, int64_t niv,
+                      int64_t* sa_buf, int64_t* lcp_buf, int64_t* out_n) {
+  split3_full(SA, LCP, n, SAi, iv, niv, sa_buf, lcp_buf, out_n);
 }
 
 void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,
