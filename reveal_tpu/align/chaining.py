@@ -81,6 +81,11 @@ def chain(
     mums.append(right)
     mums.sort(key=lambda m: m[2][ref])
 
+    # NOTE: score/link/sp2mum key on the ref-dim start, exactly like the
+    # reference (schemes.py:32-36, 89-94) — duplicate ref starts alias in
+    # both implementations.  The default pipeline never produces them
+    # (trim_overlap leaves distinct starts per dimension); the native fast
+    # path below additionally refuses to run on them.
     sp2mum = {m[2][ref]: m for m in mums}
 
     start = left[2][ref]
