@@ -401,6 +401,45 @@ def _bucket(n: int) -> int:
     return b
 
 
+# --- device->host posterior transfer ---------------------------------------
+# A posterior row sums to <= 1, so at most 100 entries can clear the MSA's
+# POSTERIOR_CUTOFF=0.01 (SparseMatrix.h:14,67); per-row top-K with K=128 is
+# therefore an EXACT transfer of every cell the sparse consumers can see,
+# while sub-cutoff mass is zeroed (the reference's SparseMatrix drops it at
+# construction too).  Wide matrices shrink ~L2/(2K)x on the wire, which
+# dominates end-to-end refine time on bandwidth-constrained device links.
+SPARSE_TRANSFER_MIN_WIDTH = 513  # activate when posterior width >= this
+SPARSE_TRANSFER_K = 128
+
+_topk_fn = None
+
+
+def fetch_posteriors(p, tot):
+    """Transfer a batched posterior (B, L1p, L2p) + totals to host numpy.
+    Dense below SPARSE_TRANSFER_MIN_WIDTH; per-row top-K re-scattered on
+    the host above it (shape-based decision, so behavior is identical on
+    every backend)."""
+    import jax
+
+    global _topk_fn
+    W = p.shape[-1]
+    tot = np.asarray(jax.device_get(tot))
+    if W < SPARSE_TRANSFER_MIN_WIDTH:
+        return np.asarray(jax.device_get(p)), tot
+    if _topk_fn is None:
+        import functools
+
+        _topk_fn = jax.jit(
+            functools.partial(jax.lax.top_k, k=SPARSE_TRANSFER_K)
+        )
+    vals, idx = _topk_fn(p)
+    vals = np.asarray(jax.device_get(vals))
+    idx = np.asarray(jax.device_get(idx))
+    dense = np.zeros(p.shape, dtype=vals.dtype)
+    np.put_along_axis(dense, idx.astype(np.int64), vals, axis=-1)
+    return dense, tot
+
+
 def batch_posteriors(pairs, slice_output: bool = True):
     """Batched posteriors for a list of (seq1, seq2) string pairs.
 
@@ -439,8 +478,7 @@ def batch_posteriors(pairs, slice_output: bool = True):
             [len(pairs[i][1]) for i in idxs] + [1] * npad, dtype=np.int32
         )
         p, tot = batched(xb, yb, lx, ly)
-        p = np.asarray(jax.device_get(p))
-        tot = np.asarray(jax.device_get(tot))
+        p, tot = fetch_posteriors(p, tot)
         for bi, i in enumerate(idxs):
             if slice_output:
                 out[i] = (

@@ -472,8 +472,9 @@ def batch_posteriors_pallas(pairs, slice_output: bool = True):
                 [len(pairs[i][1]) for i in idxs] + [1] * npad, dtype=np.int32
             )
             p, tot = posterior_batch(xb, yb, lx, ly)
-            p = np.asarray(jax.device_get(p))
-            tot = np.asarray(jax.device_get(tot))
+            from .pairhmm import fetch_posteriors
+
+            p, tot = fetch_posteriors(p, tot)
             for bi, i in enumerate(idxs):
                 if slice_output:
                     out[i] = (
