@@ -159,7 +159,37 @@ def mergenodes(G: PanGraph, mns: List):
     G.nodes[refnode]["offsets"] = newoffsets
     G.nodes[refnode]["aligned"] = 1
 
+    multi = getattr(G, "multi", False)
     for mn in mns[1:]:
+        if multi:
+            # Multi branch (rem.py:167-186): merge a parallel edge only
+            # when an existing one has the same endpoints AND orientations
+            for u, _, d in list(G.in_edges(mn, data=True)):
+                for _u, _v, _d in list(G.in_edges(refnode, data=True)):
+                    if (
+                        type(_u) == type(u)
+                        and _u == u
+                        and _d["oto"] == d["oto"]
+                        and _d["ofrom"] == d["ofrom"]
+                    ):
+                        _d["paths"] |= d["paths"]
+                        break
+                else:
+                    G.add_edge(u, refnode, **d)
+            for _, v, d in list(G.out_edges(mn, data=True)):
+                for _u, _v, _d in list(G.out_edges(refnode, data=True)):
+                    if (
+                        type(_v) == type(v)
+                        and _v == v
+                        and _d["oto"] == d["oto"]
+                        and _d["ofrom"] == d["ofrom"]
+                    ):
+                        _d["paths"] |= d["paths"]
+                        break
+                else:
+                    G.add_edge(refnode, v, **d)
+            G.remove_node(mn)
+            continue
         for u, _, d in list(G.in_edges(mn, data=True)):
             if G.has_edge(u, refnode):
                 G.edge(u, refnode)["paths"] |= d["paths"]
@@ -179,6 +209,19 @@ def _iter_real(G: PanGraph, node, reverse: bool):
     (rem.py:203-231)."""
     id2path = G.graph["id2path"]
     nbrs = G.pred[node] if reverse else G.succ[node]
+    if getattr(G, "multi", False):
+        # parallel-edge container: key -> data (rem.py:203-231 Multi branch)
+        for nb, kd in nbrs.items():
+            done = False
+            for d in kd.values():
+                for p in d["paths"]:
+                    if not id2path[p].startswith("*"):
+                        yield nb
+                        done = True
+                        break
+                if done:
+                    break
+        return
     for nb, d in nbrs.items():
         for p in d["paths"]:
             if not id2path[p].startswith("*"):

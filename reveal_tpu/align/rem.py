@@ -204,15 +204,23 @@ def align_genomes(
     safile=None,
     lcpfile=None,
     cache: bool = False,
+    multi: bool = False,
     **cfgkw,
 ):
     """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
-    module).  Mirrors rem.align_genomes (rem.py:511-611)."""
+    module).  Mirrors rem.align_genomes (rem.py:511-611).
+
+    multi=True uses the parallel-edge graph (reference always does,
+    rem.py:527): gfa inputs keep inversion ('-') edges and '*' original-
+    layout paths, which then ride through the alignment's graph surgery.
+    For fasta-only inputs both modes are semantically identical, so the
+    default stays the deterministic DiGraph."""
     from ..core.io_gfa import read_gfa_into
+    from ..graph.pangraph import MultiPanGraph
 
     ts = TextStore()
     t = IntervalIndex()
-    G = PanGraph()
+    G = MultiPanGraph() if multi else PanGraph()
     root_nodes = set()
 
     for i, sample in enumerate(inputfiles):

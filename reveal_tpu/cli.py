@@ -62,6 +62,7 @@ def rem_cmd(args):
         safile=args.sa,
         lcpfile=args.lcp,
         cache=args.cache,
+        multi=args.multi,
         minlength=args.minlength,
         minn=args.minn,
         maxmums=args.maxmums,
@@ -916,6 +917,10 @@ def main(argv=None):
     p.add_argument("--lcp", default=None, help="Load precomputed LCP array (int64 raw).")
     p.add_argument("--cache", action="store_true", help="Write .reveal.{t,sa,lcp} cache files.")
     p.add_argument("--gml", action="store_true", help="Write gml instead of gfa.")
+    p.add_argument("--multi", action="store_true",
+                   help="Parallel-edge graph mode: keep inversion edges and "
+                        "'*' original-layout paths of gfa inputs through "
+                        "the alignment (the reference's MultiDiGraph mode).")
     p.set_defaults(func=rem_cmd)
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")

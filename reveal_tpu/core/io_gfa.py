@@ -56,7 +56,13 @@ def write_gfa(
     f = _open(outputfile, "wt")
     f.write("H\tVN:Z:1.0\tCL:Z:%s\n" % argv_comment)
 
-    order = [n for n in G.topological_sort() if not isinstance(n, str)]
+    if getattr(G, "multi", False):
+        # multi graphs can carry inversion cycles; the reference writes
+        # them in plain node order (utils.py:731-733) — insertion order
+        # here, which is deterministic
+        order = [n for n in G.nodes if not isinstance(n, str)]
+    else:
+        order = [n for n in G.topological_sort() if not isinstance(n, str)]
     if remap:
         mapping = {node: i + 1 for i, node in enumerate(order)}
     else:
@@ -174,10 +180,12 @@ def read_gfa(
             elif line.startswith("P"):
                 paths.append(line)
 
+    multi = getattr(G, "multi", False)
     for line in edges:
         e = line.strip().split("\t")
-        if e[2] != "+" or e[4] != "+":
-            # DiGraph flavor drops inversion edges (utils.py:460-461)
+        if not multi and (e[2] != "+" or e[4] != "+"):
+            # DiGraph flavor drops inversion edges (utils.py:460-461); the
+            # MultiPanGraph flavor keeps them (utils.py:455-471)
             continue
         tags = {"ofrom": e[2], "oto": e[4]}
         if len(e) > 5:
@@ -196,7 +204,7 @@ def read_gfa(
     for line in paths:
         cols = line.rstrip().split("\t")
         sample = cols[1]
-        if sample.startswith("*"):
+        if sample.startswith("*") and not multi:
             # DiGraph flavor excludes original-layout paths, which may
             # traverse inversion edges (utils.py:496-499)
             log.debug("DiGraph input: excluding path %s", sample)
@@ -213,6 +221,7 @@ def read_gfa(
         if len(cols) >= 3 and cols[2]:
             path = [(nid[:-1], nid[-1:]) for nid in cols[2].split(",")]
             pnode = None
+            porient = None
             for pi, (nid, orientation) in enumerate(path):
                 node = nmapping[int(nid)]
                 G.nodes[node]["offsets"][sid] = o
@@ -223,8 +232,27 @@ def read_gfa(
                             "Path %r has %s -> %s but no such edge"
                             % (sample, pnode, node)
                         )
-                    G.edge(pnode, node)["paths"].add(sid)
+                    if multi:
+                        # match the parallel edge by step orientations
+                        # (utils.py:549-557)
+                        for k in G.edge_keys(pnode, node):
+                            d = G.edge(pnode, node, k)
+                            if (
+                                d["oto"] == orientation
+                                and d["ofrom"] == porient
+                            ):
+                                d["paths"].add(sid)
+                                break
+                        else:
+                            raise ValueError(
+                                "Edge missing for path %r between %s (%s) "
+                                "and %s (%s)"
+                                % (sample, pnode, porient, node, orientation)
+                            )
+                    else:
+                        G.edge(pnode, node)["paths"].add(sid)
                 pnode = node
+                porient = orientation
 
         start = uuid.uuid4().hex
         G.add_node(start, offsets={sid: 0}, endpoint=True)
@@ -277,7 +305,10 @@ def read_gfa(
                 for k, v in G.nodes[node]["offsets"].items():
                     G.nodes[endnode]["offsets"][k] = v
                 for pnode, _, d in list(G.in_edges(node, data=True)):
-                    if not G.has_edge(pnode, endnode):
+                    if multi or not G.has_edge(pnode, endnode):
+                        # multi: per-path markers carry exactly one edge,
+                        # and the reference re-adds it as a parallel edge
+                        # (utils.py:628-629)
                         G.add_edge(
                             pnode,
                             endnode,
@@ -298,7 +329,7 @@ def read_gfa(
                 for nnode, _, d in [
                     (v, u, d) for u, v, d in list(G.out_edges(node, data=True))
                 ]:
-                    if not G.has_edge(startnode, nnode):
+                    if multi or not G.has_edge(startnode, nnode):
                         G.add_edge(
                             startnode,
                             nnode,
@@ -344,9 +375,10 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
             elif line.startswith("P"):
                 paths.append(line)
 
+    multi = getattr(G, "multi", False)
     for line in edges:
         e = line.strip().split("\t")
-        if e[2] != "+" or e[4] != "+":
+        if not multi and (e[2] != "+" or e[4] != "+"):
             continue  # DiGraph flavor drops inversion edges
         tags = {"ofrom": e[2], "oto": e[4]}
         if len(e) > 5:
@@ -363,7 +395,7 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
     for line in paths:
         cols = line.rstrip().split("\t")
         sample = cols[1]
-        if sample.startswith("*"):
+        if sample.startswith("*") and not multi:
             # original-layout paths may traverse inversion edges that the
             # DiGraph alignment mode drops (utils.py:496-499)
             log.debug("DiGraph alignment input: excluding path %s", sample)
@@ -380,6 +412,7 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
         if len(cols) >= 3 and cols[2]:
             path = [(nid[:-1], nid[-1:]) for nid in cols[2].split(",")]
             pnode = None
+            porient = None
             for pi, (nid, orientation) in enumerate(path):
                 node = nmapping[int(nid)]
                 G.nodes[node]["offsets"][sid] = o
@@ -390,8 +423,25 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
                             "Path %r has %s -> %s but no such edge"
                             % (sample, pnode, node)
                         )
-                    G.edge(pnode, node)["paths"].add(sid)
+                    if multi:
+                        for k in G.edge_keys(pnode, node):
+                            d = G.edge(pnode, node, k)
+                            if (
+                                d["oto"] == orientation
+                                and d["ofrom"] == porient
+                            ):
+                                d["paths"].add(sid)
+                                break
+                        else:
+                            raise ValueError(
+                                "Edge missing for path %r between %s (%s) "
+                                "and %s (%s)"
+                                % (sample, pnode, porient, node, orientation)
+                            )
+                    else:
+                        G.edge(pnode, node)["paths"].add(sid)
                 pnode = node
+                porient = orientation
 
         start = uuid.uuid4().hex
         G.add_node(start, offsets={sid: 0}, endpoint=True)
@@ -445,7 +495,7 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
                 for k, v in G.nodes[node]["offsets"].items():
                     G.nodes[endnode]["offsets"][k] = v
                 for pnode, _, d in list(G.in_edges(node, data=True)):
-                    if not G.has_edge(pnode, endnode):
+                    if multi or not G.has_edge(pnode, endnode):
                         G.add_edge(
                             pnode,
                             endnode,
@@ -463,7 +513,7 @@ def read_gfa_into(gfafile, ts, t, G, root_nodes):
                 for k, v in G.nodes[node]["offsets"].items():
                     G.nodes[startnode]["offsets"][k] = v
                 for _, nnode, d in list(G.out_edges(node, data=True)):
-                    if not G.has_edge(startnode, nnode):
+                    if multi or not G.has_edge(startnode, nnode):
                         G.add_edge(
                             startnode,
                             nnode,

@@ -25,6 +25,8 @@ from typing import Dict, Hashable, Iterator, List, Optional, Tuple
 
 
 class PanGraph:
+    multi = False
+
     def __init__(self):
         self.nodes: Dict[Hashable, dict] = {}
         self.succ: Dict[Hashable, Dict[Hashable, dict]] = {}
@@ -178,7 +180,7 @@ class PanGraph:
         return H
 
     def copy(self) -> "PanGraph":
-        H = PanGraph()
+        H = type(self)()
         H.graph = {
             k: (v.copy() if isinstance(v, (dict, list)) else v)
             for k, v in self.graph.items()
@@ -200,4 +202,110 @@ class PanGraph:
                     for k, v2 in d.items()
                 },
             )
+        return H
+
+
+class MultiPanGraph(PanGraph):
+    """Parallel-edge variant mirroring networkx.MultiDiGraph semantics as
+    the reference uses them (utils.py:377-659, rem.py:131-231): a graph
+    loaded with inversion ('-') edges and '*'-prefixed original-layout
+    paths.  ``succ[u][v]`` maps an integer edge key to the edge data;
+    ``add_edge`` always creates a new parallel edge.  The edge iterators
+    keep the (u, v, d) triple shape by default so DiGraph-style consumer
+    code works unchanged; pass ``keys=True`` for (u, v, k, d)."""
+
+    multi = True
+
+    def add_edge(self, u, v, key=None, **attrs):
+        if u not in self.nodes:
+            self.add_node(u)
+        if v not in self.nodes:
+            self.add_node(v)
+        kd = self.succ[u].get(v)
+        if kd is None:
+            kd = {}
+            self.succ[u][v] = kd
+            self.pred[v][u] = kd
+        if key is None:
+            key = max(kd) + 1 if kd else 0
+        kd[key] = dict(attrs)
+        return key
+
+    def remove_edge(self, u, v, key=None):
+        if key is None:
+            del self.succ[u][v]
+            del self.pred[v][u]
+        else:
+            kd = self.succ[u][v]
+            del kd[key]
+            if not kd:
+                del self.succ[u][v]
+                del self.pred[v][u]
+
+    def edge(self, u, v, key=None) -> dict:
+        kd = self.succ[u][v]
+        if key is None:
+            if len(kd) != 1:
+                raise ValueError(
+                    "ambiguous parallel edge %s->%s; pass key" % (u, v)
+                )
+            return next(iter(kd.values()))
+        return kd[key]
+
+    def edge_keys(self, u, v):
+        return list(self.succ[u][v])
+
+    def edges(self, data: bool = False, keys: bool = False):
+        for u, tos in self.succ.items():
+            for v, kd in tos.items():
+                for k, d in kd.items():
+                    if keys and data:
+                        yield (u, v, k, d)
+                    elif keys:
+                        yield (u, v, k)
+                    elif data:
+                        yield (u, v, d)
+                    else:
+                        yield (u, v)
+
+    def in_edges(self, v, data: bool = False, keys: bool = False):
+        for u, kd in self.pred[v].items():
+            for k, d in kd.items():
+                if keys and data:
+                    yield (u, v, k, d)
+                elif keys:
+                    yield (u, v, k)
+                elif data:
+                    yield (u, v, d)
+                else:
+                    yield (u, v)
+
+    def out_edges(self, u, data: bool = False, keys: bool = False):
+        for v, kd in self.succ[u].items():
+            for k, d in kd.items():
+                if keys and data:
+                    yield (u, v, k, d)
+                elif keys:
+                    yield (u, v, k)
+                elif data:
+                    yield (u, v, d)
+                else:
+                    yield (u, v)
+
+    def number_of_edges(self) -> int:
+        return sum(len(kd) for t in self.succ.values() for kd in t.values())
+
+    def subgraph(self, keys_) -> "MultiPanGraph":
+        keys_ = set(keys_)
+        H = MultiPanGraph()
+        H.graph = {
+            k: (v.copy() if isinstance(v, (dict, list)) else v)
+            for k, v in self.graph.items()
+        }
+        for n in self.nodes:
+            if n in keys_:
+                H.add_node(n, **{k: v for k, v in self.nodes[n].items()})
+        for u, v, k, d in self.edges(data=True, keys=True):
+            if u in keys_ and v in keys_:
+                H.add_edge(u, v, key=k, **d)
         return H
