@@ -27,6 +27,7 @@ from ..core.io_fasta import fasta_reader
 from ..core.textstore import TextStore
 from ..graph.pangraph import PanGraph
 from ..index.esa_index import ESAIndex
+from ..index.frontier import frontier_mums
 from .graphops import (
     IntervalIndex,
     breaknode,
@@ -128,6 +129,114 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
     return steps
 
 
+def _align_loop_frontier(
+    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
+):
+    """Level-synchronous variant of _align_loop (the BASELINE.json
+    north-star shape): every level's pairwise-MUM enumeration runs as ONE
+    batched device dispatch over all pending segments
+    (index/frontier.py), then picking / graph surgery / splitting
+    proceed on the host per segment in deterministic level order.
+
+    Per-segment decisions are independent (each segment owns disjoint
+    text and graph regions), so the result is semantically identical to
+    the LIFO loop; only GFA node numbering may differ.  Segments with
+    precomputed skipmums or >2 samples fall back to host enumeration
+    inside the same level."""
+    import jax.numpy as jnp
+
+    picker = MumPicker(G, t, cfg)
+    nsep0 = int(root.main.nsep[0])
+    level = [root]
+    steps = 0
+    dispatches = 0
+    while level:
+        # refresh the device text every level: graphalign lowercases
+        # matched regions, and the left-maximality test reads them
+        T_dev = jnp.asarray(root.main.T)
+        enum_idx = [
+            i
+            for i, seg in enumerate(level)
+            if len(seg.skipmums) == 0
+            and seg.main.nsamples == 2
+            and seg.n >= 2
+        ]
+        batched = (
+            frontier_mums(
+                [(level[i].SA, level[i].LCP) for i in enum_idx],
+                T_dev,
+                nsep0,
+                cfg.minlength,
+            )
+            if enum_idx
+            else []
+        )
+        dispatches += 1
+        mums_for = dict(zip(enum_idx, batched))
+
+        nxt = []
+        for i, idx in enumerate(level):
+            if i in mums_for:
+                precomputed = False
+                mums = mums_for[i]
+            elif len(idx.skipmums) == 0:
+                precomputed = False
+                if idx.main.nsamples > 2:
+                    mums = idx.getmultimums(
+                        minlength=cfg.minlength, minn=cfg.minn
+                    )
+                else:
+                    mums = idx.getmums_rem(cfg.minlength)
+            else:
+                precomputed = True
+                mums = idx.skipmums
+
+            pick = picker(
+                mums, idx, precomputed=precomputed, minlength=cfg.minlength
+            )
+            if not pick:
+                continue
+            splitmum, skipleft, skipright = pick
+            l, n, spd = splitmum
+            result = graphalign(G, t, idx, splitmum)
+            (
+                leading,
+                trailing,
+                matching,
+                rest,
+                merged,
+                newleft,
+                newright,
+            ) = result
+            sp_positions = [p for gid, p in spd]
+            lead_idx, trail_idx, par_idx = idx.split_segments(
+                leading,
+                trailing,
+                matching,
+                rest,
+                sp_positions,
+                l,
+                newleft,
+                newright,
+                skipleft=skipleft,
+                skipright=skipright,
+            )
+            steps += 1
+            if par_idx is not None:
+                nxt.append(par_idx)
+            if lead_idx is not None:
+                nxt.append(lead_idx)
+            if trail_idx is not None:
+                nxt.append(trail_idx)
+        level = nxt
+    log.debug(
+        "frontier alignment: %d anchor steps in %d level dispatches",
+        steps,
+        dispatches,
+    )
+    return steps
+
+
 def align_seqs(
     aobjs: List[Tuple[str, str]],
     minlength: int = 20,
@@ -205,6 +314,7 @@ def align_genomes(
     lcpfile=None,
     cache: bool = False,
     multi: bool = False,
+    frontier: bool = False,
     **cfgkw,
 ):
     """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
@@ -243,7 +353,10 @@ def align_genomes(
     idx.nodes = root_nodes
 
     cfg = PickerConfig(**cfgkw)
-    _align_loop(G, t, idx, cfg)
+    if frontier:
+        _align_loop_frontier(G, t, idx, cfg)
+    else:
+        _align_loop(G, t, idx, cfg)
     return G, idx
 
 

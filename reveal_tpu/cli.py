@@ -63,6 +63,7 @@ def rem_cmd(args):
         lcpfile=args.lcp,
         cache=args.cache,
         multi=args.multi,
+        frontier=args.frontier,
         minlength=args.minlength,
         minn=args.minn,
         maxmums=args.maxmums,
@@ -921,6 +922,10 @@ def main(argv=None):
                    help="Parallel-edge graph mode: keep inversion edges and "
                         "'*' original-layout paths of gfa inputs through "
                         "the alignment (the reference's MultiDiGraph mode).")
+    p.add_argument("--frontier", action="store_true",
+                   help="Level-synchronous recursion: each level's MUM "
+                        "enumeration runs as one batched device dispatch "
+                        "over all pending segments.")
     p.set_defaults(func=rem_cmd)
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")

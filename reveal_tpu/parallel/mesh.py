@@ -34,12 +34,14 @@ def make_mesh(n_devices=None, axis: str = "shard"):
 def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
     """Jitted sharded pipeline step.
 
-    fn(SA, LCP, xb, yb, lx, ly) ->
+    fn(T, SA, LCP, SEG, xb, yb, lx, ly) ->
         (mum_count, cand_lengths, cand_positions, cells, logprob_sum)
 
-    SA/LCP: (n,) int32, sharded over the mesh axis (n divisible by mesh
-    size).  xb/yb: (B, L+1) uint8 pair batch, lx/ly: (B,) int32 — batch
-    axis sharded.
+    SA/LCP/SEG: (n_devices, Lp) int32 packed segment groups
+    (index/frontier.pack_segments with n_groups = mesh size — whole
+    segments per device, so adjacent-pair conditions stay shard-local),
+    group axis sharded.  xb/yb: (B, L+1) uint8 pair batch, lx/ly: (B,)
+    int32 — batch axis sharded.
     """
     import jax
     import jax.numpy as jnp
@@ -51,11 +53,17 @@ def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
     posterior_masked = get_masked_kernel()
     axis = mesh.axis_names[0]
 
-    def shard_fn(T, sa, lcp, x, y, lxs, lys):
-        # --- candidate MUM scoring on this SA/LCP shard -------------------
-        # full reveal.c:119-180 conditions; T replicated so maximality
-        # gathers by suffix position work across shards
+    def shard_fn(T, sa, lcp, seg, x, y, lxs, lys):
+        # --- candidate MUM scoring on this device's segment group ---------
+        # sa/lcp/seg: (1, Lp) packed whole segments (index/frontier.py);
+        # full reveal.c:119-180 conditions with segment-boundary masking;
+        # T replicated so maximality gathers by suffix position work
+        # across shards
+        sa = sa[0]
+        lcp = lcp[0]
+        seg = seg[0]
         prev_sa = jnp.roll(sa, 1)
+        seg_prev = jnp.roll(seg, 1)
         straddle = (sa > nsep0) != (prev_sa > nsep0)
         a = jnp.minimum(sa, prev_sa)
         b = jnp.maximum(sa, prev_sa)
@@ -69,8 +77,18 @@ def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
             | (ta == ord("$"))
             | ((ta >= ord("a")) & (ta <= ord("z")))
         )
-        unique = (lcp > jnp.roll(lcp, 1)) & (lcp > jnp.roll(lcp, -1))
-        valid = straddle & leftmax & unique & (lcp > 0)
+        lcp_next = jnp.concatenate([lcp[1:], jnp.zeros(1, lcp.dtype)])
+        unique = (lcp > jnp.roll(lcp, 1)) & (lcp > lcp_next)
+        iar = jnp.arange(sa.shape[0])
+        valid = (
+            (iar >= 1)
+            & (seg >= 0)
+            & (seg == seg_prev)
+            & straddle
+            & leftmax
+            & unique
+            & (lcp > 0)
+        )
         lengths = jnp.where(valid, lcp, 0)
         local_count = jnp.sum(valid.astype(jnp.int32))
         total_count = jax.lax.psum(local_count, axis)
@@ -90,9 +108,10 @@ def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
         mesh=mesh,
         in_specs=(
             P(),  # T replicated
-            P(axis),
-            P(axis),
-            P(axis),
+            P(axis, None),  # packed SA groups: one group per device
+            P(axis, None),
+            P(axis, None),  # segment ids
+            P(axis),  # pair batch, batch axis sharded
             P(axis),
             P(axis),
             P(axis),
