@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from bisect import bisect_right
 from collections import deque
-from typing import Hashable, List, Set, Tuple
+from typing import List, Set, Tuple
 
 from sortedcontainers import SortedList
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import uuid
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -11,10 +11,10 @@ from __future__ import annotations
 import logging
 import math
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
-from .chaining import chain, gapcost, trim_overlap
+from .chaining import chain, trim_overlap
 from .graphops import IntervalIndex
 from ..graph.pangraph import PanGraph
 

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import gzip
 import logging
-import sys
 import uuid
 from typing import Optional
 

@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import logging
 import shutil
-import sys
-from typing import Optional, TextIO
+from typing import TextIO
 
 log = logging.getLogger(__name__)
 

@@ -21,7 +21,7 @@ reference's reliance on hash-set ordering.
 
 from __future__ import annotations
 
-from typing import Dict, Hashable, Iterator, List, Optional, Tuple
+from typing import Dict, Hashable, Iterator, List
 
 
 class PanGraph:

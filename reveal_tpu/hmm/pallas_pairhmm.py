@@ -22,7 +22,6 @@ float64 oracle) to f32 tolerance.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 

@@ -21,12 +21,11 @@ intervals from a standing index (reveal.c:1386-1505).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..core.encoding import is_lower
 from . import mums as mums_mod
 from .suffix import build_esa
 

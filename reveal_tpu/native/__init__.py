@@ -14,7 +14,6 @@ import hashlib
 import logging
 import os
 import subprocess
-import tempfile
 
 import numpy as np
 

@@ -46,7 +46,7 @@ def build_pipeline_step(mesh, nsep0: int, topk: int = 64):
     import jax
     import jax.numpy as jnp
     from jax import shard_map
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ..hmm.pairhmm import get_masked_kernel
 

@@ -18,8 +18,7 @@ axis, rc in {0, 1}.  Ports of
 from __future__ import annotations
 
 import logging
-import sys
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 log = logging.getLogger(__name__)
 

@@ -26,7 +26,6 @@ from .blocks import (
     chainscore,
     clustermumsbydiagonal,
     extendblocks,
-    gapcost,
     glocalchain,
     merge_consecutive,
     mums_to_blocks,

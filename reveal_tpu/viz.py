@@ -8,7 +8,6 @@ green, contig boundaries as thin lines, N-runs as shaded rectangles.
 from __future__ import annotations
 
 import logging
-import sys
 
 from .core.io_fasta import fasta_reader
 
