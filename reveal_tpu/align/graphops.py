@@ -47,21 +47,31 @@ class IntervalIndex:
         return iv
 
     def lookup_batch(self, positions) -> List[Tuple[int, int]]:
-        """Point lookup for many positions.  (A numpy-snapshot variant was
-        tried and reverted: the index mutates between picker calls, so a
-        per-call snapshot of all intervals costs more than the bisects.)"""
+        """Point lookup for many positions.
+
+        Positions from one picker call cluster into the few intervals of
+        one segment, so we process them in sorted order and reuse the
+        last hit before bisecting again — most lookups become a range
+        check.  (A numpy snapshot of ALL intervals was tried and
+        reverted: the index mutates between picker calls, making the
+        per-call snapshot cost dominate.)"""
         sl = self._sl
         inf = float("inf")
         bisect = sl.bisect_right
-        out = []
-        for p in positions:
-            i = bisect((p, inf)) - 1
-            if i < 0:
-                raise KeyError(p)
-            iv = sl[i]
-            if not (iv[0] <= p < iv[1]):
-                raise KeyError(p)
-            out.append(iv)
+        k = len(positions)
+        order = sorted(range(k), key=positions.__getitem__)
+        out = [None] * k
+        iv = None
+        for oi in order:
+            p = positions[oi]
+            if iv is None or not (iv[0] <= p < iv[1]):
+                i = bisect((p, inf)) - 1
+                if i < 0:
+                    raise KeyError(p)
+                iv = sl[i]
+                if not (iv[0] <= p < iv[1]):
+                    raise KeyError(p)
+            out[oi] = iv
         return out
 
     def __len__(self):

@@ -108,6 +108,19 @@ class MumPicker:
             counts.append(len(sp))
         nodes = self.t.lookup_batch(positions) if positions else []
 
+        # memoize per node within this call: mums of one segment hit the
+        # same few nodes over and over
+        node_cache = {}
+
+        def node_info(node):
+            info = node_cache.get(node)
+            if info is None:
+                offs = G.nodes[node]["offsets"]
+                nsamples = {o for o in offs if o in real}
+                info = (offs, tuple(nsamples))
+                node_cache[node] = info
+            return info
+
         mapping = {}
         relmums = []
         j = 0
@@ -117,9 +130,7 @@ class MumPicker:
             for pos, node in zip(
                 positions[j : j + c], nodes[j : j + c]
             ):
-                ndata = G.nodes[node]
-                offs = ndata["offsets"]
-                nsamples = {o for o in offs if o in real}
+                offs, nsamples = node_info(node)
                 n += len(nsamples)
                 rel = pos - node[0]
                 for k in nsamples:
