@@ -1,0 +1,80 @@
+"""Property-based pipeline fuzzing: random populations through
+rem -> variants -> unzip -> refine, checking invariants rather than
+golden outputs.
+
+Invariants:
+* every input path is reconstructible byte-exactly from every graph;
+* every VCF REF allele matches the reference sequence at its POS
+  (1-based, anchor-base conventions included);
+* unzip/refine preserve path content.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from reveal_tpu.cli import main
+from reveal_tpu.core.io_fasta import fasta_writer
+from reveal_tpu.utils.simulate import simulate_population
+
+
+def run(args):
+    rc = main([str(a) for a in args])
+    assert rc == 0 or rc is None
+
+
+def _extract(path, sample, capsys):
+    run(["extract", path, sample])
+    return "".join(capsys.readouterr().out.split("\n")[1:]).strip()
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_pipeline_invariants(seed, tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(seed)
+    nsamp = int(rng.integers(2, 5))
+    pop = simulate_population(
+        nsamp, 2500, seed=seed, subrate=0.01, indelrate=0.002
+    )
+    files = []
+    seqs = {}
+    for name, seq, _ids in pop:
+        fn = "%s.fa" % name
+        fasta_writer(fn, [(name, seq)])
+        files.append(fn)
+        seqs[name] = seq
+
+    run(["rem"] + files + ["-o", "g.gfa", "--backend", "np"])
+
+    # 1) path round-trips
+    for name, seq in seqs.items():
+        assert _extract("g.gfa", name, capsys) == seq, name
+
+    # 2) VCF REF alleles match the reference coordinates
+    ref_name = sorted(seqs)[0]
+    run(["variants", "g.gfa", "--vcf", "-r", ref_name])
+    vcf = capsys.readouterr().out
+    nrec = 0
+    for line in vcf.split("\n"):
+        if not line or line.startswith("#"):
+            continue
+        cols = line.split("\t")
+        chrom, pos, _, ref_allele = cols[0], int(cols[1]), cols[2], cols[3]
+        if chrom != ref_name:
+            continue  # bubble without the chosen reference on a path
+        got = seqs[ref_name][pos - 1 : pos - 1 + len(ref_allele)]
+        assert got == ref_allele, (pos, ref_allele, got)
+        nrec += 1
+    assert nrec > 0
+
+    # 3) unzip + refine preserve content
+    if seed != 11:
+        return  # refine is the slow stage; one seed covers it
+    run(["unzip", "g.gfa", "-u10"])
+    for name, seq in seqs.items():
+        assert _extract("g.unzipped.gfa", name, capsys) == seq, name
+    run(["refine", "g.unzipped.gfa", "--all", "--maxsize", "2000",
+         "-o", "g.refined.gfa", "--backend", "np"])
+    for name, seq in seqs.items():
+        assert _extract("g.refined.gfa", name, capsys) == seq, name
