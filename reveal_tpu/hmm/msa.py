@@ -39,7 +39,14 @@ _use_pallas = None
 
 def batch_posteriors(pairs, slice_output: bool = True):
     """Dispatch to the Pallas TPU kernels when a TPU backend is active,
-    else the XLA row-scan kernels."""
+    else the XLA row-scan kernels.
+
+    (A small-workload host-CPU fallback — pin tiny batches to
+    jax.devices('cpu')[0] to dodge remote-dispatch latency — was tried
+    and reverted: with the tunnel TPU plugin active, initializing and
+    compiling on the coexisting CPU backend in the same process hangs.
+    pairhmm.batch_posteriors keeps its ``device=`` parameter for
+    environments where mixed backends work.)"""
     global _use_pallas
     if _use_pallas is None:
         try:

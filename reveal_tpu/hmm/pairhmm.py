@@ -440,12 +440,15 @@ def fetch_posteriors(p, tot):
     return dense, tot
 
 
-def batch_posteriors(pairs, slice_output: bool = True):
+def batch_posteriors(pairs, slice_output: bool = True, device=None):
     """Batched posteriors for a list of (seq1, seq2) string pairs.
 
     Pads each pair into a power-of-two (L1, L2) bucket, vmaps the masked
     posterior kernel per bucket, and returns [(posterior, total), ...] in
-    input order with posteriors sliced to (l1+1, l2+1).
+    input order with posteriors sliced to (l1+1, l2+1).  ``device`` pins
+    execution (jit follows input placement) — used to keep small batches
+    on the host CPU device when the default backend is a remote
+    accelerator.
     """
     import jax
 
@@ -477,7 +480,12 @@ def batch_posteriors(pairs, slice_output: bool = True):
         ly = np.array(
             [len(pairs[i][1]) for i in idxs] + [1] * npad, dtype=np.int32
         )
-        p, tot = batched(xb, yb, lx, ly)
+        if device is not None:
+            xb, yb = jax.device_put((xb, yb), device)
+            lx_d, ly_d = jax.device_put((lx, ly), device)
+            p, tot = batched(xb, yb, lx_d, ly_d)
+        else:
+            p, tot = batched(xb, yb, lx, ly)
         p, tot = fetch_posteriors(p, tot)
         for bi, i in enumerate(idxs):
             if slice_output:
