@@ -258,12 +258,18 @@ def unzip_cmd(args):
 
 def extract_cmd(args):
     from .core.io_gfa import read_gfa
-    from .graph.extract import extract
+    from .graph.extract import extract, extract_path
 
     G = read_gfa(args.graph)
     width = args.width
-    for sample in args.input:
-        seq = extract(G, sample)
+    inputs = args.input
+    if args.all:
+        inputs = sorted(G.graph["paths"])
+    for sample in inputs:
+        if args.type == "path":
+            seq = extract_path(G, sample.split(","))
+        else:
+            seq = extract(G, sample)
         sys.stdout.write(">%s\n" % sample)
         for i in range(0, len(seq), width):
             sys.stdout.write(seq[i : i + width] + "\n")
@@ -979,7 +985,13 @@ def main(argv=None):
 
     p = sub.add_parser("extract", parents=[gp], help="Extract path sequence from graph.")
     p.add_argument("graph")
-    p.add_argument("input", nargs="+")
+    p.add_argument("input", nargs="*")
+    p.add_argument("-t", "--type", default="pathname",
+                   choices=["pathname", "path"],
+                   help="pathname, or a comma-separated node-id walk "
+                        "like 1+,2-,3+.")
+    p.add_argument("--all", action="store_true",
+                   help="Extract every path in the graph.")
     p.add_argument("--width", type=int, default=100)
     p.set_defaults(func=extract_cmd)
 

@@ -86,3 +86,18 @@ def _longest_path_seq(G: PanGraph) -> str:
         end = prev[end]
     path.reverse()
     return "".join(G.nodes[n].get("seq", "") for n in path)
+
+
+def extract_path(G: PanGraph, path_steps) -> str:
+    """Explicit node-walk extraction (extract.extract_path,
+    /root/reference/reveal/extract.py:172-185): each step is
+    '<nodeid>+' / '<nodeid>-'; '-' steps contribute the reverse
+    complement."""
+    seq = []
+    for step in path_steps:
+        nid, o = int(step[:-1]), step[-1:]
+        if o not in ("+", "-"):
+            raise ValueError("bad orientation in step %r" % step)
+        s = G.nodes[nid].get("seq", "")
+        seq.append(s if o == "+" else rc_str(s))
+    return "".join(seq)

@@ -188,3 +188,34 @@ def test_convert_gml_and_maf(data):
     assert os.path.exists(maf)
     txt = open(maf).read()
     assert txt.startswith("##maf") and "\ns ga" in txt and "\ns gb" in txt
+
+
+def test_extract_all_and_node_walk(data, capsys):
+    d, seqs = data
+    run(["extract", d / "ab.gfa", "--all"])
+    capt = capsys.readouterr().out
+    # every path comes back as a fasta record with its exact sequence
+    recs = {}
+    cur = None
+    for line in capt.strip().split("\n"):
+        if line.startswith(">"):
+            cur = line[1:]
+            recs[cur] = []
+        else:
+            recs[cur].append(line)
+    assert set(recs) == {"ga", "gb"}
+    for name in recs:
+        assert "".join(recs[name]) == seqs[name]
+
+    # -t path: explicit node walk with an rc step
+    from reveal_tpu.core.encoding import rc_str
+    from reveal_tpu.core.io_gfa import read_gfa
+
+    G = read_gfa(str(d / "ab.gfa"))
+    nid = next(n for n in G.nodes if not isinstance(n, str)
+               and G.nodes[n].get("seq"))
+    nseq = G.nodes[nid]["seq"]
+    run(["extract", d / "ab.gfa", "-t", "path", "%d+,%d-" % (nid, nid)])
+    capt = capsys.readouterr().out
+    got = "".join(capt.strip().split("\n")[1:])
+    assert got == nseq + rc_str(nseq)
