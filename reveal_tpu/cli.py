@@ -159,7 +159,12 @@ def bubbles_cmd(args):
     from .graph.varcall import write_bubbles_table
 
     G = read_gfa(args.graph[0])
-    write_bubbles_table(G)
+    write_bubbles_table(
+        G,
+        exportcomplex=args.exportcomplex,
+        separate=args.separate,
+        gfaname=args.graph[0],
+    )
 
 
 def variants_cmd(args):
@@ -185,7 +190,9 @@ def variants_cmd(args):
         minflank=args.minflank,
         refonly=args.refonly,
     )
-    write_variants(G, reference=args.reference, flt=flt, fmt=fmt)
+    write_variants(
+        G, reference=args.reference, flt=flt, fmt=fmt, split=args.split
+    )
 
 
 def refine_cmd(args):
@@ -718,7 +725,9 @@ def annotate_cmd(args):
     from .graph.annotate import annotate_vcf
 
     vcfin = open(args.vcf) if args.vcf != "-" else sys.stdin
-    n = annotate_vcf(vcfin, sys.stdout, mindiff=args.mindiff)
+    n = annotate_vcf(
+        vcfin, sys.stdout, mindiff=args.mindiff, maxdiff=args.maxdiff
+    )
     log.info("Annotated %d records.", n)
 
 
@@ -936,6 +945,10 @@ def main(argv=None):
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")
     p.add_argument("graph", nargs=1)
+    p.add_argument("-e", dest="exportcomplex", action="store_true",
+                   help="Export complex bubble subgraphs as gfa.")
+    p.add_argument("-s", dest="separate", action="store_true",
+                   help="With -e: one gfa per complex bubble.")
     p.set_defaults(func=bubbles_cmd)
 
     p = sub.add_parser("variants", parents=[gp], help="Call variants from bubbles.")
@@ -943,6 +956,9 @@ def main(argv=None):
     p.add_argument("--vcf", action="store_true")
     p.add_argument("--bed", action="store_true")
     p.add_argument("--fastaout", action="store_true")
+    p.add_argument("--split", action="store_true",
+                   help="With --fastaout: one multi-fasta file per "
+                        "variant, named <source>_<sink>.fasta.")
     p.add_argument("-r", "--reference", default=None)
     p.add_argument("--minsize", type=int, default=0)
     p.add_argument("--mindiff", type=int, default=0)
@@ -992,6 +1008,10 @@ def main(argv=None):
                         "like 1+,2-,3+.")
     p.add_argument("--all", action="store_true",
                    help="Extract every path in the graph.")
+    p.add_argument("--nocycles", action="store_true",
+                   help="Accepted for reference compatibility: the "
+                        "DiGraph reader always ignores structural "
+                        "(cycle-forming) edges.")
     p.add_argument("--width", type=int, default=100)
     p.set_defaults(func=extract_cmd)
 
@@ -1133,6 +1153,14 @@ def main(argv=None):
     p = sub.add_parser("annotate", parents=[gp], help="Add repeat classification to VCF records.")
     p.add_argument("vcf")
     p.add_argument("--mindiff", type=int, default=0)
+    p.add_argument("--maxdiff", type=int, default=None,
+                   help="Skip records whose allele difference is >= this.")
+    p.add_argument("--species", default="human",
+                   help="RepeatMasker -species flag (used only when "
+                        "RepeatMasker is on PATH).")
+    p.add_argument("--nproc", type=int, default=1,
+                   help="RepeatMasker -pa processes (only with "
+                        "RepeatMasker on PATH).")
     p.set_defaults(func=annotate_cmd)
 
     args = parser.parse_args(argv)

@@ -67,6 +67,7 @@ def annotate_vcf(
     vcfin: TextIO,
     vcfout: TextIO,
     mindiff: int = 0,
+    maxdiff: int = None,
 ) -> int:
     """Stream a VCF, adding reveal_type=<class> for each record whose
     longest REF/ALT difference is >= mindiff."""
@@ -110,7 +111,9 @@ def annotate_vcf(
             diff = alt[i:] if len(alt) > len(ref) else ref[i:]
             if len(diff) > len(best):
                 best = diff
-        if len(best) < mindiff:
+        if len(best) < mindiff or (
+            maxdiff is not None and len(best) >= maxdiff
+        ):
             vcfout.write(line)
             continue
         vtype = classify_allele(best)

@@ -30,14 +30,27 @@ class VariantFilter:
     refonly: bool = False
 
 
-def write_bubbles_table(G: PanGraph, out: Optional[TextIO] = None) -> int:
-    """bubbles_cmd (bubbles.py:239-278): per-subgraph bubble listing."""
+def write_bubbles_table(
+    G: PanGraph,
+    out: Optional[TextIO] = None,
+    exportcomplex: bool = False,
+    separate: bool = False,
+    gfaname: str = "graph.gfa",
+) -> int:
+    """bubbles_cmd (bubbles.py:239-278): per-subgraph bubble listing.
+
+    exportcomplex writes complex-bubble subgraphs next to the input
+    (one combined <name>.complex.gfa, or with separate=True one
+    <name><src>.<sink>.complex.gfa each, bubbles.py:263-278)."""
+    from ..core.io_gfa import write_gfa
+
     if out is None:
         out = sys.stdout
     out.write("#source\tsink\tsubgraph\ttype\n")
     n = 0
     for comp in G.weakly_connected_components():
         g = G.subgraph(comp)
+        complexnodes = []
         for b in bubbles(g):
             t = b.issimple()
             out.write(
@@ -52,6 +65,28 @@ def write_bubbles_table(G: PanGraph, out: Optional[TextIO] = None) -> int:
                 )
             )
             n += 1
+            if not t and exportcomplex:
+                if separate:
+                    sg = g.subgraph(set(b.nodes))
+                    write_gfa(
+                        sg,
+                        None,
+                        remap=False,
+                        outputfile=gfaname.replace(
+                            ".gfa",
+                            "%s.%s.complex.gfa" % (b.source, b.sink),
+                        ),
+                    )
+                else:
+                    complexnodes += list(b.nodes)
+        if exportcomplex and not separate and complexnodes:
+            sg = g.subgraph(complexnodes)
+            write_gfa(
+                sg,
+                None,
+                remap=False,
+                outputfile=gfaname.replace(".gfa", ".complex.gfa"),
+            )
     return n
 
 
@@ -61,6 +96,7 @@ def write_variants(
     flt: Optional[VariantFilter] = None,
     fmt: str = "table",  # table | vcf | bed | fasta
     out: Optional[TextIO] = None,
+    split: bool = False,  # fasta fmt: one file per variant
 ) -> int:
     """variants_cmd (bubbles.py:336-532)."""
     if out is None:
@@ -170,12 +206,25 @@ def write_variants(
         endpos = G.nodes[v.sink]["offsets"][cds]
 
         if fmt == "fasta":
-            for i, seq in enumerate(v.genotypes):
-                if seq != "-":
-                    out.write(
-                        ">%s:%d-%d_%d\n" % (id2path[cds], startpos, endpos, i)
-                    )
-                    out.write("%s\n" % seq)
+            if split:
+                # one multi-fasta per variant, named by its bounding
+                # nodes (bubbles.py:434-440)
+                with open("%s_%s.fasta" % (v.source, v.sink), "w") as of:
+                    for i, seq in enumerate(v.genotypes):
+                        if seq != "-":
+                            of.write(
+                                ">%s:%d-%d_%d\n"
+                                % (id2path[cds], startpos, endpos, i)
+                            )
+                            of.write("%s\n" % seq)
+            else:
+                for i, seq in enumerate(v.genotypes):
+                    if seq != "-":
+                        out.write(
+                            ">%s:%d-%d_%d\n"
+                            % (id2path[cds], startpos, endpos, i)
+                        )
+                        out.write("%s\n" % seq)
             count += 1
             continue
 

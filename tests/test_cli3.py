@@ -160,3 +160,51 @@ def test_gplot_png(data, tmp_path):
     out = str(tmp_path / "gdot.png")
     run(["gplot", d / "ab.gfa", "-x", "ga", "-y", "gb", "-o", out])
     assert os.path.getsize(out) > 1000
+
+
+def test_variants_split_files(data, monkeypatch, tmp_path, capsys):
+    d, seqs = data
+    monkeypatch.chdir(tmp_path)
+    run(["variants", str(d / "ab.gfa"), "--fastaout", "--split"])
+    capsys.readouterr()
+    files = [f for f in os.listdir(".") if f.endswith(".fasta")]
+    assert files, "no per-variant fasta files written"
+    txt = open(files[0]).read()
+    assert txt.startswith(">")
+    # file name is <source>_<sink>.fasta of a bubble
+    stem = files[0][: -len(".fasta")]
+    assert "_" in stem
+
+
+def test_bubbles_export_complex(data, monkeypatch, tmp_path, capsys):
+    d, seqs = data
+    import shutil
+
+    monkeypatch.chdir(tmp_path)
+    shutil.copy(str(d / "ab.gfa"), "ab.gfa")
+    run(["bubbles", "ab.gfa", "-e"])
+    table = capsys.readouterr().out
+    ncomplex = sum(
+        1 for l in table.split("\n") if l.endswith("\tcomplex")
+    )
+    if ncomplex:
+        assert os.path.exists("ab.complex.gfa")
+        assert any(
+            l.startswith("S\t") for l in open("ab.complex.gfa")
+        )
+    else:
+        assert not os.path.exists("ab.complex.gfa")
+
+
+def test_annotate_maxdiff_skips(tmp_path, capsys):
+    vcf = (
+        "##fileformat=VCFv4.1\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "chr1\t100\t.\tA\tAACACACACA\t.\t.\t.\n"
+    )
+    f = tmp_path / "x.vcf"
+    f.write_text(vcf)
+    run(["annotate", str(f), "--maxdiff", "5"])
+    out = capsys.readouterr().out
+    # 9bp insertion >= maxdiff 5: record passes through unannotated
+    assert "reveal_type=" not in out.split("\n")[-2]
