@@ -222,6 +222,10 @@ def refine_cmd(args):
         consgap=args.consgap,
         nrefinements=args.nrefinements,
         uniqueonly=args.uniqueonly,
+        method=args.method,
+        parameters=args.parameters,
+        wpen=args.wpen,
+        wscore=args.wscore,
     )
     fn = (
         args.outfile
@@ -921,12 +925,12 @@ def main(argv=None):
     p.add_argument("-m", "--minlength", type=int, default=20)
     p.add_argument("-n", "--minn", type=int, default=2)
     p.add_argument("--maxmums", type=int, default=10000)
-    p.add_argument("--wpen", type=int, default=1)
-    p.add_argument("--wscore", type=int, default=1)
+    p.add_argument("--wpen", "--wp", type=int, default=1)
+    p.add_argument("--wscore", "--ws", type=int, default=1)
     p.add_argument("--seedsize", type=int, default=0)
     p.add_argument("--pcutoff", type=float, default=1e-8)
     p.add_argument("--gcmodel", default="sumofpairs")
-    p.add_argument("--maxsize", type=int, default=None)
+    p.add_argument("--maxsize", "--maxbubblesize", type=int, default=None)
     p.add_argument("--notrim", action="store_true")
     p.add_argument("--nocontigs", action="store_true")
     p.add_argument("--sa", default=None, help="Load precomputed suffix array (int64 raw).")
@@ -989,6 +993,18 @@ def main(argv=None):
         p.add_argument("--consgap", action="store_true", default=False)
         p.add_argument("--nrefinements", type=int, default=100)
         p.add_argument("--uniqueonly", action="store_true")
+        p.add_argument("--method", default="reveal_probcons",
+                       choices=["reveal_probcons", "reveal_rem", "muscle",
+                                "probcons", "msaprobs", "pecan"],
+                       help="Bubble realignment method: built-in pair-HMM "
+                            "MSA, the anchor aligner itself, or an "
+                            "external tool from $PATH.")
+        p.add_argument("--params", dest="parameters", default="",
+                       help="Extra parameters for external MSA tools.")
+        p.add_argument("--wp", dest="wpen", type=int, default=1,
+                       help="Chaining penalty weight (reveal_rem).")
+        p.add_argument("--ws", dest="wscore", type=int, default=1,
+                       help="Chaining score weight (reveal_rem).")
         p.set_defaults(func=refine_cmd)
 
     p = sub.add_parser("unzip", parents=[gp], help="Unzip bubbles (indel wiggle).")
@@ -1145,8 +1161,8 @@ def main(argv=None):
     p.add_argument("--maxmums", type=int, default=10000)
     p.add_argument("--norecurse", action="store_true")
     p.add_argument("--gcmodel", default="sumofpairs")
-    p.add_argument("--wpen", type=int, default=1)
-    p.add_argument("--wscore", type=int, default=1)
+    p.add_argument("--wpen", "--wp", type=int, default=1)
+    p.add_argument("--wscore", "--ws", type=int, default=1)
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(func=chain_cmd)
 

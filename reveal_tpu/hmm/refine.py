@@ -32,6 +32,63 @@ from ..graph.pangraph import PanGraph
 log = logging.getLogger(__name__)
 
 
+def _external_msa(aobjs, method: str, parameters: str = ""):
+    """Run an external multiple-sequence aligner from $PATH and return
+    (aligned_rows_in_path2id_order, confidence) — the same tool command
+    lines as the reference (refine.msa2graph, refine.py:586-640)."""
+    import os
+    import subprocess
+    import uuid as uuidmod
+
+    from ..core.io_fasta import fasta_writer
+
+    uid = uuidmod.uuid4().hex
+    tempfiles = []
+    if method == "muscle":
+        cmd = "muscle -in %s.fasta -quiet" % uid
+        fasta_writer(uid + ".fasta", aobjs)
+        tempfiles.append("%s.fasta" % uid)
+    elif method == "probcons":
+        cmd = "probcons %s.fasta -annot %s.conf %s" % (uid, uid, parameters)
+        fasta_writer(uid + ".fasta", aobjs)
+        tempfiles += ["%s.fasta" % uid, "%s.conf" % uid]
+    elif method == "msaprobs":
+        cmd = "msaprobs %s.fasta -annot %s.conf %s" % (uid, uid, parameters)
+        fasta_writer(uid + ".fasta", aobjs)
+        tempfiles += ["%s.fasta" % uid, "%s.conf" % uid]
+    elif method == "pecan":
+        cmd = "pecan -G %s.fasta -F %s.*.fasta -l -p %s.conf %s && cat %s.fasta" % (
+            uid, uid, uid, parameters, uid,
+        )
+        for i, (name, seq) in enumerate(aobjs):
+            fasta_writer("%s.%d.fasta" % (uid, i), [(name, seq)])
+            tempfiles.append("%s.%d.fasta" % (uid, i))
+        tempfiles += ["%s.fasta" % uid, "%s.conf" % uid]
+    else:
+        raise ValueError("unknown msa method: %s" % method)
+
+    try:
+        out = subprocess.check_output(
+            [cmd], shell=True, stderr=subprocess.DEVNULL, text=True
+        )
+        name2seq = {}
+        for rec in out.split(">")[1:]:
+            x = rec.find("\n")
+            name2seq[rec[:x]] = rec[x + 1 :].replace("\n", "")
+        ncols = len(next(iter(name2seq.values())))
+        confidence = [100.0] * ncols
+        if os.path.exists("%s.conf" % uid):
+            with open("%s.conf" % uid) as annot:
+                for i, line in enumerate(annot):
+                    c = float(line.strip())
+                    confidence[i] = c * 100 if c < 1 else c
+        return name2seq, confidence
+    finally:
+        for f in tempfiles:
+            if os.path.exists(f):
+                os.remove(f)
+
+
 def msa_to_graph(
     aobjs,
     idoffset: int = 0,
@@ -40,9 +97,12 @@ def msa_to_graph(
     consgap: bool = True,
     nrefinements: int = 100,
     precomputed=None,
+    method: str = "reveal_probcons",
+    parameters: str = "",
 ) -> Optional[PanGraph]:
-    """MSA + column-graph construction (refine.msa2graph for the
-    reveal_probcons method)."""
+    """MSA + column-graph construction (refine.msa2graph): the built-in
+    pair-HMM consistency MSA (reveal_probcons), or an external aligner
+    from $PATH (muscle/probcons/msaprobs/pecan, refine.py:586-640)."""
     nn = idoffset
     ng = PanGraph()
     for name, seq in aobjs:
@@ -52,16 +112,28 @@ def msa_to_graph(
         ng.graph["id2end"][sid] = len(seq)
         ng.graph["paths"].append(name)
 
-    aln, confidence = probcons_align(
-        aobjs,
-        consistency=constrans,
-        refinement=nrefinements,
-        consgap=consgap,
-        precomputed=precomputed,
-    )
-    seqs = [""] * len(aobjs)
-    for name, seq in aln:
-        seqs[ng.graph["path2id"][name]] = seq
+    if method in ("muscle", "probcons", "msaprobs", "pecan"):
+        try:
+            name2seq, confidence = _external_msa(
+                aobjs, method, parameters
+            )
+        except Exception as e:
+            log.error("MSA with %s failed: %s", method, e)
+            return None
+        seqs = [""] * len(aobjs)
+        for name, seq in name2seq.items():
+            seqs[ng.graph["path2id"][name]] = seq
+    else:
+        aln, confidence = probcons_align(
+            aobjs,
+            consistency=constrans,
+            refinement=nrefinements,
+            consgap=consgap,
+            precomputed=precomputed,
+        )
+        seqs = [""] * len(aobjs)
+        for name, seq in aln:
+            seqs[ng.graph["path2id"][name]] = seq
 
     build_column_graph(ng, seqs, confidence, minconf=minconf, idoffset=nn)
     return ng
@@ -283,9 +355,16 @@ def refine_bubble(
     uniqueonly: bool = False,
     aobjs=None,
     precomputed=None,
+    method: str = "reveal_probcons",
+    parameters: str = "",
+    minlength: int = 20,
+    wpen: float = 1,
+    wscore: float = 1,
     **_,
 ):
-    """refine.py:149-273 (reveal_probcons method)."""
+    """refine.py:149-273: reveal_probcons / external MSA methods, or
+    reveal_rem (re-run the anchor aligner on the alleles,
+    refine.py:219-231)."""
     if aobjs is None:
         aobjs = prepare_bubble_alleles(
             sg, bubble, paths, uniqueonly=uniqueonly
@@ -293,14 +372,33 @@ def refine_bubble(
     if aobjs is None:
         return None
 
-    ng = msa_to_graph(
-        aobjs,
-        minconf=minconf,
-        constrans=constrans,
-        consgap=consgap,
-        nrefinements=nrefinements,
-        precomputed=precomputed,
-    )
+    if method == "reveal_rem":
+        from ..align.rem import align_seqs
+        from ..core.io_gfa import seq2node
+
+        try:
+            ng, idx = align_seqs(
+                aobjs,
+                minlength=minlength,
+                wpen=wpen,
+                wscore=wscore,
+                backend="np",
+            )
+        except Exception as e:
+            log.error("reveal_rem realign failed: %s", e)
+            return None
+        seq2node(ng, idx.main.T)
+    else:
+        ng = msa_to_graph(
+            aobjs,
+            minconf=minconf,
+            constrans=constrans,
+            consgap=consgap,
+            nrefinements=nrefinements,
+            precomputed=precomputed,
+            method=method,
+            parameters=parameters,
+        )
     if ng is None:
         return None
 
@@ -469,8 +567,15 @@ def refine_all(
 
     from .msa import batch_posteriors
 
+    method = kwargs.get("method", "reveal_probcons")
     t0 = time.time()
-    posteriors = batch_posteriors(all_pairs) if all_pairs else []
+    # posteriors only feed the built-in MSA; external / reveal_rem
+    # methods skip the batch
+    posteriors = (
+        batch_posteriors(all_pairs)
+        if all_pairs and method == "reveal_probcons"
+        else []
+    )
     log.info(
         "computed %d pair posteriors for %d bubbles in %.2fs",
         len(all_pairs),
@@ -489,7 +594,8 @@ def refine_all(
             offsets,
             paths,
             aobjs=aobjs,
-            precomputed=posteriors[s:e],
+            precomputed=posteriors[s:e] if posteriors else None,
+            minlength=minlength,
             **kwargs,
         )
         log.debug(

@@ -208,3 +208,25 @@ def test_annotate_maxdiff_skips(tmp_path, capsys):
     out = capsys.readouterr().out
     # 9bp insertion >= maxdiff 5: record passes through unannotated
     assert "reveal_type=" not in out.split("\n")[-2]
+
+
+def test_refine_method_reveal_rem(data, tmp_path, capsys):
+    d, seqs = data
+    out = str(tmp_path / "rrem.gfa")
+    run(["refine", str(d / "ab.gfa"), "--all", "--method", "reveal_rem",
+         "-o", out, "--backend", "np"])
+    assert os.path.exists(out)
+    # content is preserved through the rem-based bubble realignment
+    assert _extract(out, "ga", capsys) == seqs["ga"]
+    assert _extract(out, "gb", capsys) == seqs["gb"]
+
+
+def test_refine_method_external_missing_tool(data, tmp_path, capsys):
+    d, seqs = data
+    out = str(tmp_path / "rmu.gfa")
+    # muscle is not installed: bubbles fail gracefully, graph still
+    # written with content intact
+    run(["refine", str(d / "ab.gfa"), "--all", "--method", "muscle",
+         "-o", out, "--backend", "np"])
+    assert os.path.exists(out)
+    assert _extract(out, "ga", capsys) == seqs["ga"]
