@@ -748,6 +748,10 @@ def plot_cmd(args):
         endpoints=args.endpoints,
         showgaps=args.showgaps,
         backend=args.backend,
+        xregion=args.xregion,
+        yregion=args.yregion,
+        flanksize=args.flanksize,
+        extension=args.extension,
     )
     if out:
         log.info("Plot written to: %s", out)
@@ -1087,6 +1091,14 @@ def main(argv=None):
     p.add_argument("-o", "--output", default=None)
     p.add_argument("--endpoints", action="store_true")
     p.add_argument("--showgaps", action="store_true")
+    p.add_argument("-r", "--xr", dest="xregion", default=None,
+                   help="Zoom regions on the x axis: <s1>-<e1>,<s2>-<e2>.")
+    p.add_argument("--yr", dest="yregion", default=None,
+                   help="Zoom regions on the y axis.")
+    p.add_argument("--flanksize", default=None,
+                   help="Flanking bases per region: <f1>,<f2>,...")
+    p.add_argument("--extension", default="png",
+                   choices=["png", "pdf", "ps", "eps", "svg"])
     p.set_defaults(func=plot_cmd)
 
     p = sub.add_parser("gplot", parents=[gp], help="Dotplot from a graph's shared nodes.")

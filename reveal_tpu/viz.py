@@ -43,8 +43,13 @@ def mumplot(
     endpoints: bool = False,
     showgaps: bool = False,
     backend: str = "auto",
+    xregion: str = None,
+    yregion: str = None,
+    flanksize: str = None,
+    extension: str = "png",
 ):
-    """plot.py:67-304 for two fasta inputs."""
+    """plot.py:67-304 for two fasta inputs; xregion/yregion zoom with
+    optional flanks saves one image per region pair (plot.py:246-304)."""
     import matplotlib
 
     if not interactive:
@@ -124,16 +129,66 @@ def mumplot(
     plt.xlabel(fastas[0])
     plt.ylabel(fastas[1])
     plt.title("reveal-tpu mumplot")
+
+    def _parse_regions(spec):
+        out = []
+        for region in spec.split(","):
+            if region.count("-") == 1:
+                rstart, rend = region.split("-")
+            elif region.count(":") == 1:
+                rstart, rend = region.split(":")
+            else:
+                raise ValueError(
+                    "invalid region %r, use <start>-<end>" % region
+                )
+            out.append((int(rstart), int(rend)))
+        return out
+
+    xregions = yregions = None
+    if xregion:
+        xregions = _parse_regions(xregion)
+        for rs, re_ in xregions:
+            plt.axvline(x=rs, linewidth=1, color="b", linestyle="dashed")
+            plt.axvline(x=re_, linewidth=1, color="b", linestyle="dashed")
+    if yregion:
+        yregions = _parse_regions(yregion)
+        for rs, re_ in yregions:
+            plt.axhline(y=rs, linewidth=1, color="b", linestyle="dashed")
+            plt.axhline(y=re_, linewidth=1, color="b", linestyle="dashed")
+
     if interactive:
         plt.show()
-    else:
-        out = output or "%s_%s.png" % (
-            fastas[0].split("/")[-1],
-            fastas[1].split("/")[-1],
+        return None
+    if xregions and yregions:
+        # one zoomed image per region pair (plot.py:291-302)
+        if len(xregions) != len(yregions):
+            raise ValueError("xregion/yregion counts differ")
+        flanks = (
+            [int(v) for v in flanksize.split(",")]
+            if flanksize
+            else [0] * len(xregions)
         )
-        plt.savefig(out)
+        b1 = fastas[0].split("/")[-1].rsplit(".", 1)[0]
+        b2 = fastas[1].split("/")[-1].rsplit(".", 1)[0]
+        outs = []
+        for (xs, xe), (ys, ye), fl in zip(xregions, yregions, flanks):
+            plt.xlim(xs - fl, xe + fl)
+            plt.ylim(ys - fl, ye + fl)
+            fn = "%s_%d-%d_%s_%d-%d.%s" % (
+                b1, xs, xe, b2, ys, ye, extension,
+            )
+            plt.savefig(fn)
+            outs.append(fn)
         plt.close()
-        return out
+        return outs[-1] if outs else None
+    out = output or "%s_%s.%s" % (
+        fastas[0].split("/")[-1],
+        fastas[1].split("/")[-1],
+        extension,
+    )
+    plt.savefig(out)
+    plt.close()
+    return out
 
 
 def plotgraph(G, s1, s2, interactive=False, region=None, minlength=1, output=None):

@@ -230,3 +230,14 @@ def test_refine_method_external_missing_tool(data, tmp_path, capsys):
          "-o", out, "--backend", "np"])
     assert os.path.exists(out)
     assert _extract(out, "ga", capsys) == seqs["ga"]
+
+
+def test_plot_region_zoom(data, monkeypatch, tmp_path):
+    d, seqs = data
+    monkeypatch.chdir(tmp_path)
+    run(["plot", str(d / "ga.fa"), str(d / "gb.fa"), "-m", "20",
+         "-r", "100-600", "--yr", "100-600", "--flanksize", "50",
+         "--backend", "np"])
+    files = [f for f in os.listdir(".") if f.endswith(".png")]
+    assert files and "100-600" in files[0]
+    assert os.path.getsize(files[0]) > 1000
