@@ -486,7 +486,10 @@ def finish_cmd(args):
         outputunmapped=not args.nounplaced,
         backend=args.backend,
     )
-    finish(args.reference, args.contigs, cfg, output=args.output)
+    finish(
+        args.reference, args.contigs, cfg, output=args.output,
+        split=args.split,
+    )
 
 
 def convert_cmd(args):
@@ -1151,6 +1154,8 @@ def main(argv=None):
     p.add_argument("--mincluster", type=int, default=65)
     p.add_argument("--minchainsum", type=int, default=65)
     p.add_argument("--fixedgapsize", type=int, default=None)
+    p.add_argument("--split", action="store_true",
+                   help="One fasta file per pseudomolecule.")
     p.add_argument("--nounplaced", action="store_true")
     p.add_argument("-o", "--output", default=None)
     p.set_defaults(func=finish_cmd)

@@ -46,8 +46,11 @@ def finish(
     contigs: str,
     cfg: FinishConfig,
     output: Optional[str] = None,
+    split: bool = False,
 ) -> Tuple[str, Optional[str]]:
-    """Returns (pseudomolecule fasta path, unplaced fasta path or None)."""
+    """Returns (pseudomolecule fasta path, unplaced fasta path or None).
+    split=True writes one fasta per pseudomolecule instead of a combined
+    file (transformold --split)."""
     if output is None:
         parts = []
         for f in (os.path.basename(reference), os.path.basename(contigs)):
@@ -170,13 +173,23 @@ def finish(
             pend = e
             placed_ctgs.add(ctgid)
         records.append(("%s_%s" % (output, refname), "".join(parts)))
-    fasta_writer(outfa, records)
-    log.info(
-        "Wrote %d pseudomolecules (%d contigs placed) to %s",
-        len(records),
-        len(placed_ctgs),
-        outfa,
-    )
+    if split:
+        for name, seq in records:
+            fasta_writer("%s.fasta" % name, [(name, seq)])
+        log.info(
+            "Wrote %d per-chromosome pseudomolecule files (%d contigs "
+            "placed)",
+            len(records),
+            len(placed_ctgs),
+        )
+    else:
+        fasta_writer(outfa, records)
+        log.info(
+            "Wrote %d pseudomolecules (%d contigs placed) to %s",
+            len(records),
+            len(placed_ctgs),
+            outfa,
+        )
 
     unplacedfa = None
     if cfg.outputunmapped:

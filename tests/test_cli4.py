@@ -88,3 +88,16 @@ def test_finish_cli(data, monkeypatch, tmp_path):
     ai = pseudo.find(A[:3500])
     bi = pseudo.find(B[:3500])
     assert ai != -1 and bi != -1 and ai < bi
+
+
+def test_finish_split_files(data, monkeypatch, tmp_path):
+    d, (A, B, C, ref, qry) = data
+    monkeypatch.chdir(tmp_path)
+    run(["finish", d / "ref.fa", d / "draft.fa", "-m", "30",
+         "--mincluster", "30", "--minchainsum", "30", "--split",
+         "--backend", "np", "-o", "fs"])
+    per_chrom = [f for f in os.listdir(".")
+                 if f.startswith("fs_") and f.endswith(".fasta")]
+    assert per_chrom, "no per-chromosome files written"
+    recs = dict(fasta_reader(per_chrom[0]))
+    assert recs and all(recs.values())
