@@ -409,6 +409,55 @@ def stats_cmd(args):
         sys.stdout.write(
             "  shared by %d samples: %d bp\n" % (k, sharedby[k])
         )
+    # base composition (stats.py:37-47)
+    counts = {b: 0 for b in "ACGTN"}
+    for n in G.nodes:
+        s = G.nodes[n].get("seq", "")
+        for b in counts:
+            counts[b] += s.count(b)
+    for b in "ACGTN":
+        sys.stdout.write("Count %s: %d\n" % (b, counts[b]))
+
+    # structural (rearrangement) edges from the raw GFA: the DiGraph
+    # reader drops them, so count edges traversed only by '*' paths
+    # (MultiGraphToDiGraph's struct set, stats.py:23,33)
+    import gzip as gzipmod
+
+    opener = gzipmod.open if args.graph[0].endswith(".gz") else open
+    pathwalks = {}
+    with opener(args.graph[0], "rt") as f:
+        for line in f:
+            if line.startswith("P"):
+                cols = line.rstrip().split("\t")
+                if len(cols) >= 3 and cols[2]:
+                    pathwalks[cols[1]] = [
+                        (x[:-1], x[-1]) for x in cols[2].split(",")
+                    ]
+    edge2paths = {}
+    for sample, walk in pathwalks.items():
+        for (a, ao), (b, bo) in zip(walk, walk[1:]):
+            edge2paths.setdefault((a, ao, b, bo), set()).add(sample)
+    nstruct = sum(
+        1
+        for ps in edge2paths.values()
+        if all(p.startswith("*") for p in ps)
+    )
+    sys.stdout.write("Number of rearrangement edges: %d\n" % nstruct)
+
+    comps = G.weakly_connected_components()
+    sys.stdout.write("Number of connected components: %d\n" % len(comps))
+    for i, comp in enumerate(comps):
+        names = set()
+        for n in comp:
+            for sid in G.nodes[n].get("offsets", {}):
+                p = G.graph["id2path"][sid]
+                if not p.startswith("*"):
+                    names.add(p)
+        sys.stdout.write(
+            "Composition of component %d: %s\n"
+            % (i, ",".join(sorted(names)))
+        )
+
     vtypes = {}
     for b in bubbles(G):
         v = Variant(b)
