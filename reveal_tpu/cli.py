@@ -164,6 +164,7 @@ def bubbles_cmd(args):
         exportcomplex=args.exportcomplex,
         separate=args.separate,
         gfaname=args.graph[0],
+        gml=args.gml,
     )
 
 
@@ -1009,6 +1010,8 @@ def main(argv=None):
                    help="Export complex bubble subgraphs as gfa.")
     p.add_argument("-s", dest="separate", action="store_true",
                    help="With -e: one gfa per complex bubble.")
+    p.add_argument("--gml", action="store_true",
+                   help="With -e: write gml instead of gfa.")
     p.set_defaults(func=bubbles_cmd)
 
     p = sub.add_parser("variants", parents=[gp], help="Call variants from bubbles.")

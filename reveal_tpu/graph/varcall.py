@@ -36,13 +36,32 @@ def write_bubbles_table(
     exportcomplex: bool = False,
     separate: bool = False,
     gfaname: str = "graph.gfa",
+    gml: bool = False,
 ) -> int:
     """bubbles_cmd (bubbles.py:239-278): per-subgraph bubble listing.
 
     exportcomplex writes complex-bubble subgraphs next to the input
     (one combined <name>.complex.gfa, or with separate=True one
-    <name><src>.<sink>.complex.gfa each, bubbles.py:263-278)."""
+    <name><src>.<sink>.complex.gfa each, bubbles.py:263-278); gml=True
+    writes gml instead."""
     from ..core.io_gfa import write_gfa
+
+    def _export(sg, outputfile):
+        if gml:
+            import networkx as nx
+
+            H = nx.DiGraph()
+            for n2, d2 in sg.nodes.items():
+                H.add_node(str(n2), **{
+                    k: str(v) if not isinstance(v, (str, int)) else v
+                    for k, v in d2.items()})
+            for u2, v2, d2 in sg.edges(data=True):
+                H.add_edge(str(u2), str(v2), **{
+                    k: str(w) if not isinstance(w, (str, int)) else w
+                    for k, w in d2.items()})
+            nx.write_gml(H, outputfile.replace(".gfa", ".gml"))
+        else:
+            write_gfa(sg, None, remap=False, outputfile=outputfile)
 
     if out is None:
         out = sys.stdout
@@ -68,11 +87,9 @@ def write_bubbles_table(
             if not t and exportcomplex:
                 if separate:
                     sg = g.subgraph(set(b.nodes))
-                    write_gfa(
+                    _export(
                         sg,
-                        None,
-                        remap=False,
-                        outputfile=gfaname.replace(
+                        gfaname.replace(
                             ".gfa",
                             "%s.%s.complex.gfa" % (b.source, b.sink),
                         ),
@@ -81,12 +98,7 @@ def write_bubbles_table(
                     complexnodes += list(b.nodes)
         if exportcomplex and not separate and complexnodes:
             sg = g.subgraph(complexnodes)
-            write_gfa(
-                sg,
-                None,
-                remap=False,
-                outputfile=gfaname.replace(".gfa", ".complex.gfa"),
-            )
+            _export(sg, gfaname.replace(".gfa", ".complex.gfa"))
     return n
 
 
