@@ -78,3 +78,37 @@ def test_native_and_numpy_engines_agree():
             nat.chain_native,
         ) = saved
     assert _graph_sig(G1, i1.main.T) == _graph_sig(G2, i2.main.T)
+
+
+def test_full_pipeline_deterministic(tmp_path, monkeypatch):
+    """rem + unzip + refine twice -> byte-identical outputs (the MSA's
+    random-bipartition refinement is seeded)."""
+    import numpy as np
+
+    from reveal_tpu.cli import main
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(6)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    mut = list(base)
+    for _ in range(50):
+        i = int(rng.integers(0, len(mut)))
+        if rng.random() < 0.5:
+            mut[i] = "ACGT"[int(rng.integers(0, 4))]
+        else:
+            del mut[i]
+    fasta_writer("a.fa", [("a", base)])
+    fasta_writer("b.fa", [("b", "".join(mut))])
+
+    outs = []
+    for run_i in range(2):
+        pre = "r%d" % run_i
+        main(["rem", "a.fa", "b.fa", "-o", pre + ".gfa",
+              "--backend", "np"])
+        main(["unzip", pre + ".gfa", "-u10"])
+        main(["refine", pre + ".unzipped.gfa", "--all",
+              "--maxsize", "2000", "-o", pre + ".ref.gfa",
+              "--backend", "np"])
+        outs.append(open(pre + ".ref.gfa").read())
+    assert outs[0] == outs[1]
