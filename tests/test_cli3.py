@@ -241,3 +241,11 @@ def test_plot_region_zoom(data, monkeypatch, tmp_path):
     files = [f for f in os.listdir(".") if f.endswith(".png")]
     assert files and "100-600" in files[0]
     assert os.path.getsize(files[0]) > 1000
+
+
+def test_gplot_region(data, tmp_path):
+    d, seqs = data
+    out = str(tmp_path / "gr.png")
+    run(["gplot", str(d / "ab.gfa"), "-x", "ga", "-y", "gb",
+         "-r", "500:1500", "-o", out])
+    assert os.path.getsize(out) > 1000

@@ -35,3 +35,34 @@ def test_graph2maf_and_back(tmp_path, monkeypatch):
     txt = open("ab.maf").read()
     assert txt.startswith("##maf")
     assert "x" in txt and "y" in txt
+
+
+def test_fasta_to_gfa_plain_and_aligned(tmp_path, capsys, monkeypatch):
+    """convert fasta->gfa: plain records become one node per sequence;
+    --aligned treats the records as MSA rows and builds the column graph
+    (convert.py:60-120)."""
+    import os
+
+    from reveal_tpu.cli import main
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    monkeypatch.chdir(tmp_path)
+    fasta_writer("plain.fa", [("s1", "ACGTACGT"), ("s2", "ACGTTGCA")])
+    main(["convert", "plain.fa"])
+    assert os.path.exists("plain.gfa")
+    txt = open("plain.gfa").read()
+    assert txt.count("\nP\t") + txt.startswith("P\t") >= 1
+
+    # aligned rows: shared columns collapse into shared nodes
+    fasta_writer(
+        "msa.fa",
+        [("s1", "ACGT-ACGT"), ("s2", "ACGTTACGT")],
+    )
+    main(["convert", "msa.fa", "--aligned"])
+    assert os.path.exists("msa.gfa")
+    main(["extract", "msa.gfa", "s1"])
+    got = "".join(capsys.readouterr().out.split("\n")[1:]).strip()
+    assert got == "ACGTACGT"
+    main(["extract", "msa.gfa", "s2"])
+    got2 = "".join(capsys.readouterr().out.split("\n")[1:]).strip()
+    assert got2 == "ACGTTACGT"
