@@ -201,6 +201,30 @@ def multimums(
     whose suffixes come from n_occ distinct samples (each exactly once),
     with some adjacent pair left-maximal, n_occ in [minn, nsamples_main].
     """
+    # native linear stack walk (reveal.c:436-580); results re-sorted to
+    # the (l, lb, ub) lexicographic order the vectorized path emits so
+    # downstream tie-breaking is identical
+    try:
+        from ..native import multimums_native
+
+        res = multimums_native(
+            T, SA, LCP, SO, nsamples_main, max(minl, 1), minn
+        )
+    except Exception:
+        res = None
+    if res is not None:
+        ls, lbs, ubs = res
+        order = np.lexsort((ubs, lbs, ls))
+        out = []
+        for i in order.tolist():
+            lbi, ubi = int(lbs[i]), int(ubs[i])
+            coords = tuple(
+                (int(SO[SA[j]]), int(SA[j]))
+                for j in range(lbi, ubi + 1)
+            )
+            out.append((int(ls[i]), ubi - lbi + 1, coords))
+        return out
+
     l, lb, ub = lcp_intervals(LCP, minl)
     width = ub - lb + 1
     keep = (width >= minn) & (width <= nsamples_main)

@@ -92,6 +92,13 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.rtpu_multimums.restype = ctypes.c_int64
+        lib.rtpu_multimums.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 3
         lib.rtpu_split3_full.restype = None
         lib.rtpu_split3_full.argtypes = [ctypes.c_void_p] * 2 + [
             ctypes.c_int64,
@@ -207,6 +214,34 @@ def repair_leading_native(SA, LCP, SAi, begins) -> bool:
         ctypes.c_int64(len(b)),
     )
     return True
+
+
+def multimums_native(T, SA, LCP, SO, nsamples_main, minl, minn):
+    """(l, lb, ub) int64 arrays from the linear LCP-interval stack walk,
+    or None if unavailable / SO is not uint16."""
+    lib = get_lib()
+    if lib is None or SO.dtype != np.uint16:
+        return None
+    n = len(SA)
+    SA = np.ascontiguousarray(SA, dtype=np.int64)
+    LCP = np.ascontiguousarray(LCP, dtype=np.int64)
+    out_l = np.empty(n, dtype=np.int64)
+    out_lb = np.empty(n, dtype=np.int64)
+    out_ub = np.empty(n, dtype=np.int64)
+    cnt = lib.rtpu_multimums(
+        T.ctypes.data,
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        SO.ctypes.data,
+        ctypes.c_int64(n),
+        ctypes.c_int64(nsamples_main),
+        ctypes.c_int64(minl),
+        ctypes.c_int64(minn),
+        out_l.ctypes.data,
+        out_lb.ctypes.data,
+        out_ub.ctypes.data,
+    )
+    return out_l[:cnt], out_lb[:cnt], out_ub[:cnt]
 
 
 def split3_full_native(SA, LCP, SAi, intervals):

@@ -306,6 +306,65 @@ void split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
          out_n);
 }
 
+// multiMUM enumeration: the linear LCP-interval stack walk
+// (getmultimums semantics, reveal.c:436-580).  Emits (l, lb, ub) for
+// every lcp-interval whose width is in [minn, nsamples_main], whose
+// suffixes come from distinct samples, and where some adjacent pair is
+// left-maximal.  Output arrays must hold n entries.
+int64_t multimums_scan(const uint8_t* T, const int64_t* SA,
+                       const int64_t* LCP, const uint16_t* SO, int64_t n,
+                       int64_t nsamples_main, int64_t minl, int64_t minn,
+                       int64_t* out_l, int64_t* out_lb, int64_t* out_ub) {
+  if (minl < 1) minl = 1;
+  int64_t cnt = 0;
+  auto ismultimum = [&](int64_t l, int64_t lb, int64_t ub) -> bool {
+    if (l <= 0) return false;
+    for (int64_t j = lb; j <= ub; ++j) {  // distinct samples (width small)
+      uint16_t s = SO[SA[j]];
+      for (int64_t k = lb; k < j; ++k)
+        if (SO[SA[k]] == s) return false;
+    }
+    for (int64_t j = lb; j < ub; ++j) {  // some adjacent pair left-maximal
+      if (SA[j] == 0 || SA[j + 1] == 0) return true;
+      uint8_t ta = T[SA[j] - 1];
+      uint8_t tb = T[SA[j + 1] - 1];
+      if (ta != tb || ta == 'N' || ta == '$' || (ta >= 'a' && ta <= 'z'))
+        return true;
+    }
+    return false;
+  };
+  auto emit = [&](int64_t l, int64_t lb, int64_t ub) {
+    int64_t w = ub - lb + 1;
+    if (l >= minl && w >= minn && w <= nsamples_main &&
+        ismultimum(l, lb, ub)) {
+      out_l[cnt] = l;
+      out_lb[cnt] = lb;
+      out_ub[cnt] = ub;
+      ++cnt;
+    }
+  };
+  std::vector<std::pair<int64_t, int64_t>> stack;  // (lcp, lb)
+  stack.emplace_back(0, 0);
+  for (int64_t i = 1; i < n; ++i) {
+    int64_t lb = i - 1;
+    while (LCP[i] < stack.back().first) {
+      int64_t l = stack.back().first;
+      int64_t ilb = stack.back().second;
+      stack.pop_back();
+      emit(l, ilb, i - 1);
+      lb = ilb;
+    }
+    if (LCP[i] > stack.back().first) stack.emplace_back(LCP[i], lb);
+  }
+  while (!stack.empty()) {
+    int64_t l = stack.back().first;
+    int64_t ilb = stack.back().second;
+    stack.pop_back();
+    emit(l, ilb, n - 1);
+  }
+  return cnt;
+}
+
 // boundary repair after a split (bubble_sort, reveal.c:666-727 semantics):
 // for every new matching-interval start `begin` (ascending), suffixes that
 // start before the match and whose LCP crosses it are re-inserted at their
@@ -495,6 +554,14 @@ void rtpu_split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
                       int64_t* SAi, const int64_t* iv, int64_t niv,
                       int64_t* sa_buf, int64_t* lcp_buf, int64_t* out_n) {
   split3_full(SA, LCP, n, SAi, iv, niv, sa_buf, lcp_buf, out_n);
+}
+
+int64_t rtpu_multimums(const uint8_t* T, const int64_t* SA,
+                       const int64_t* LCP, const uint16_t* SO, int64_t n,
+                       int64_t nsamples_main, int64_t minl, int64_t minn,
+                       int64_t* out_l, int64_t* out_lb, int64_t* out_ub) {
+  return multimums_scan(T, SA, LCP, SO, n, nsamples_main, minl, minn,
+                        out_l, out_lb, out_ub);
 }
 
 void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,

@@ -91,3 +91,40 @@ def test_rem_same_graph_with_and_without_native_repair(
     main(["rem", str(tmp_path / "a.fa"), str(tmp_path / "b.fa"), "-o",
           out2, "--backend", "np"])
     assert open(out1).read() == open(out2).read()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_native_multimums_matches_numpy_and_oracle(seed):
+    """Native stack-walk multimums == vectorized numpy == literal
+    oracle, including result order."""
+    import reveal_tpu.native as native
+    from reveal_tpu.index.mums import multimums, multimums_oracle
+
+    rng = np.random.default_rng(seed)
+    base = "".join(rng.choice(list("ACGT"), size=500))
+    ts = TextStore()
+    seqs = []
+    for k in range(4):
+        mut = list(base)
+        for _ in range(10):
+            mut[int(rng.integers(0, len(mut)))] = "ACGT"[
+                int(rng.integers(0, 4))
+            ]
+        seqs.append("".join(mut))
+        ts.add_sample("s%d" % k)
+        ts.add_sequence(seqs[-1])
+    T, SO, nsep = ts.build()
+    SA = suffix_array_np(T).astype(np.int64)
+    LCP = lcp_from_sa_np(T, SA).astype(np.int64)
+
+    got_native = multimums(T, SA, LCP, SO, 4, minl=20, minn=2)
+    orig = native.multimums_native
+    try:
+        native.multimums_native = lambda *a, **k: None
+        got_np = multimums(T, SA, LCP, SO, 4, minl=20, minn=2)
+    finally:
+        native.multimums_native = orig
+    assert got_native == got_np
+    want = multimums_oracle(T, SA, LCP, SO, 4, minl=20, minn=2)
+    assert sorted(got_native) == sorted(want)
+    assert len(got_native) > 0
