@@ -83,11 +83,11 @@ def bench_pairhmm(B=128, L=512, iters=5):
     return dev_cps, e2e_cps
 
 
-def bench_rem(f1, f2):
+def bench_rem(*files):
     from reveal_tpu.align.rem import align_genomes
 
     t0 = time.time()
-    G, idx = align_genomes([f1, f2], minlength=20, backend="auto")
+    G, idx = align_genomes(list(files), minlength=20, backend="auto")
     dt = time.time() - t0
     mbp = idx.main.nT / 1e6
     return mbp / dt, dt
@@ -116,6 +116,19 @@ def main():
         extra["rem_3a3b_mbp_per_s"] = round(r33, 3)
     except Exception as e:  # pragma: no cover
         extra["rem_3a3b_error"] = str(e)[:200]
+    try:
+        # multi-genome (multiMUM) path
+        r6, dt6 = bench_rem(
+            "/root/reference/tests/1a.fa",
+            "/root/reference/tests/1b.fa",
+            "/root/reference/tests/1c.fa",
+            "/root/reference/tests/1d.fa",
+            "/root/reference/tests/1e.fa",
+            "/root/reference/tests/1f.fa",
+        )
+        extra["rem_6way_1af_mbp_per_s"] = round(r6, 3)
+    except Exception as e:  # pragma: no cover
+        extra["rem_6way_error"] = str(e)[:200]
 
     dev_cps, e2e_cps = bench_pairhmm()
     dev_wide, _ = bench_pairhmm(B=32, L=2048, iters=3)
