@@ -214,15 +214,27 @@ def multimums(
         res = None
     if res is not None:
         ls, lbs, ubs = res
+        if len(ls) == 0:
+            return []
         order = np.lexsort((ubs, lbs, ls))
+        starts = lbs[order]
+        widths = (ubs - lbs + 1)[order]
+        # vectorized concatenation of all [lb..ub] index ranges
+        total = int(widths.sum())
+        ends = np.cumsum(widths)
+        offs = np.arange(total) - np.repeat(ends - widths, widths)
+        flat = np.repeat(starts, widths) + offs
+        sa_f = SA[flat].tolist()
+        so_f = SO[SA[flat]].tolist()
+        ls_o = ls[order].tolist()
+        w_l = widths.tolist()
+        e_l = ends.tolist()
         out = []
-        for i in order.tolist():
-            lbi, ubi = int(lbs[i]), int(ubs[i])
-            coords = tuple(
-                (int(SO[SA[j]]), int(SA[j]))
-                for j in range(lbi, ubi + 1)
+        for li, w, e in zip(ls_o, w_l, e_l):
+            s = e - w
+            out.append(
+                (li, w, tuple(zip(so_f[s:e], sa_f[s:e])))
             )
-            out.append((int(ls[i]), ubi - lbi + 1, coords))
         return out
 
     l, lb, ub = lcp_intervals(LCP, minl)
