@@ -128,3 +128,29 @@ def test_native_multimums_matches_numpy_and_oracle(seed):
     want = multimums_oracle(T, SA, LCP, SO, 4, minl=20, minn=2)
     assert sorted(got_native) == sorted(want)
     assert len(got_native) > 0
+
+
+def test_multimems_allows_repeats():
+    """multimems: same-sample repeats allowed; n = distinct samples
+    (reveal.c:292-434 semantics)."""
+    from reveal_tpu.index.mums import multimems, multimums
+
+    # a 30bp unit occurring twice in sample a and once in sample b
+    unit = "ACGTTGCAAGTCCGATTAGCATCGGATTCA"
+    ts = TextStore()
+    ts.add_sample("a")
+    ts.add_sequence("GGGG" + unit + "CCCC" + unit + "TTTT")
+    ts.add_sample("b")
+    ts.add_sequence("AAAA" + unit + "GGGG")
+    T, SO, nsep = ts.build()
+    SA = suffix_array_np(T).astype(np.int64)
+    LCP = lcp_from_sa_np(T, SA).astype(np.int64)
+
+    mems = multimems(T, SA, LCP, SO, 2, minl=30, minn=2)
+    # the 3-occurrence repeat appears as a MEM with 2 distinct samples
+    assert any(
+        m[0] >= 30 and m[1] == 2 and len(m[2]) == 3 for m in mems
+    ), mems
+    # but NOT as a multiMUM (sample a occurs twice)
+    mums = multimums(T, SA, LCP, SO, 2, minl=30, minn=2)
+    assert not any(len(m[2]) == 3 for m in mums)
