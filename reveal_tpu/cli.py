@@ -789,7 +789,18 @@ def annotate_cmd(args):
 
 
 def plot_cmd(args):
-    from .viz import mumplot
+    from .viz import bedplot, mumplot
+
+    if len(args.fastas) == 1 and args.fastas[0].endswith(".bed"):
+        # transform BED dotplot (plot.py:154-156)
+        out = bedplot(
+            args.fastas[0],
+            output=args.output,
+            interactive=args.interactive,
+        )
+        if out:
+            log.info("Plot written to: %s", out)
+        return
 
     out = mumplot(
         args.fastas,
@@ -1138,7 +1149,7 @@ def main(argv=None):
     p.set_defaults(func=chop_cmd)
 
     p = sub.add_parser("plot", parents=[gp], help="MUM dotplot of two fasta files.")
-    p.add_argument("fastas", nargs=2)
+    p.add_argument("fastas", nargs="+")
     p.add_argument("-m", "--minlength", type=int, default=20)
     p.add_argument("--norc", action="store_true")
     p.add_argument("--maxmums", type=int, default=10000)

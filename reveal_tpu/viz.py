@@ -236,3 +236,47 @@ def plotgraph(G, s1, s2, interactive=False, region=None, minlength=1, output=Non
         plt.savefig(out)
         plt.close()
         return out
+
+
+def bedplot(bedfile, output=None, interactive=False):
+    """Dotplot of a transform BED's alignment segments
+    (plot.bedplot, plot.py:25-66 — broken in the reference; this is the
+    working equivalent over the same 8-column BED)."""
+    import matplotlib
+
+    if not interactive:
+        matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    xpoints, ypoints = [], []
+    rcx, rcy = [], []
+    with open(bedfile) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            cols = line.rstrip().split("\t")
+            if len(cols) < 8:
+                continue
+            contig = cols[3]
+            orientation = cols[5]
+            alnstart, alnend = int(cols[6]), int(cols[7])
+            parts = contig.split(":")
+            ctgbegin, ctgend = int(parts[-2]), int(parts[-1])
+            if orientation == "-":
+                rcx += [alnstart, alnend, None]
+                rcy += [ctgend, ctgbegin, None]
+            else:
+                xpoints += [alnstart, alnend, None]
+                ypoints += [ctgbegin, ctgend, None]
+    plt.plot(xpoints, ypoints, "r-")
+    plt.plot(rcx, rcy, "g-")
+    plt.xlabel("reference (aligned position)")
+    plt.ylabel("contig")
+    plt.title("reveal-tpu bedplot")
+    if interactive:
+        plt.show()
+        return None
+    out = output or (bedfile + ".png")
+    plt.savefig(out)
+    plt.close()
+    return out

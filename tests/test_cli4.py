@@ -101,3 +101,13 @@ def test_finish_split_files(data, monkeypatch, tmp_path):
     assert per_chrom, "no per-chromosome files written"
     recs = dict(fasta_reader(per_chrom[0]))
     assert recs and all(recs.values())
+
+
+def test_plot_bed(data, monkeypatch, tmp_path):
+    d, _ = data
+    monkeypatch.chdir(tmp_path)
+    run(["transform", d / "ref.fa", d / "qry.fa", "-m", "30",
+         "-c", "100", "--mincluster", "30", "--minchainsum", "30",
+         "--backend", "np", "-o", "bp2"])
+    run(["plot", "bp2.bed"])
+    assert os.path.getsize("bp2.bed.png") > 1000
