@@ -94,3 +94,38 @@ def test_unzip_noop_on_snp():
     assert set(G.nodes) == set(before)
     for n in before:
         assert G.nodes[n].get("seq") == before[n].get("seq")
+
+
+def test_contract_collapses_unary_chains():
+    """simplify.contract merges runs of single-successor/predecessor
+    nodes into one (utils.contract semantics)."""
+    from reveal_tpu.graph.pangraph import PanGraph
+    from reveal_tpu.graph.simplify import contract
+
+    G = PanGraph()
+    G.graph.update(
+        {
+            "paths": ["s"],
+            "path2id": {"s": 0},
+            "id2path": {0: "s"},
+            "startnodes": [],
+            "endnodes": [],
+            "id2end": {0: 9},
+        }
+    )
+    # chain 1 -> 2 -> 3, then a branch point 3 -> {4, 5}
+    G.add_node(1, seq="AAA", offsets={0: 0}, aligned=0)
+    G.add_node(2, seq="CCC", offsets={0: 3}, aligned=0)
+    G.add_node(3, seq="GGG", offsets={0: 6}, aligned=0)
+    G.add_node(4, seq="T", offsets={0: 9}, aligned=0)
+    G.add_node(5, seq="A", offsets={}, aligned=0)
+    G.add_edge(1, 2, paths={0}, ofrom="+", oto="+")
+    G.add_edge(2, 3, paths={0}, ofrom="+", oto="+")
+    G.add_edge(3, 4, paths={0}, ofrom="+", oto="+")
+    G.add_edge(3, 5, paths=set(), ofrom="+", oto="+")
+    order = G.topological_sort()
+    contract(G, order)
+    # 1-2-3 collapse into one node carrying the concatenated sequence
+    seqs = {G.nodes[n].get("seq") for n in G.nodes}
+    assert "AAACCCGGG" in seqs
+    assert not {"AAA", "CCC"} & seqs
