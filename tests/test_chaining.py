@@ -159,3 +159,31 @@ def test_chain_matches_python_fallback():
         assert [
             (m, round(s, 6)) for m, s in got_native
         ] == [(m, round(s, 6)) for m, s in got_py], trial
+
+
+def test_chain_cmd_norecurse_and_gcmodels(tmp_path, capsys):
+    """kdchain options: --norecurse still yields a valid graph; star
+    gap-cost models run end to end."""
+    from reveal_tpu.cli import main
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    rng = np.random.default_rng(12)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    mut = list(base)
+    for _ in range(25):
+        mut[int(rng.integers(0, len(mut)))] = "ACGT"[int(rng.integers(0, 4))]
+    fasta_writer(str(tmp_path / "x.fa"), [("x", base)])
+    fasta_writer(str(tmp_path / "y.fa"), [("y", "".join(mut))])
+
+    for extra, tag in (
+        (["--norecurse"], "nr"),
+        (["--gcmodel", "star-avg"], "sa"),
+        (["--gcmodel", "star-med"], "sm"),
+    ):
+        out = str(tmp_path / ("c_" + tag))
+        rc = main(["chain", str(tmp_path / "x.fa"), str(tmp_path / "y.fa"),
+                   "-m", "20", "-o", out, "--backend", "np"] + extra)
+        assert rc == 0 or rc is None
+        main(["extract", out + ".gfa", "x.fa"])
+        got = "".join(capsys.readouterr().out.split("\n")[1:]).strip()
+        assert got == base, tag
