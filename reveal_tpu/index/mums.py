@@ -282,39 +282,62 @@ def multimems(
     nsamples_main: int,
     minl: int = 0,
     minn: int = 2,
-    max_width: int = 64,
+    bucket_width: int = 64,
 ) -> List[Mum]:
     """Port of getmultimems (reveal.c:292-434): like multimums but samples may
     repeat; n reported = number of distinct samples; requires n >= minn.
-    Intervals wider than max_width are skipped (repeat regions)."""
+
+    All LCP intervals are enumerated like the reference (no width limit);
+    intervals up to ``bucket_width`` wide ride the padded vectorized path,
+    wider ones (rare repeat regions) are checked row-by-row."""
     l, lb, ub = lcp_intervals(LCP, minl)
     width = ub - lb + 1
-    keep = (width >= minn) & (width <= max_width)
+    keep = width >= minn
     l, lb, ub, width = l[keep], lb[keep], ub[keep], width[keep]
     if len(l) == 0:
         return []
-    W = int(width.max())
-    cols = lb[:, None] + np.arange(W)[None, :]
-    valid = cols <= ub[:, None]
-    cols_c = np.minimum(cols, len(SA) - 1)
-    sa_rows = SA[cols_c]
-    so_rows = SO[sa_rows].astype(np.int64)
-    so_rows_m = np.where(valid, so_rows, -1)
-    a = sa_rows[:, :-1]
-    b = sa_rows[:, 1:]
-    pair_valid = valid[:, 1:]
-    lm = _leftmax_vec(T, a, b) & pair_valid
-    anymax = lm.any(axis=1) if W > 1 else np.zeros(len(l), bool)
-    out = []
-    for r in np.nonzero(anymax)[0].tolist():
-        so_set = set(so_rows_m[r][valid[r]].tolist())
-        c = len(so_set)
-        if c < minn:
+
+    rows = []  # (l, lb, ub, n_distinct)
+    wide = width > bucket_width
+    # wide intervals: per-row exact check (reference has no width cap)
+    for r in np.nonzero(wide)[0].tolist():
+        lbi, ubi = int(lb[r]), int(ub[r])
+        seg = SA[lbi : ubi + 1]
+        if not _leftmax_vec(T, seg[:-1], seg[1:]).any():
             continue
+        c = len(np.unique(SO[seg]))
+        if c >= minn:
+            rows.append((int(l[r]), lbi, ubi, c))
+
+    sel = ~wide
+    l, lb, ub, width = l[sel], lb[sel], ub[sel], width[sel]
+    if len(l):
+        W = int(width.max())
+        cols = lb[:, None] + np.arange(W)[None, :]
+        valid = cols <= ub[:, None]
+        cols_c = np.minimum(cols, len(SA) - 1)
+        sa_rows = SA[cols_c]
+        so_rows = SO[sa_rows].astype(np.int64)
+        so_rows_m = np.where(valid, so_rows, -1)
+        a = sa_rows[:, :-1]
+        b = sa_rows[:, 1:]
+        pair_valid = valid[:, 1:]
+        lm = _leftmax_vec(T, a, b) & pair_valid
+        anymax = lm.any(axis=1) if W > 1 else np.zeros(len(l), bool)
+        for r in np.nonzero(anymax)[0].tolist():
+            so_set = set(so_rows_m[r][valid[r]].tolist())
+            c = len(so_set)
+            if c < minn:
+                continue
+            rows.append((int(l[r]), int(lb[r]), int(ub[r]), c))
+
+    rows.sort()
+    out = []
+    for li, lbi, ubi, c in rows:
         coords = tuple(
-            (int(SO[SA[j]]), int(SA[j])) for j in range(lb[r], ub[r] + 1)
+            (int(SO[SA[j]]), int(SA[j])) for j in range(lbi, ubi + 1)
         )
-        out.append((int(l[r]), c, coords))
+        out.append((li, c, coords))
     return out
 
 

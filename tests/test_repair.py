@@ -154,3 +154,33 @@ def test_multimems_allows_repeats():
     # but NOT as a multiMUM (sample a occurs twice)
     mums = multimums(T, SA, LCP, SO, 2, minl=30, minn=2)
     assert not any(len(m[2]) == 3 for m in mums)
+
+
+def test_multimems_wide_interval_no_cap():
+    """Intervals wider than the vectorized bucket (64) are still
+    enumerated: the reference getmultimems has no width cap
+    (reveal.c:292-434)."""
+    from reveal_tpu.index.mums import multimems
+
+    rng = np.random.default_rng(7)
+    unit = "".join(rng.choice(list("ACGT"), size=40))
+    parts = []
+    for _ in range(80):  # 80 scattered occurrences in sample a
+        parts.append(unit)
+        parts.append("".join(rng.choice(list("ACGT"), size=25)))
+    ts = TextStore()
+    ts.add_sample("a")
+    ts.add_sequence("".join(parts))
+    ts.add_sample("b")
+    ts.add_sequence(
+        "".join(rng.choice(list("ACGT"), size=30)) + unit
+        + "".join(rng.choice(list("ACGT"), size=30))
+    )
+    T, SO, nsep = ts.build()
+    SA = suffix_array_np(T).astype(np.int64)
+    LCP = lcp_from_sa_np(T, SA).astype(np.int64)
+
+    mems = multimems(T, SA, LCP, SO, 2, minl=40, minn=2)
+    wide = [m for m in mems if len(m[2]) >= 81]
+    assert wide, "expected the 81-occurrence repeat interval"
+    assert all(m[1] == 2 for m in wide)
