@@ -531,7 +531,17 @@ def finish_cmd(args):
         cutn=args.cutn,
         maxdist=args.maxdist,
         mincluster=args.mincluster,
+        mineventsize=args.mineventsize,
         minchainsum=args.minchainsum,
+        maxmums=args.maxmums,
+        extiter=args.extiter,
+        maxextend=args.maxextend,
+        minlocallength=args.minlocallength,
+        order=args.order,
+        outputtype=args.outputtype,
+        allcontigs=args.allcontigs,
+        fixedsize=args.fixedsize,
+        gapsize=args.gapsize,
         fixedgapsize=args.fixedgapsize,
         outputunmapped=not args.nounplaced,
         backend=args.backend,
@@ -1211,12 +1221,31 @@ def main(argv=None):
     p = sub.add_parser("finish", parents=[gp], help="Order/orient draft contigs into pseudomolecules.")
     p.add_argument("reference")
     p.add_argument("contigs")
-    p.add_argument("-m", "--minlength", type=int, default=20)
-    p.add_argument("--cutn", type=int, default=0)
+    p.add_argument("-m", "--minlength", type=int, default=15,
+                   help="Min MUM length (0 = auto by coverage).")
+    p.add_argument("--cutn", type=int, default=1000)
     p.add_argument("--maxdist", type=int, default=90)
-    p.add_argument("--mincluster", type=int, default=65)
-    p.add_argument("--minchainsum", type=int, default=65)
-    p.add_argument("--fixedgapsize", type=int, default=None)
+    p.add_argument("--mincluster", type=int, default=20)
+    p.add_argument("--order", default="contigs",
+                   choices=["contigs", "chains"],
+                   help="Layout whole contigs, or decomposed chains "
+                        "(splits chimeric contigs).")
+    p.add_argument("--mineventsize", type=int, default=1500)
+    p.add_argument("--minchainsum", type=int, default=1000)
+    p.add_argument("--maxmums", type=int, default=0,
+                   help="Max MUMs per chain DP (0 = all).")
+    p.add_argument("--extiter", type=int, default=3,
+                   help="Local-MUM cluster extension iterations.")
+    p.add_argument("--maxextend", type=int, default=200)
+    p.add_argument("--ml", dest="minlocallength", type=int, default=20)
+    p.add_argument("--graph", dest="outputtype", action="store_const",
+                   const="graph", default="fasta",
+                   help="Emit a GFA breakpoint graph instead of fasta.")
+    p.add_argument("--allcontigs", action="store_true", default=True)
+    p.add_argument("--fixedgapsize", type=int, default=None,
+                   help="Deprecated alias: implies --fixedsize --gapsize N.")
+    p.add_argument("--fixedsize", action="store_true", default=False)
+    p.add_argument("--gapsize", type=int, default=100)
     p.add_argument("--split", action="store_true",
                    help="One fasta file per pseudomolecule.")
     p.add_argument("--nounplaced", action="store_true")
