@@ -130,6 +130,16 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.rtpu_glocal_dp.restype = None
+        lib.rtpu_glocal_dp.argtypes = (
+            [ctypes.c_void_p] * 8
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_double] * 6
+            + [ctypes.c_int64] * 2
+            + [ctypes.c_int]
+            + [ctypes.c_void_p] * 2
+        )
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -345,3 +355,44 @@ def chain_native(starts, lens, nmul, left_start, wpen):
         scores.ctypes.data,
     )
     return link, scores
+
+
+def glocal_dp_native(
+    S1, E1, S2, E2, O, REF, CTG, SCORE, RNG0, RNG1,
+    rearrangecost, inversioncost, _lambda, eps, alfa, gapopen,
+    lastn, lastbp, axis,
+):
+    """Glocal synteny-chain DP over [start] + sorted blocks candidate
+    arrays (transform/blocks.glocalchain non-heap semantics).  Returns
+    (bestidx, bestscore) per block, or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arrs = [
+        np.ascontiguousarray(a, dtype=np.int64)
+        for a in (S1, E1, S2, E2, O, REF, CTG, SCORE)
+    ]
+    rng0 = np.ascontiguousarray(RNG0, dtype=np.int64)
+    rng1 = np.ascontiguousarray(RNG1, dtype=np.int64)
+    ncand = len(arrs[0])
+    nb = ncand - 1
+    best = np.empty(nb, dtype=np.int64)
+    score = np.empty(nb, dtype=np.float64)
+    lib.rtpu_glocal_dp(
+        *[a.ctypes.data for a in arrs],
+        ctypes.c_int64(ncand),
+        rng0.ctypes.data,
+        rng1.ctypes.data,
+        ctypes.c_double(rearrangecost),
+        ctypes.c_double(inversioncost),
+        ctypes.c_double(_lambda),
+        ctypes.c_double(eps),
+        ctypes.c_double(alfa),
+        ctypes.c_double(gapopen),
+        ctypes.c_int64(lastn),
+        ctypes.c_int64(lastbp),
+        ctypes.c_int(axis),
+        best.ctypes.data,
+        score.ctypes.data,
+    )
+    return best, score

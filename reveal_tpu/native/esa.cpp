@@ -10,6 +10,8 @@
 //
 // Exposed via a C ABI for ctypes.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -512,6 +514,139 @@ void chain_dp(const int64_t* starts,  // (k, d) row-major
 
 }  // namespace
 
+// glocal synteny-chain DP (transform.py:947-1244 semantics as re-expressed
+// in transform/blocks.py glocalchain, non-heap window scan): candidates
+// 0..ncand-1 are [start dummy] + sorted blocks; for every block the
+// reversed candidate window is scanned with the validity filters, the
+// dummy-substitution costs (reduced algebraically to
+// gapopen+min(rearrangecost, lambda*|d1|)), the orientation/cross-contig
+// gap costs, and the lastn/lastbp/deepest early stop.  Emits per block the
+// best predecessor candidate index and its DP score.
+namespace {
+
+struct GlocalParams {
+  double rearrangecost, inversioncost, lambda_, eps, alfa, gapopen;
+  int64_t lastn, lastbp;
+  int axis;
+};
+
+static inline double glocal_pair_cost(
+    int64_t pc1e, int64_t pc2, int64_t pc2e, int64_t po, int64_t bc1,
+    int64_t bc2, int64_t bc2e, int64_t bo, const GlocalParams& P) {
+  double d1 = (double)(bc1 - pc1e);
+  if (po == 0 && bo == 0) {
+    if (bc2 < pc2)
+      return P.gapopen + P.rearrangecost + P.eps * (d1 > 0 ? d1 : 0);
+    double d2 = (double)(bc2 - pc2e);
+    double indel =
+        std::min(P.rearrangecost, P.lambda_ * std::fabs(d1 - d2));
+    double sub = P.eps * std::max(std::min(d1, d2), 0.0);
+    return P.gapopen + indel + sub;
+  }
+  if (po == 1 && bo == 1) {
+    if (bc2 > pc2)
+      return P.gapopen + P.rearrangecost + P.eps * (d1 > 0 ? d1 : 0);
+    double d2 = (double)(pc2 - bc2e);
+    double indel =
+        std::min(P.rearrangecost, P.lambda_ * std::fabs(d1 - d2));
+    double sub = P.eps * std::max(std::min(d1, d2), 0.0);
+    return P.gapopen + indel + sub;
+  }
+  double d1m = d1 > 0 ? d1 : 0;
+  double d2 = bc2 > pc2 ? std::max(0.0, (double)(bc2 - pc2e))
+                        : std::max(0.0, (double)(pc2 - bc2e));
+  double indel =
+      std::min(P.rearrangecost, P.lambda_ * std::fabs(d1m - d2));
+  double sub = P.eps * std::max(std::min(d1m, d2), 0.0);
+  return P.gapopen + indel + sub + P.inversioncost;
+}
+
+void glocal_dp(const int64_t* S1, const int64_t* E1, const int64_t* S2,
+               const int64_t* E2, const int64_t* O, const int64_t* REF,
+               const int64_t* CTG, const int64_t* SCORE, int64_t ncand,
+               const int64_t* RNG0, const int64_t* RNG1,
+               const GlocalParams& P, int64_t* out_best,
+               double* out_score) {
+  int64_t nb = ncand - 1;
+  const int64_t* C1 = P.axis == 0 ? S1 : S2;
+  const int64_t* C1E = P.axis == 0 ? E1 : E2;
+  const int64_t* C2 = P.axis == 0 ? S2 : S1;
+  const int64_t* C2E = P.axis == 0 ? E2 : E1;
+  std::vector<double> CS(ncand, 0.0);
+  int64_t deepest = 1;  // candidate index of the first sorted block
+
+  for (int64_t ri = 0; ri < nb; ++ri) {
+    int64_t b = ri + 1;
+    while (C1E[deepest] < C1[b]) deepest++;
+    int64_t deep_c1 = C1[deepest];
+    bool bdum = REF[b] < 0;
+
+    double bestscore = 0;
+    bool have = false;
+    int64_t besti = -1;
+    int64_t l = 0;
+
+    for (int64_t i = ri; i >= 0; --i) {
+      bool pdum = REF[i] < 0;
+      if (!pdum && !bdum) {
+        if (C1[i] == C1[b] || C1E[i] >= C1E[b]) continue;
+        if (C2[i] >= C2[b] && C2E[i] <= C2E[b]) continue;
+      }
+      l++;
+      double cscore = CS[i];
+      bool brk = (C1[b] - C1[i] > P.lastbp) && (l >= P.lastn) &&
+                 (C1[i] < deep_c1);
+      if (have && cscore <= bestscore) {
+        if (brk) break;
+        continue;
+      }
+      double c;
+      double d1 = (double)(C1[b] - C1E[i]);
+      if (pdum && bdum) {
+        c = P.gapopen + std::fabs(d1) * P.eps;
+      } else if (pdum || bdum) {
+        c = P.gapopen +
+            std::min(P.rearrangecost, P.lambda_ * std::fabs(d1));
+      } else if (REF[i] == REF[b] && CTG[i] == CTG[b]) {
+        c = glocal_pair_cost(C1E[i], C2[i], C2E[i], O[i], C1[b], C2[b],
+                             C2E[b], O[b], P);
+      } else if (P.axis == 0 && REF[i] == REF[b]) {
+        double cp = O[i] == 0
+                        ? std::fabs((double)(RNG1[CTG[i]] - E2[i]))
+                        : std::fabs((double)(S2[i] - RNG0[CTG[i]]));
+        double cb = O[b] == 0
+                        ? std::fabs((double)(RNG1[CTG[b]] - E2[b]))
+                        : std::fabs((double)(S2[b] - RNG0[CTG[b]]));
+        c = P.gapopen + std::min(P.rearrangecost, (cp + cb) * P.eps);
+      } else if (P.axis == 1 && CTG[i] == CTG[b]) {
+        double cp = O[i] == 0
+                        ? std::fabs((double)(RNG1[REF[i]] - E1[i]))
+                        : std::fabs((double)(S1[i] - RNG0[REF[i]]));
+        double cb = O[b] == 0
+                        ? std::fabs((double)(S1[b] - RNG0[REF[b]]))
+                        : std::fabs((double)(RNG1[REF[b]] - E1[b]));
+        c = P.gapopen + std::min(P.rearrangecost, (cp + cb) * P.eps);
+      } else {
+        c = P.rearrangecost + P.gapopen + std::fabs(d1) * P.eps;
+      }
+      double v = cscore - c;
+      if (!have || v > bestscore) {
+        bestscore = v;
+        besti = i;
+        have = true;
+      }
+      if (brk) break;
+    }
+
+    double sc = bestscore + P.alfa * (double)SCORE[b];
+    CS[b] = sc;
+    out_best[ri] = besti;
+    out_score[ri] = bestscore;
+  }
+}
+
+}  // namespace
+
 extern "C" {
 
 void rtpu_chain(const int64_t* starts, const int64_t* lens,
@@ -567,6 +702,20 @@ int64_t rtpu_multimums(const uint8_t* T, const int64_t* SA,
 void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,
                   int64_t* LCP, int64_t n) {
   kasai_capped<int64_t>(T, SA, SAi, LCP, n);
+}
+
+void rtpu_glocal_dp(const int64_t* S1, const int64_t* E1, const int64_t* S2,
+                    const int64_t* E2, const int64_t* O, const int64_t* REF,
+                    const int64_t* CTG, const int64_t* SCORE, int64_t ncand,
+                    const int64_t* RNG0, const int64_t* RNG1,
+                    double rearrangecost, double inversioncost,
+                    double lambda_, double eps, double alfa, double gapopen,
+                    int64_t lastn, int64_t lastbp, int axis,
+                    int64_t* out_best, double* out_score) {
+  GlocalParams P{rearrangecost, inversioncost, lambda_, eps,
+                 alfa,          gapopen,       lastn,   lastbp, axis};
+  glocal_dp(S1, E1, S2, E2, O, REF, CTG, SCORE, ncand, RNG0, RNG1, P,
+            out_best, out_score);
 }
 
 }  // extern "C"

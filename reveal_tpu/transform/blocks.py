@@ -214,6 +214,7 @@ def glocalchain(
     eps=1,
     alfa=1,
     gapopen=10,
+    vectorized=True,
 ) -> List[Block]:
     sep = rlength
     start = None
@@ -243,6 +244,26 @@ def glocalchain(
         c1, c2 = 2, 0
 
     syntenyblocks.sort(key=lambda s: (s[c1], -s[5]))
+
+    if vectorized and not useheap:
+        chain = _glocalchain_vec(
+            syntenyblocks,
+            start,
+            end,
+            ctg2range,
+            rearrangecost=rearrangecost,
+            inversioncost=inversioncost,
+            lastn=lastn,
+            lastbp=lastbp,
+            axis=axis,
+            _lambda=_lambda,
+            eps=eps,
+            alfa=alfa,
+            gapopen=gapopen,
+        )
+        if chain is not None:
+            return chain
+        # native kernel unavailable: fall through to the scalar scan
 
     if useheap:
         import sortedcontainers
@@ -436,6 +457,99 @@ def glocalchain(
             maxscore = cscore
 
         G[block] = (bestblock, bestscore)
+
+    node, cscore = G[end]
+    chain = []
+    while node != start:
+        if node[6] is not None:
+            chain.append(node)
+        nnode, _ = G[node]
+        if node == nnode:
+            raise RuntimeError("Loop in chain!")
+        node = nnode
+
+    log.info(
+        "Optimal glocal chain contains %d anchors (score %s)",
+        len(chain),
+        cscore,
+    )
+    return chain[::-1]
+
+
+def _glocalchain_vec(
+    syntenyblocks,
+    start,
+    end,
+    ctg2range,
+    rearrangecost=1000,
+    inversioncost=1,
+    lastn=50,
+    lastbp=10000,
+    axis=0,
+    _lambda=5,
+    eps=1,
+    alfa=1,
+    gapopen=10,
+):
+    """Native bounded-window glocal-chain DP (SURVEY §7 step 8).
+
+    Result-identical to the scalar window scan (glocalchain with
+    useheap=False, the transform.py:947-1180 semantics): the validity
+    filters (transform.py:1040-1056), the dummy-block coordinate
+    substitutions (:1058-1090, which reduce algebraically to
+    ``gapopen + min(rearrangecost, lambda*|d1|)``), the orientation /
+    cross-contig gap-cost cases (gapcost :1182-1244), the
+    lastn/lastbp/deepest early stop and first-improvement tie-breaking
+    all run in the C++ kernel (native/esa.cpp glocal_dp); candidates
+    whose running score cannot improve the best (the reference's
+    ``cscore <= bestscore`` skip) are value-equivalent because costs are
+    non-negative.  Returns None when the native library is unavailable
+    (caller falls back to the scalar loop).  Logs blocks/sec like the
+    reference (transform.py:996-1013)."""
+    import time
+
+    import numpy as np
+
+    try:
+        from ..native import glocal_dp_native
+    except Exception:
+        return None
+
+    n = len(syntenyblocks)
+    cands = [start] + syntenyblocks
+
+    def col(k):
+        return np.array(
+            [0 if b[k] is None else b[k] for b in cands], dtype=np.int64
+        )
+
+    S1, E1, S2, E2, O, SC = (col(k) for k in (0, 1, 2, 3, 4, 5))
+    REF = np.array(
+        [-1 if b[6] is None else b[6] for b in cands], dtype=np.int64
+    )
+    CTG = np.array(
+        [-1 if b[7] is None else b[7] for b in cands], dtype=np.int64
+    )
+    RNG0 = np.array([r[0] for r in ctg2range], dtype=np.int64)
+    RNG1 = np.array([r[1] for r in ctg2range], dtype=np.int64)
+
+    t0 = time.time()
+    res = glocal_dp_native(
+        S1, E1, S2, E2, O, REF, CTG, SC, RNG0, RNG1,
+        float(rearrangecost), float(inversioncost), float(_lambda),
+        float(eps), float(alfa), float(gapopen), int(lastn), int(lastbp),
+        int(axis),
+    )
+    if res is None:
+        return None
+    best, bscore = res
+    rate = n / max(time.time() - t0, 1e-9)
+    log.info("glocalchain: %d blocks at %.0f blocks/sec", n, rate)
+
+    G = {
+        b: (cands[int(best[i])], float(bscore[i]))
+        for i, b in enumerate(syntenyblocks)
+    }
 
     node, cscore = G[end]
     chain = []
