@@ -206,6 +206,10 @@ def refine_cmd(args):
     if not (args.all or args.complex or args.simple):
         log.error("Specify one of --all --simple --complex.")
         sys.exit(1)
+    if getattr(args, "logadd_compat", False):
+        from .hmm.msa import set_logadd_compat
+
+        set_logadd_compat(True)
     G = refine_all(
         G,
         minlength=args.minlength,
@@ -988,6 +992,18 @@ def align_cmd(args):
 # ---------------------------------------------------------------------------
 
 def main(argv=None):
+    # pin the JAX platform before any backend initialization when the
+    # caller asked for one explicitly (REVEAL_TPU_PLATFORM survives
+    # plugin sitecustomize files that rewrite JAX_PLATFORMS at startup)
+    want = os.environ.get("REVEAL_TPU_PLATFORM")
+    if want:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
     logging.addLevelName(TRACE, "TRACE")
     parser = argparse.ArgumentParser(
         prog="reveal-tpu",
@@ -1072,6 +1088,12 @@ def main(argv=None):
         p.add_argument("--constrans", type=int, default=2)
         p.add_argument("--consgap", action="store_true", default=False)
         p.add_argument("--nrefinements", type=int, default=100)
+        p.add_argument(
+            "--logadd-compat", dest="logadd_compat", action="store_true",
+            help="Emulate ProbCons' float32 LOG_ADD lookup-table "
+                 "arithmetic (ScoreType.h) for bit-equivalence attempts; "
+                 "slow scalar mode.",
+        )
         p.add_argument("--uniqueonly", action="store_true")
         p.add_argument("--method", default="reveal_probcons",
                        choices=["reveal_probcons", "reveal_rem", "muscle",

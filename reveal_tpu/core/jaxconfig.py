@@ -19,6 +19,19 @@ def configure_jax() -> None:
         return
     import jax
 
+    # honor an explicit JAX_PLATFORMS=cpu request even when a plugin
+    # sitecustomize overrode the variable at interpreter startup (the
+    # axon TPU tunnel does this); subprocesses of the test/sim harness
+    # rely on it to stay off the accelerator
+    want = os.environ.get("REVEAL_TPU_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS"
+    )
+    if want == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     cache_dir = os.environ.get(
         "REVEAL_TPU_JAX_CACHE", os.path.expanduser("~/.cache/reveal_tpu_jax")
     )

@@ -35,6 +35,16 @@ import numpy as np
 from .pairhmm import batch_posteriors as _batch_posteriors_xla
 
 _use_pallas = None
+_logadd_compat = False
+
+
+def set_logadd_compat(flag: bool) -> None:
+    """Route all posterior computation through the float32 LOG_ADD
+    lookup-table arithmetic (ScoreType.h:185-262 semantics, see
+    hmm/compat.py).  Slow scalar mode for reference bit-equivalence
+    attempts; enabled by ``refine --logadd-compat``."""
+    global _logadd_compat
+    _logadd_compat = bool(flag)
 
 
 def batch_posteriors(pairs, slice_output: bool = True):
@@ -47,6 +57,10 @@ def batch_posteriors(pairs, slice_output: bool = True):
     compiling on the coexisting CPU backend in the same process hangs.
     pairhmm.batch_posteriors keeps its ``device=`` parameter for
     environments where mixed backends work.)"""
+    if _logadd_compat:
+        return _batch_posteriors_xla(
+            pairs, slice_output=slice_output, compat=True
+        )
     global _use_pallas
     if _use_pallas is None:
         try:

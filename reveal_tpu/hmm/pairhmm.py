@@ -440,7 +440,9 @@ def fetch_posteriors(p, tot):
     return dense, tot
 
 
-def batch_posteriors(pairs, slice_output: bool = True, device=None):
+def batch_posteriors(
+    pairs, slice_output: bool = True, device=None, compat: bool = False
+):
     """Batched posteriors for a list of (seq1, seq2) string pairs.
 
     Pads each pair into a power-of-two (L1, L2) bucket, vmaps the masked
@@ -449,7 +451,20 @@ def batch_posteriors(pairs, slice_output: bool = True, device=None):
     execution (jit follows input placement) — used to keep small batches
     on the host CPU device when the default backend is a remote
     accelerator.
+
+    compat=True routes through the float32 LOG_ADD lookup-table twin
+    (hmm/compat.py, ScoreType.h semantics) — slow scalar correctness
+    mode for attempting bit-equivalence with the reference binary.
     """
+    if compat:
+        from .compat import posterior_compat
+
+        out = []
+        for s1, s2 in pairs:
+            p, tot = posterior_compat(s1, s2)
+            out.append((p.astype(np.float32), tot))
+        return out
+
     import jax
 
     _, _, _, batched = _get_kernels()

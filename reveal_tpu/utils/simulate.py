@@ -189,3 +189,267 @@ def evaluate_rem(
         np.mean([r["f1"] for r in per_pair.values()])
     ) if per_pair else 0.0
     return EvalResult(runtime=runtime, per_pair=per_pair, mean_f1=mean_f1)
+
+
+# ---------------------------------------------------------------------------
+# comparative harness: REVEAL vs external aligners (MUGSY / Pecan), with
+# timed subprocess runs and pickled aggregation — the rebuilt equivalent of
+# /root/reference/utils/simulate.py:79-154 (tool runners), :155-266
+# (compare), :318-344 (matrices2summary), :445-563 (main/pickling)
+# ---------------------------------------------------------------------------
+
+def write_population(workdir: str, pop):
+    """Write per-genome fasta + .seqids ground-truth files
+    (simulate.py:384-395 layout).  Returns the fasta paths."""
+    import os
+
+    from ..core.io_fasta import fasta_writer
+
+    fastas = []
+    for name, seq, ids in pop:
+        fn = os.path.join(workdir, name + ".fasta")
+        fasta_writer(fn, [(name, seq)])
+        with open(os.path.join(workdir, name + ".seqids"), "w") as f:
+            f.write(",".join(str(int(i)) for i in ids))
+        fastas.append(fn)
+    return fastas
+
+
+def load_seqids(workdir: str):
+    import glob
+    import os
+
+    samples = {}
+    for fn in glob.glob(os.path.join(workdir, "*.seqids")):
+        name = os.path.splitext(os.path.basename(fn))[0]
+        with open(fn) as f:
+            samples[name] = np.array(
+                [int(x) for x in f.read().split(",")], dtype=np.int64
+            )
+    return samples
+
+
+def score_gfa(gfafile: str, samples: Dict[str, np.ndarray]):
+    """Score a GFA produced by any tool against ground-truth base ids."""
+    from ..core.io_gfa import read_gfa
+
+    G = read_gfa(gfafile)
+    return score_alignment(G, None, samples)
+
+
+def _run_logged(cmd, log_path, cwd):
+    import os
+    import subprocess
+
+    import reveal_tpu
+
+    # make `python -m reveal_tpu.cli` resolvable from any cwd; keep the
+    # existing PYTHONPATH (the TPU plugin site must stay on it)
+    root = os.path.dirname(
+        os.path.dirname(os.path.abspath(reveal_tpu.__file__))
+    )
+    env = dict(os.environ)
+    pp = env.get("PYTHONPATH", "")
+    if root not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = root + (os.pathsep + pp if pp else "")
+    # propagate the parent's platform choice through a variable that
+    # plugin sitecustomize files cannot clobber (the axon TPU plugin
+    # rewrites JAX_PLATFORMS at child startup)
+    if env.get("JAX_PLATFORMS") and "REVEAL_TPU_PLATFORM" not in env:
+        env["REVEAL_TPU_PLATFORM"] = env["JAX_PLATFORMS"]
+    with open(log_path, "w") as lf:
+        t0 = time.time()
+        subprocess.run(
+            cmd, shell=True, check=True, cwd=cwd, stdout=lf,
+            stderr=subprocess.STDOUT, env=env,
+        )
+        return time.time() - t0
+
+
+def run_reveal(run: str, fastas, workdir: str, minlength=20, refine=True):
+    """Timed pipeline run through our own CLI, mirroring
+    simulate.py:79-99 (rem -> unzip -u10 -> refine --all), scored on the
+    final graph."""
+    import os
+    import sys
+
+    py = sys.executable
+    rel = [os.path.basename(f) for f in fastas]
+    steps = [
+        "%s -m reveal_tpu.cli rem %s -m %d -o %s.gfa"
+        % (py, " ".join(rel), minlength, run),
+        "%s -m reveal_tpu.cli unzip -u10 %s.gfa" % (py, run),
+        "%s -m reveal_tpu.cli refine --all %s.unzipped.gfa" % (py, run),
+    ]
+    rt = 0.0
+    for i, cmd in enumerate(steps):
+        rt += _run_logged(
+            cmd, os.path.join(workdir, "%s.step%d.log" % (run, i)), workdir
+        )
+    gfa = os.path.join(workdir, "%s.unzipped.realigned.gfa" % run)
+    samples = load_seqids(workdir)
+    per_pair = score_gfa(gfa, samples)
+    mean_f1 = float(np.mean([r["f1"] for r in per_pair.values()])) if per_pair else 0.0
+    return EvalResult(runtime=rt, per_pair=per_pair, mean_f1=mean_f1)
+
+
+def run_pecan(run: str, fastas, workdir: str):
+    """Timed Pecan run (simulate.py:102-122): pecan -G out.fasta -F
+    <fastas>, converted to GFA with `convert --aligned`, scored.
+    Raises RuntimeError when pecan is not on PATH."""
+    import os
+    import shutil
+    import sys
+
+    exe = shutil.which("pecan") or shutil.which("java")
+    if shutil.which("pecan") is None:
+        raise RuntimeError(
+            "pecan is not on PATH; install it to run the comparative "
+            "harness (same requirement as the reference)"
+        )
+    rel = [os.path.basename(f) for f in fastas]
+    rt = _run_logged(
+        "pecan -G %s.fasta -F %s" % (run, " ".join(rel)),
+        os.path.join(workdir, "%s.pecan.log" % run),
+        workdir,
+    )
+    _run_logged(
+        "%s -m reveal_tpu.cli convert %s.fasta --aligned"
+        % (sys.executable, run),
+        os.path.join(workdir, "%s.pecanconv.log" % run),
+        workdir,
+    )
+    samples = load_seqids(workdir)
+    per_pair = score_gfa(os.path.join(workdir, "%s.gfa" % run), samples)
+    mean_f1 = float(np.mean([r["f1"] for r in per_pair.values()])) if per_pair else 0.0
+    return EvalResult(runtime=rt, per_pair=per_pair, mean_f1=mean_f1)
+
+
+def run_mugsy(run: str, fastas, workdir: str, retries: int = 10):
+    """Timed MUGSY run (simulate.py:124-153) with the reference's retry
+    loop; MAF output converted to GFA and scored.  Raises RuntimeError
+    when mugsy is not on PATH."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which("mugsy") is None:
+        raise RuntimeError(
+            "mugsy is not on PATH; install it to run the comparative "
+            "harness (same requirement as the reference)"
+        )
+    rel = [os.path.basename(f) for f in fastas]
+    cmd = "mugsy --directory %s --prefix %s %s" % (workdir, run, " ".join(rel))
+    rt = None
+    for i in range(retries):
+        try:
+            rt = _run_logged(
+                cmd, os.path.join(workdir, "%s.mugsy.log" % run), workdir
+            )
+            break
+        except subprocess.CalledProcessError:
+            log.warning("mugsy run failed (%d), retrying", i)
+    if rt is None:
+        raise RuntimeError("mugsy failed after %d retries" % retries)
+    _run_logged(
+        "%s -m reveal_tpu.cli convert %s.maf" % (sys.executable, run),
+        os.path.join(workdir, "%s.mafconv.log" % run),
+        workdir,
+    )
+    samples = load_seqids(workdir)
+    per_pair = score_gfa(os.path.join(workdir, "%s.gfa" % run), samples)
+    mean_f1 = float(np.mean([r["f1"] for r in per_pair.values()])) if per_pair else 0.0
+    return EvalResult(runtime=rt, per_pair=per_pair, mean_f1=mean_f1)
+
+
+_TOOL_RUNNERS = {
+    "reveal": run_reveal,
+    "pecan": run_pecan,
+    "mugsy": run_mugsy,
+}
+
+
+def compare_tools(
+    tools=("reveal",),
+    n: int = 4,
+    length: int = 20000,
+    seed: int = 0,
+    workdir: str = ".",
+    pickle_to=None,
+    **kw,
+):
+    """Run every tool on one simulated population and score it; returns
+    {tool: EvalResult}.  Tools whose binaries are absent are recorded as
+    errors rather than aborting the sweep.  pickle_to writes the
+    aggregate dict like the reference's pickled performance results
+    (simulate.py:453,489)."""
+    import os
+    import pickle
+
+    os.makedirs(workdir, exist_ok=True)
+    pop = simulate_population(n, length, seed=seed)
+    fastas = write_population(workdir, pop)
+
+    results = {}
+    for tool in tools:
+        runner = _TOOL_RUNNERS[tool]
+        run = "%s_n%d_s%d" % (tool, n, seed)
+        try:
+            results[tool] = runner(run, fastas, workdir, **(
+                kw if tool == "reveal" else {}
+            ))
+            log.info(
+                "%s: mean F1 %.4f in %.1fs",
+                tool, results[tool].mean_f1, results[tool].runtime,
+            )
+        except Exception as e:
+            log.warning("%s failed: %s", tool, e)
+            results[tool] = e
+
+    if pickle_to:
+        with open(pickle_to, "wb") as f:
+            pickle.dump(
+                {
+                    t: (
+                        dict(
+                            runtime=r.runtime,
+                            per_pair=r.per_pair,
+                            mean_f1=r.mean_f1,
+                        )
+                        if isinstance(r, EvalResult)
+                        else repr(r)
+                    )
+                    for t, r in results.items()
+                },
+                f,
+            )
+    return results
+
+
+def summarize(per_pair: dict) -> dict:
+    """Population-level summary like matrices2summary
+    (simulate.py:318-344): pooled sensitivity/precision/F1 over all
+    pairs."""
+    tp = sum(r["tp"] for r in per_pair.values())
+    fp = sum(r["fp"] for r in per_pair.values())
+    fn = sum(r["fn"] for r in per_pair.values())
+    sens = tp / (tp + fn) if (tp + fn) else 1.0
+    prec = tp / (tp + fp) if (tp + fp) else 1.0
+    f1 = 2 * sens * prec / (sens + prec) if (sens + prec) else 0.0
+    return dict(sensitivity=sens, precision=prec, f1=f1, tp=tp, fp=fp, fn=fn)
+
+
+def print_results(results: dict):
+    """Console table like the reference's print_results
+    (simulate.py:395-443)."""
+    for tool, r in sorted(results.items()):
+        if isinstance(r, EvalResult):
+            s = summarize(r.per_pair)
+            print(
+                "%-8s runtime=%8.2fs sens=%.4f prec=%.4f f1=%.4f"
+                % (tool, r.runtime, s["sensitivity"], s["precision"],
+                   s["f1"])
+            )
+        else:
+            print("%-8s FAILED: %s" % (tool, r))
