@@ -146,9 +146,15 @@ def _num_levels(n: int) -> int:
 _jit_cache = {}
 
 
-def _get_build_fn():
-    """Module-level cached jitted builder (one compile per size bucket)."""
-    fn = _jit_cache.get("build")
+def _get_build_fn(use64: bool = False):
+    """Module-level cached jitted builder (one compile per size bucket).
+
+    use64 builds with int64 ranks/indices — the device twin of the
+    reference's reveallib64 module (setup.py:21-31) for texts at or
+    beyond 2^31; requires jax_enable_x64 at call time (build_esa_jax
+    toggles it around the dispatch)."""
+    key = "build64" if use64 else "build"
+    fn = _jit_cache.get(key)
     if fn is not None:
         return fn
 
@@ -159,17 +165,19 @@ def _get_build_fn():
 
     configure_jax()
 
+    idt = jnp.int64 if use64 else jnp.int32
+
     @partial(jax.jit, static_argnums=(1,))
     def _build(T, nlev):
         n = T.shape[0]
-        i32 = jnp.int32
+        i32 = idt
         rank0 = T.astype(i32)
         iar = jnp.arange(n, dtype=i32)
 
         def round_fn(carry, lev):
             rank, done, sa = carry
-            k = (jnp.int32(1) << lev).astype(i32)
-            key2 = jnp.where(iar + k < n, rank[(iar + k) % n], jnp.int32(-1))
+            k = (i32(1) << lev).astype(i32)
+            key2 = jnp.where(iar + k < n, rank[(iar + k) % n], i32(-1))
             # lexicographic sort by (rank, rank[i+k]) carrying the index
             sk1, sk2, new_sa = jax.lax.sort((rank, key2, iar), num_keys=2)
             diff = jnp.concatenate(
@@ -200,8 +208,8 @@ def _get_build_fn():
 
         def lcp_level(carry, lev_rev):
             a, b, h = carry
-            lev = jnp.int32(nlev - 1) - lev_rev
-            k = (jnp.int32(1) << lev).astype(i32)
+            lev = i32(nlev - 1) - lev_rev
+            k = (i32(1) << lev).astype(i32)
             rk = ranks[lev]
             ok = (a + k <= n) & (b + k <= n)
             ai = jnp.minimum(a, n - 1)
@@ -217,7 +225,7 @@ def _get_build_fn():
             lcp_level, (a0, b0, h0), jnp.arange(nlev, dtype=i32)
         )
 
-        stop = jnp.where((T == SENTINEL) | (T == N_BYTE), iar, jnp.int32(n))
+        stop = jnp.where((T == SENTINEL) | (T == N_BYTE), iar, i32(n))
         sufmin = jax.lax.associative_scan(jnp.minimum, stop, reverse=True)
         d = sufmin - iar
         lcp = jnp.minimum(plain, jnp.minimum(d[sa[:-1]], d[sa[1:]]))
@@ -226,16 +234,21 @@ def _get_build_fn():
         sai = jnp.zeros(n, i32).at[sa].set(iar)
         return sa, lcp, sai
 
-    _jit_cache["build"] = _build
+    _jit_cache[key] = _build
     return _build
 
 
-def build_esa_jax(T_np: np.ndarray):
+def build_esa_jax(T_np: np.ndarray, force64: bool = False):
     """Device construction of (SA, LCP, SAi) for uint8 text.
 
     Runs the full doubling pipeline on the default JAX device under jit.
     Returns numpy int64 arrays (host) — downstream recursion bookkeeping is
     host-side; hot rescans go back to device.
+
+    Texts of 2^31 bytes or more automatically use the int64 builder (the
+    device twin of the reference's dual reveallib/reveallib64 build,
+    setup.py:21-31); force64 selects it explicitly so the 64-bit path
+    can be exercised at reduced scale.
     """
     import jax
     import jax.numpy as jnp
@@ -256,10 +269,20 @@ def build_esa_jax(T_np: np.ndarray):
     T_np = T_padded
     nlev = int(math.log2(npad)) + 1
 
-    if n >= 2**31:
-        raise NotImplementedError("64-bit device ESA not yet implemented; use backend='np'")
-
-    sa, lcp, sai = _get_build_fn()(jnp.asarray(T_np), nlev)
+    use64 = force64 or npad >= 2**31
+    if use64:
+        # int64 array math requires the x64 flag; scope it to this
+        # dispatch (jit caches are keyed on the flag, so toggling is safe)
+        prev = bool(jax.config.jax_enable_x64)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            sa, lcp, sai = _get_build_fn(use64=True)(
+                jnp.asarray(T_np), nlev
+            )
+        finally:
+            jax.config.update("jax_enable_x64", prev)
+    else:
+        sa, lcp, sai = _get_build_fn()(jnp.asarray(T_np), nlev)
     sa = np.asarray(jax.device_get(sa), dtype=np.int64)
     lcp = np.asarray(jax.device_get(lcp), dtype=np.int64)
     sai = np.asarray(jax.device_get(sai), dtype=np.int64)

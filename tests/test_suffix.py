@@ -148,3 +148,29 @@ def test_device_mum_mask_matches_host():
     dev = sorted(zip(l.tolist(), a.tolist(), b.tolist()))
     hst = sorted((m[0], m[2][0][1], m[2][1][1]) for m in host)
     assert dev == hst
+
+
+def test_device_esa_64bit_builder():
+    """The int64 device builder (reveallib64 twin, setup.py:21-31) must
+    agree with the 32-bit builder and the numpy oracle at reduced scale;
+    texts >= 2^31 select it automatically (suffix.py build_esa_jax)."""
+    from reveal_tpu.core.textstore import TextStore
+    from reveal_tpu.index.suffix import build_esa_jax
+
+    rng = np.random.default_rng(13)
+    ts = TextStore()
+    ts.add_sample("a")
+    ts.add_sequence("".join(rng.choice(list("ACGTN"), size=700)))
+    ts.add_sample("b")
+    ts.add_sequence("".join(rng.choice(list("ACGT"), size=500)))
+    T, SO, nsep = ts.build()
+
+    sa32, lcp32, sai32 = build_esa_jax(T)
+    sa64, lcp64, sai64 = build_esa_jax(T, force64=True)
+    assert np.array_equal(sa32, sa64)
+    assert np.array_equal(lcp32, lcp64)
+    assert np.array_equal(sai32, sai64)
+    want_sa = suffix_array_np(T)
+    want_lcp = lcp_from_sa_np(T, want_sa)
+    assert np.array_equal(sa64, want_sa)
+    assert np.array_equal(lcp64, want_lcp)
