@@ -27,7 +27,6 @@ from ..core.io_fasta import fasta_reader
 from ..core.textstore import TextStore
 from ..graph.pangraph import PanGraph
 from ..index.esa_index import ESAIndex
-from ..index.frontier import frontier_mums
 from .graphops import (
     IntervalIndex,
     breaknode,
@@ -132,73 +131,118 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
 def _align_loop_frontier(
     G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
 ):
-    """Level-synchronous variant of _align_loop (the BASELINE.json
-    north-star shape): every level's pairwise-MUM enumeration runs as ONE
-    batched device dispatch over all pending segments
-    (index/frontier.py), then picking / graph surgery / splitting
-    proceed on the host per segment in deterministic level order.
+    """Device-resident level-synchronous recursion (the BASELINE.json
+    north-star shape): T/SA/LCP/segment-ids live on the device across
+    levels (index/devfrontier.py).  Each level = one batched enumerate
+    dispatch (pairwise conditions, or the PSV/NSV multiMUM formulation
+    when >2 samples — no host fallback) + host picking / graph surgery +
+    one batched apply dispatch (classification, segmented running-min
+    LCP split, stable partition, text lowercase).  Boundary repairs
+    (bubble_sort, reveal.c:666-727) are detected on device and fixed by
+    fetching only the affected leading children.
 
     Per-segment decisions are independent (each segment owns disjoint
     text and graph regions), so the result is semantically identical to
-    the LIFO loop; only GFA node numbering may differ.  Segments with
-    precomputed skipmums or >2 samples fall back to host enumeration
-    inside the same level."""
-    import jax.numpy as jnp
+    the LIFO loop; only GFA node numbering may differ."""
+    import numpy as _np
 
+    from ..index.devfrontier import DeviceFrontier, SegDesc
+
+    main = root.main
     picker = MumPicker(G, t, cfg)
-    nsep0 = int(root.main.nsep[0])
-    level = [root]
-    steps = 0
-    dispatches = 0
-    while level:
-        # refresh the device text every level: graphalign lowercases
-        # matched regions, and the left-maximality test reads them
-        T_dev = jnp.asarray(root.main.T)
-        enum_idx = [
-            i
-            for i, seg in enumerate(level)
-            if len(seg.skipmums) == 0
-            and seg.main.nsamples == 2
-            and seg.n >= 2
-        ]
-        batched = (
-            frontier_mums(
-                [(level[i].SA, level[i].LCP) for i in enum_idx],
-                T_dev,
-                nsep0,
-                cfg.minlength,
-            )
-            if enum_idx
-            else []
-        )
-        dispatches += 1
-        mums_for = dict(zip(enum_idx, batched))
+    dev = DeviceFrontier(
+        main.T,
+        root.SA,
+        root.LCP,
+        main.SO if main.SO is not None and len(main.SO) else
+        _np.zeros(len(main.T), _np.uint16),
+        int(main.nsep[0]),
+        main.nsamples,
+    )
+    multi_mode = main.nsamples > 2
 
-        nxt = []
-        for i, idx in enumerate(level):
-            if i in mums_for:
-                precomputed = False
-                mums = mums_for[i]
-            elif len(idx.skipmums) == 0:
-                precomputed = False
-                if idx.main.nsamples > 2:
-                    mums = idx.getmultimums(
-                        minlength=cfg.minlength, minn=cfg.minn
+    segs = {
+        0: SegDesc(
+            sid=0,
+            start=0,
+            n=dev.n,
+            depth=0,
+            nsamples=main.nsamples,
+            nodes=root.nodes,
+            left_node=root.left_node,
+            right_node=root.right_node,
+            skipmums=list(root.skipmums),
+        )
+    }
+    steps = 0
+    levels = 0
+    while segs:
+        levels += 1
+        sids = sorted(segs)
+        starts = _np.array([segs[s].start for s in sids])
+
+        # ---- enumerate all segments in one dispatch -------------------
+        mums_for = {}
+        need = any(not segs[s].skipmums for s in sids)
+        if need and multi_mode:
+            ls, lbs, ubs, sa_rows, so_rows = dev.enumerate_multi(
+                cfg.minlength, cfg.minn
+            )
+            if len(ls):
+                trip = _np.stack([ls, lbs, ubs], axis=1)
+                _, uniq = _np.unique(trip, axis=0, return_index=True)
+                uniq = _np.sort(uniq)
+                order = uniq[
+                    _np.lexsort(
+                        (ubs[uniq], lbs[uniq], ls[uniq])
                     )
-                else:
-                    mums = idx.getmums_rem(cfg.minlength)
-            else:
+                ]
+                owner = _np.searchsorted(
+                    starts, lbs[order], side="right"
+                ) - 1
+                for k, oi in zip(order.tolist(), owner.tolist()):
+                    w = int(ubs[k] - lbs[k] + 1)
+                    coords = tuple(
+                        (int(so_rows[k, c]), int(sa_rows[k, c]))
+                        for c in range(w)
+                    )
+                    mums_for.setdefault(sids[oi], []).append(
+                        (int(ls[k]), w, coords)
+                    )
+        elif need:
+            slots, l, a, b = dev.enumerate_pairwise(cfg.minlength)
+            owner = _np.searchsorted(starts, slots, side="right") - 1
+            for k in range(len(slots)):
+                mums_for.setdefault(sids[int(owner[k])], []).append(
+                    (int(l[k]), 2, ((0, int(a[k])), (1, int(b[k]))))
+                )
+
+        # ---- pick + graph surgery per segment in level order ----------
+        S = len(sids)
+        seg_map = _np.full((S, 5), -1, dtype=_np.int32)
+        sid_index = {s: i for i, s in enumerate(sids)}
+        intervals = []
+        matches_all = []
+        repair_jobs = []  # (lead_sid, sorted own match begins)
+        child_descs = {}
+        next_sid = 0
+
+        for s in sids:
+            seg = segs[s]
+            if seg.skipmums:
                 precomputed = True
-                mums = idx.skipmums
+                mums = seg.skipmums
+            else:
+                precomputed = False
+                mums = mums_for.get(s, [])
 
             pick = picker(
-                mums, idx, precomputed=precomputed, minlength=cfg.minlength
+                mums, seg, precomputed=precomputed, minlength=cfg.minlength
             )
             if not pick:
                 continue
             splitmum, skipleft, skipright = pick
-            l, n, spd = splitmum
-            result = graphalign(G, t, idx, splitmum)
+            ml, mn, spd = splitmum
             (
                 leading,
                 trailing,
@@ -207,32 +251,85 @@ def _align_loop_frontier(
                 merged,
                 newleft,
                 newright,
-            ) = result
-            sp_positions = [p for gid, p in spd]
-            lead_idx, trail_idx, par_idx = idx.split_segments(
-                leading,
-                trailing,
-                matching,
-                rest,
-                sp_positions,
-                l,
-                newleft,
-                newright,
-                skipleft=skipleft,
-                skipright=skipright,
-            )
+            ) = graphalign(G, t, seg, splitmum)
             steps += 1
-            if par_idx is not None:
-                nxt.append(par_idx)
-            if lead_idx is not None:
-                nxt.append(lead_idx)
-            if trail_idx is not None:
-                nxt.append(trail_idx)
-        level = nxt
+            sp_positions = [p for gid, p in spd]
+            own_matches = sorted(matching)
+            matches_all.extend(own_matches)
+            for bgn, end in matching:
+                intervals.append((bgn, end, 3))
+
+            def _mk(desc_nodes, cls, left, right, skip):
+                nonlocal next_sid
+                for bgn, end in desc_nodes:
+                    intervals.append((bgn, end, cls))
+                if not desc_nodes:
+                    return None
+                sid = next_sid
+                next_sid += 1
+                seg_map[sid_index[s], cls] = sid
+                seen = {int(main.SO[bgn]) for bgn, _e in desc_nodes}
+                child_descs[sid] = SegDesc(
+                    sid=sid,
+                    start=0,
+                    n=0,
+                    depth=seg.depth + 1,
+                    nsamples=len(seen),
+                    nodes=set(desc_nodes),
+                    left_node=left,
+                    right_node=right,
+                    skipmums=list(skip or []),
+                )
+                return sid
+
+            # child creation order mirrors the push order parallel,
+            # leading, trailing (reveal.c:1295-1324)
+            _mk(rest, 4, seg.left_node, seg.right_node, [])
+            lead_sid = _mk(leading, 1, seg.left_node, newright, skipleft)
+            _mk(trailing, 2, newleft, seg.right_node, skipright)
+            if lead_sid is not None:
+                repair_jobs.append(
+                    (lead_sid, [bgn for bgn, _e in own_matches])
+                )
+
+        # host text mirror follows the device lowercase (prune_nodes and
+        # later library use read main.T); matched regions lowercase even
+        # when no child segments remain (reveal.c:1230-1234 runs
+        # unconditionally)
+        for bgn, end in matches_all:
+            tt = main.T[bgn:end]
+            low = (tt >= ord("A")) & (tt <= ord("Z"))
+            tt[low] += 32
+
+        if next_sid == 0:
+            break
+
+        # ---- apply split + lowercase on device ------------------------
+        counts, rcount = dev.apply_level(
+            intervals, seg_map, matches_all, repair_jobs
+        )
+
+        offsets = _np.zeros(len(counts) + 1, dtype=_np.int64)
+        offsets[1:] = _np.cumsum(counts)
+        nxt = {}
+        for sid, desc in child_descs.items():
+            cnt = int(counts[sid])
+            if cnt == 0:
+                continue
+            desc.start = int(offsets[sid])
+            desc.n = cnt
+            nxt[sid] = desc
+
+        # ---- boundary repair on affected leading children -------------
+        for lead_sid, begins in repair_jobs:
+            if lead_sid in nxt and begins and int(rcount[lead_sid]) > 0:
+                d = nxt[lead_sid]
+                dev.repair_child(d.start, d.n, begins)
+
+        segs = nxt
+
     log.debug(
-        "frontier alignment: %d anchor steps in %d level dispatches",
-        steps,
-        dispatches,
+        "device frontier: %d anchor steps in %d levels", steps, levels
     )
     return steps
 

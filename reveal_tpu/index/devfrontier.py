@@ -1,0 +1,597 @@
+"""Device-resident recursion frontier.
+
+The BASELINE.json north-star engine: the whole ESA recursion state
+(T, SA, LCP, per-slot segment id, SO) lives on the device across frontier
+levels; each level runs TWO fused jitted dispatches —
+
+* ``enumerate``: candidate MUMs for every live segment at once.  Pairwise
+  mode evaluates the reveal.c:119-180 conditions elementwise (straddle /
+  left-maximality / uniqueness, with segment-boundary guards); multi mode
+  derives LCP-intervals via PSV/NSV pointer doubling (the segmented
+  re-expression of the reveal.c:436-580 stack walk) and applies the
+  ismultimum checks (distinct samples + some adjacent pair left-maximal,
+  reveal.c:227-259) over padded interval rows.  Candidates are compacted
+  on device (jnp.nonzero with static size) so only K×few int32 come back
+  over the wire.
+
+* ``apply``: given the host picker/graph-surgery decisions as a flat
+  interval table (begin, end, class) + a (segment × class) -> new-segment
+  map, classify every SA slot by searchsorted over the disjoint
+  intervals, recompute child LCPs as per-class segmented running-min
+  scans over the parent layout (the split() running-min of
+  reveal.c:582-664), stable-sort slots by new segment id, lowercase the
+  matched text, and flag slots whose LCP crosses a new match boundary
+  (bubble_sort candidates, reveal.c:666-727).
+
+Only the graph surgery (host data structure), the anchor picking, and the
+rare boundary repairs (fetched per affected child, fixed by the native
+C++ repair kernel, scattered back) stay on the host.  Host SA/SAi copies
+are never materialized.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_kern_cache = {}
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(1, int(math.ceil(math.log2(max(x, 2)))))
+
+
+def _bucket8(x: int) -> int:
+    """Coarse power-of-8 ladder for padded table sizes: fewer distinct
+    jit shapes (each (NI, NM, NK, SCAP) combination is one compile, and
+    compiles are expensive over a remote-compile tunnel)."""
+    b = 8
+    while b < x:
+        b *= 8
+    return b
+
+
+# ---------------------------------------------------------------------------
+# segment descriptor (host bookkeeping; no SA/LCP copies)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SegDesc:
+    """Host-side view of one live segment of the packed device arrays.
+
+    Mirrors the reference RevealIndex recursion fields (reveal.h:17-40)
+    minus the array slices, which stay on device; ``start``/``n`` locate
+    the segment's contiguous slot range after the level sort."""
+
+    sid: int
+    start: int
+    n: int
+    depth: int
+    nsamples: int
+    nodes: set = field(default_factory=set)
+    left_node: object = None
+    right_node: object = None
+    skipmums: list = field(default_factory=list)
+
+    # the MumPicker reads idx.main.nsamples via ESAIndex; here the driver
+    # passes global sample count separately, so keep a compatible shim
+    main = None
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _get_enum_pairwise(K1: int):
+    key = ("pw", K1)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.encoding import N_BYTE, SENTINEL
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    @jax.jit
+    def enum_pw(T, SA, LCP, SEG, nsep0, minl):
+        n = SA.shape[0]
+        prev = jnp.roll(SA, 1)
+        seg_prev = jnp.roll(SEG, 1)
+        l = LCP
+        straddle = (SA > nsep0) != (prev > nsep0)
+        a = jnp.minimum(SA, prev)
+        b = jnp.maximum(SA, prev)
+        ta = T[jnp.maximum(a - 1, 0)]
+        tb = T[jnp.maximum(b - 1, 0)]
+        lower = (ta >= ord("a")) & (ta <= ord("z"))
+        leftmax = (
+            (a == 0)
+            | (b == 0)
+            | (ta != tb)
+            | (ta == N_BYTE)
+            | (ta == SENTINEL)
+            | lower
+        )
+        lcp_next = jnp.concatenate([LCP[1:], jnp.zeros(1, LCP.dtype)])
+        lcp_prev = jnp.roll(LCP, 1)
+        unique = (lcp_prev < l) & (lcp_next < l)
+        iar = jnp.arange(n)
+        mask = (
+            (iar >= 1)
+            & (SEG >= 0)
+            & (SEG == seg_prev)
+            & (l >= minl)
+            & (l > 0)
+            & straddle
+            & leftmax
+            & unique
+        )
+        count = jnp.sum(mask.astype(jnp.int32))
+        (slots,) = jnp.nonzero(mask, size=K1, fill_value=n - 1)
+        valid = jnp.arange(K1) < count
+        return (
+            slots.astype(jnp.int32),
+            l[slots].astype(jnp.int32),
+            a[slots].astype(jnp.int32),
+            b[slots].astype(jnp.int32),
+            valid,
+            count,
+        )
+
+    _kern_cache[key] = enum_pw
+    return enum_pw
+
+
+def _get_enum_multi(K2: int, W: int):
+    key = ("mm", K2, W)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.encoding import N_BYTE, SENTINEL
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    @jax.jit
+    def enum_mm(T, SA, LCP, SEG, SO, minl, minn, nsamples_main):
+        n = SA.shape[0]
+        iar = jnp.arange(n, dtype=jnp.int32)
+
+        # PSV/NSV by pointer doubling (segment-local for free: every
+        # segment's first slot has LCP 0, which stops any l >= 1 run)
+        def psv_round(psv, _):
+            valid = psv >= 0
+            tgt = jnp.where(valid, psv, 0)
+            jump = valid & (LCP[tgt] >= LCP)
+            return jnp.where(jump, psv[tgt], psv), None
+
+        def nsv_round(nsv, _):
+            valid = nsv < n
+            tgt = jnp.where(valid, nsv, n - 1)
+            jump = valid & (LCP[tgt] >= LCP)
+            return jnp.where(jump, nsv[tgt], nsv), None
+
+        rounds = max(2, int(math.ceil(math.log2(max(n, 2)))) + 2)
+        psv0 = iar - 1
+        nsv0 = iar + 1
+        psv, _ = jax.lax.scan(psv_round, psv0, None, length=rounds)
+        nsv, _ = jax.lax.scan(nsv_round, nsv0, None, length=rounds)
+
+        lb = jnp.maximum(psv, 0)
+        ub = nsv - 1
+        width = ub - lb + 1
+        cand = (
+            (SEG >= 0)
+            & (LCP >= jnp.maximum(minl, 1))
+            & (width >= minn)
+            & (width <= nsamples_main)
+        )
+        count = jnp.sum(cand.astype(jnp.int32))
+        (slots,) = jnp.nonzero(cand, size=K2, fill_value=n - 1)
+        valid = jnp.arange(K2) < count
+
+        lbs = lb[slots]
+        ubs = ub[slots]
+        ls = LCP[slots]
+
+        cols = lbs[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+        inrow = cols <= ubs[:, None]
+        cols_c = jnp.minimum(cols, n - 1)
+        sa_rows = SA[cols_c]
+        so_rows = SO[sa_rows].astype(jnp.int32)
+        # distinct samples: sort each padded row with unique fillers
+        so_pad = jnp.where(
+            inrow,
+            so_rows,
+            jnp.int32(-1) - jnp.arange(W, dtype=jnp.int32)[None, :],
+        )
+        so_sorted = jnp.sort(so_pad, axis=1)
+        distinct = jnp.all(so_sorted[:, 1:] != so_sorted[:, :-1], axis=1)
+
+        a = sa_rows[:, :-1]
+        b = sa_rows[:, 1:]
+        ta = T[jnp.maximum(a - 1, 0)]
+        tb = T[jnp.maximum(b - 1, 0)]
+        lower = (ta >= ord("a")) & (ta <= ord("z"))
+        lm = (
+            (a == 0)
+            | (b == 0)
+            | (ta != tb)
+            | (ta == N_BYTE)
+            | (ta == SENTINEL)
+            | lower
+        ) & inrow[:, 1:]
+        anymax = jnp.any(lm, axis=1)
+
+        ok = valid & distinct & anymax
+        return (
+            ls.astype(jnp.int32),
+            lbs.astype(jnp.int32),
+            ubs.astype(jnp.int32),
+            sa_rows.astype(jnp.int32),
+            so_rows.astype(jnp.int32),
+            ok,
+            count,
+        )
+
+    _kern_cache[key] = enum_mm
+    return enum_mm
+
+
+def _get_apply(NI: int, SCAP: int):
+    """Level-apply kernel, keyed on interval-table bucket NI and segment
+    bucket SCAP (both static)."""
+    key = ("apply", NI, SCAP)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    def seg_min_scan(values, reset):
+        """min of values since the last slot where reset was True
+        (inclusive of the current slot)."""
+
+        def combine(x, y):
+            m1, f1 = x
+            m2, f2 = y
+            return jnp.where(f2, m2, jnp.minimum(m1, m2)), f1 | f2
+
+        m, _ = jax.lax.associative_scan(combine, (values, reset))
+        return m
+
+    def pair_search(ks, kb, qs, qb, right: bool):
+        """Vectorized lower/upper bound over sorted (sid, begin) pairs."""
+        import jax.numpy as jnp
+
+        m = ks.shape[0]
+        lo = jnp.zeros_like(qs)
+        hi = jnp.full_like(qs, m)
+        steps = max(1, int(math.ceil(math.log2(max(m, 2)))) + 1)
+        for _ in range(steps):
+            act = lo < hi
+            mid = (lo + hi) // 2
+            midc = jnp.clip(mid, 0, m - 1)
+            s = ks[midc]
+            bgn = kb[midc]
+            if right:
+                go = (s < qs) | ((s == qs) & (bgn <= qb))
+            else:
+                go = (s < qs) | ((s == qs) & (bgn < qb))
+            lo = jnp.where(act & go, mid + 1, lo)
+            hi = jnp.where(act & ~go, mid, hi)
+        return lo
+
+    @jax.jit
+    def apply_level(
+        T, SA, LCP, SEG, begins, ends, cls_tab, seg_map, mbegins, mends,
+        mk_sid, mk_beg,
+    ):
+        n = SA.shape[0]
+        iar = jnp.arange(n, dtype=jnp.int32)
+
+        # ---- classify slots by text position over disjoint intervals --
+        pos = SA
+        ii = jnp.searchsorted(begins, pos, side="right") - 1
+        ii_c = jnp.clip(ii, 0, NI - 1)
+        hit = (ii >= 0) & (pos < ends[ii_c])
+        cls = jnp.where(hit, cls_tab[ii_c], 0).astype(jnp.int32)
+
+        # ---- per-class child LCP: segmented running-min over parents --
+        seg_prev = jnp.concatenate([jnp.full(1, -2, SEG.dtype), SEG[:-1]])
+        segstart = SEG != seg_prev
+        cls_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), cls[:-1]])
+        newlcp = jnp.zeros_like(LCP)
+        for c in (1, 2, 4):
+            reset = segstart | ((cls_prev == c) & ~segstart)
+            m = seg_min_scan(LCP, reset)
+            newlcp = jnp.where(cls == c, m, newlcp)
+
+        # ---- new segment ids ------------------------------------------
+        seg_c = jnp.clip(SEG, 0, SCAP - 1)
+        nseg = jnp.where(
+            (SEG >= 0) & (cls > 0) & (cls != 3),
+            seg_map[seg_c, cls],
+            jnp.int32(-1),
+        )
+        dead = nseg < 0
+        sortkey = jnp.where(dead, jnp.int32(SCAP), nseg)
+
+        # ---- stable partition by child id -----------------------------
+        skey, _slot, new_sa, new_lcp = jax.lax.sort(
+            (sortkey, iar, SA, newlcp), num_keys=2
+        )
+        new_seg = jnp.where(skey >= SCAP, jnp.int32(-1), skey)
+        # first slot of each child gets LCP 0
+        sprev = jnp.concatenate([jnp.full(1, -2, new_seg.dtype), new_seg[:-1]])
+        first = new_seg != sprev
+        new_lcp = jnp.where(first | (new_seg < 0), 0, new_lcp)
+
+        counts = jax.ops.segment_sum(
+            (new_seg >= 0).astype(jnp.int32),
+            jnp.clip(new_seg, 0, SCAP - 1),
+            num_segments=SCAP,
+        )
+
+        # ---- lowercase matched text (reveal.c:1230-1234) --------------
+        tpos = jnp.arange(T.shape[0], dtype=jnp.int32)
+        mi = jnp.searchsorted(mbegins, tpos, side="right") - 1
+        mi_c = jnp.clip(mi, 0, mbegins.shape[0] - 1)
+        inm = (mi >= 0) & (tpos < mends[mi_c])
+        up = (T >= ord("A")) & (T <= ord("Z"))
+        new_T = jnp.where(inm & up, T + 32, T)
+
+        # ---- boundary-repair candidates (reveal.c:666-727 trigger) ----
+        # a slot needs repair when one of ITS OWN leading child's new
+        # match begins lies inside (SA, SA + max(LCP, next LCP)); the
+        # per-child begins are encoded as sorted sid*stride+begin keys
+        lcp_next = jnp.concatenate([new_lcp[1:], jnp.zeros(1, new_lcp.dtype)])
+        nxt_same = jnp.concatenate(
+            [new_seg[1:] == new_seg[:-1], jnp.zeros(1, bool)]
+        )
+        win = jnp.maximum(
+            new_lcp, jnp.where(nxt_same, lcp_next, new_lcp)
+        )
+        klo = pair_search(mk_sid, mk_beg, new_seg, new_sa, right=True)
+        khi = pair_search(
+            mk_sid, mk_beg, new_seg, new_sa + win, right=False
+        )
+        cross = (khi > klo) & (new_seg >= 0)
+        rcount = jax.ops.segment_sum(
+            cross.astype(jnp.int32),
+            jnp.clip(new_seg, 0, SCAP - 1),
+            num_segments=SCAP,
+        )
+
+        return new_T, new_sa, new_lcp, new_seg, counts, rcount
+
+    _kern_cache[key] = apply_level
+    return apply_level
+
+
+# ---------------------------------------------------------------------------
+# driver-facing state
+# ---------------------------------------------------------------------------
+
+class DeviceFrontier:
+    """Owns the packed device arrays and the per-level dispatches."""
+
+    def __init__(self, T, SA, LCP, SO, nsep0: int, nsamples: int):
+        import jax.numpy as jnp
+
+        self.n = int(len(SA))
+        self.nsep0 = int(nsep0)
+        self.nsamples = int(nsamples)
+        # pad every device array to a power-of-two bucket so kernel
+        # compiles are shared across input sizes (dead tail: SEG = -1)
+        npad = _next_pow2(self.n)
+        T_p = np.zeros(npad, dtype=np.uint8)
+        T_p[: len(T)] = np.asarray(T, dtype=np.uint8)
+        SA_p = np.full(npad, self.n - 1, dtype=np.int32)
+        SA_p[: self.n] = np.asarray(SA, dtype=np.int32)
+        LCP_p = np.zeros(npad, dtype=np.int32)
+        LCP_p[: self.n] = np.asarray(LCP, dtype=np.int32)
+        SO_p = np.zeros(npad, dtype=np.int32)
+        SO_p[: len(SO)] = np.asarray(SO, dtype=np.int32)
+        SEG_p = np.full(npad, -1, dtype=np.int32)
+        SEG_p[: self.n] = 0
+        self.T = jnp.asarray(T_p)
+        self.SA = jnp.asarray(SA_p)
+        self.LCP = jnp.asarray(LCP_p)
+        self.SO = jnp.asarray(SO_p)
+        self.SEG = jnp.asarray(SEG_p)
+        self._K1 = max(1024, _next_pow2(self.n // 8))
+        self._K2 = max(1024, _next_pow2(self.n // 8))
+
+    # -- enumeration ------------------------------------------------------
+    def enumerate_pairwise(self, minl: int):
+        """{slot-sorted candidates} -> dict sid -> [(l,2,((0,a),(1,b)))]
+        in SA-slot order, exactly getmums_rem's per-segment order."""
+        import jax
+        import jax.numpy as jnp
+
+        while True:
+            fn = _get_enum_pairwise(self._K1)
+            slots, l, a, b, valid, count = fn(
+                self.T, self.SA, self.LCP, self.SEG,
+                jnp.int32(self.nsep0), jnp.int32(minl),
+            )
+            count = int(count)
+            if count <= self._K1:
+                break
+            self._K1 = _next_pow2(count)
+        slots, l, a, b = (
+            np.asarray(jax.device_get(x))[:count] for x in (slots, l, a, b)
+        )
+        return slots, l, a, b
+
+    def enumerate_multi(self, minl: int, minn: int):
+        """LCP-interval multiMUM candidates: (l, lb, ub, sa_rows, so_rows)
+        for valid intervals (pre-dedup)."""
+        import jax
+        import jax.numpy as jnp
+
+        W = max(2, self.nsamples)
+        while True:
+            fn = _get_enum_multi(self._K2, W)
+            ls, lbs, ubs, sa_rows, so_rows, ok, count = fn(
+                self.T, self.SA, self.LCP, self.SEG, self.SO,
+                jnp.int32(minl), jnp.int32(minn),
+                jnp.int32(self.nsamples),
+            )
+            count = int(count)
+            if count <= self._K2:
+                break
+            self._K2 = _next_pow2(count)
+        ok = np.asarray(jax.device_get(ok))[:count]
+        ls = np.asarray(jax.device_get(ls))[:count][ok]
+        lbs = np.asarray(jax.device_get(lbs))[:count][ok]
+        ubs = np.asarray(jax.device_get(ubs))[:count][ok]
+        sa_rows = np.asarray(jax.device_get(sa_rows))[:count][ok]
+        so_rows = np.asarray(jax.device_get(so_rows))[:count][ok]
+        return ls, lbs, ubs, sa_rows, so_rows
+
+    # -- level application ------------------------------------------------
+    def apply_level(
+        self, intervals, seg_map_rows, match_intervals, repair_jobs=()
+    ):
+        """intervals: [(begin, end, cls)] disjoint across the text;
+        seg_map_rows: (S, 5) int32 parent-sid × class -> new sid (-1 dead);
+        match_intervals: sorted [(begin, end)] newly matched this level;
+        repair_jobs: [(leading child sid, [match begins])] — candidates
+        are detected per child against its OWN begins only.
+
+        Returns (counts, repair_counts) per new sid."""
+        import jax
+        import jax.numpy as jnp
+
+        S = seg_map_rows.shape[0]
+        SCAP = _bucket8(max(S, int(seg_map_rows.max()) + 1, 2))
+        seg_map = np.full((SCAP, 5), -1, dtype=np.int32)
+        seg_map[:S] = seg_map_rows
+
+        iv = sorted(intervals)
+        NI = _bucket8(max(len(iv), 1))
+        begins = np.full(NI, self.n + 1, dtype=np.int32)
+        ends = np.full(NI, self.n + 1, dtype=np.int32)
+        cls_tab = np.zeros(NI, dtype=np.int32)
+        for i, (bgn, end, c) in enumerate(iv):
+            begins[i] = bgn
+            ends[i] = end
+            cls_tab[i] = c
+
+        mv = sorted(match_intervals)
+        NM = _bucket8(max(len(mv), 1))
+        mbegins = np.full(NM, self.n + 1, dtype=np.int32)
+        mends = np.full(NM, self.n + 1, dtype=np.int32)
+        for i, (bgn, end) in enumerate(mv):
+            mbegins[i] = bgn
+            mends[i] = end
+
+        pairs = sorted(
+            (sid, bgn) for sid, bgns in repair_jobs for bgn in bgns
+        )
+        NK = _bucket8(max(len(pairs), 1))
+        mk_sid = np.full(NK, 2**30, dtype=np.int32)
+        mk_beg = np.zeros(NK, dtype=np.int32)
+        for i, (sid, bgn) in enumerate(pairs):
+            mk_sid[i] = sid
+            mk_beg[i] = bgn
+
+        fn = _get_apply(NI, SCAP)
+        self.T, self.SA, self.LCP, self.SEG, counts, rcount = fn(
+            self.T, self.SA, self.LCP, self.SEG,
+            jnp.asarray(begins), jnp.asarray(ends), jnp.asarray(cls_tab),
+            jnp.asarray(seg_map), jnp.asarray(mbegins), jnp.asarray(mends),
+            jnp.asarray(mk_sid), jnp.asarray(mk_beg),
+        )
+        counts = np.asarray(jax.device_get(counts))
+        rcount = np.asarray(jax.device_get(rcount))
+        return counts, rcount
+
+    # -- boundary repair --------------------------------------------------
+    def repair_child(self, start: int, n: int, begins: List[int]):
+        """Fetch one child's slice, run the exact bubble_sort repair
+        (native/esa.cpp repair_leading; numpy fallback), scatter back."""
+        import jax
+
+        if n == 0 or not begins:
+            return
+        sa = np.asarray(
+            jax.device_get(self.SA[start : start + n]), dtype=np.int64
+        )
+        lcp = np.asarray(
+            jax.device_get(self.LCP[start : start + n]), dtype=np.int64
+        )
+        _repair_host(sa, lcp, sorted(begins))
+        self.SA = self.SA.at[start : start + n].set(
+            sa.astype(np.int32)
+        )
+        self.LCP = self.LCP.at[start : start + n].set(
+            lcp.astype(np.int32)
+        )
+
+
+def _repair_host(SA: np.ndarray, LCP: np.ndarray, begins) -> None:
+    """bubble_sort (reveal.c:666-727) on a detached child slice.  Uses the
+    native kernel with a scratch inverse array (the packed design derives
+    classification from positions, so no global SAi is maintained)."""
+    scratch = np.empty(int(SA.max()) + 2 if len(SA) else 1, dtype=np.int64)
+    try:
+        from ..native import repair_leading_native
+
+        if repair_leading_native(SA, LCP, scratch, list(begins)):
+            return
+    except Exception:
+        pass
+    # numpy fallback: same walk as esa_index._repair_leading_py
+    n = len(SA)
+    for begin in begins:
+        cross_cur = (SA < begin) & (SA + LCP > begin)
+        lcp_next = np.empty(n, dtype=LCP.dtype)
+        lcp_next[: n - 1] = LCP[1:]
+        lcp_next[n - 1] = 0
+        cross_next = (SA < begin) & (SA + lcp_next > begin)
+        cand = np.nonzero(cross_cur | cross_next)[0]
+        for i in cand.tolist():
+            if SA[i] < begin and SA[i] + LCP[i] > begin:
+                tmp_sa = SA[i]
+                tmp_lcp = LCP[i]
+                thr = begin - tmp_sa
+                x = i
+                while x > 0 and LCP[x] >= thr:
+                    x -= 1
+                if x < i:
+                    SA[x + 1 : i + 1] = SA[x:i]
+                    LCP[x + 1 : i + 1] = LCP[x:i]
+                SA[x] = tmp_sa
+                LCP[x + 1] = thr
+                if i < n - 1 and tmp_lcp < LCP[i + 1]:
+                    LCP[i + 1] = tmp_lcp
+            else:
+                if (
+                    i < n - 1
+                    and SA[i] < begin
+                    and SA[i] + lcp_next[i] > begin
+                    and LCP[i + 1] > LCP[i]
+                ):
+                    LCP[i + 1] = begin - SA[i]

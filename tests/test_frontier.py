@@ -122,3 +122,51 @@ def test_pack_segments_shapes():
         rows = {g for g in range(2) if (SEG[g] == si).any()}
         assert len(rows) == 1
     assert (SEG == -1).sum() == SA.size - 8
+
+
+def test_frontier_multigenome_matches_lifo(tmp_path):
+    """>2-sample alignments ride the batched device multiMUM path (the
+    PSV/NSV re-expression of reveal.c:436-580) — no host fallback — and
+    must match the LIFO loop's node state exactly."""
+    rng = np.random.default_rng(17)
+    base = "".join(rng.choice(list("ACGT"), size=3000))
+    files = []
+    for k in range(4):
+        mut = list(base)
+        for _ in range(25):
+            i = int(rng.integers(0, len(mut)))
+            if rng.random() < 0.5:
+                mut[i] = "ACGT"[int(rng.integers(0, 4))]
+            else:
+                del mut[i]
+        fa = str(tmp_path / ("g%d.fa" % k))
+        fasta_writer(fa, [("g%d" % k, "".join(mut))])
+        files.append(fa)
+
+    G1, idx1 = align_genomes(files, backend="np")
+    G2, idx2 = align_genomes(files, backend="np", frontier=True)
+    assert _node_state(G1) == _node_state(G2)
+    assert np.array_equal(idx1.main.T, idx2.main.T)
+
+
+def test_frontier_repair_path(tmp_path):
+    """Repetitive text exercises the boundary-repair (bubble_sort)
+    detection + host fix-up; graphs must still match the LIFO loop."""
+    rng = np.random.default_rng(23)
+    unit = "".join(rng.choice(list("ACGT"), size=120))
+    base = (unit * 12) + "".join(rng.choice(list("ACGT"), size=2000))
+    mut = list(base)
+    for _ in range(20):
+        i = int(rng.integers(0, len(mut)))
+        mut[i] = "ACGT"[int(rng.integers(0, 4))]
+    fa1 = str(tmp_path / "r1.fa")
+    fa2 = str(tmp_path / "r2.fa")
+    fasta_writer(fa1, [("a", base)])
+    fasta_writer(fa2, [("b", "".join(mut))])
+
+    G1, idx1 = align_genomes([fa1, fa2], backend="np", minlength=15)
+    G2, idx2 = align_genomes(
+        [fa1, fa2], backend="np", minlength=15, frontier=True
+    )
+    assert _node_state(G1) == _node_state(G2)
+    assert np.array_equal(idx1.main.T, idx2.main.T)
