@@ -129,7 +129,8 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
 
 
 def _align_loop_frontier(
-    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
+    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig,
+    mesh=None,
 ):
     """Device-resident level-synchronous recursion (the BASELINE.json
     north-star shape): T/SA/LCP/segment-ids live on the device across
@@ -158,6 +159,7 @@ def _align_loop_frontier(
         _np.zeros(len(main.T), _np.uint16),
         int(main.nsep[0]),
         main.nsamples,
+        mesh=mesh,
     )
     multi_mode = main.nsamples > 2
 
@@ -412,6 +414,7 @@ def align_genomes(
     cache: bool = False,
     multi: bool = False,
     frontier: bool = False,
+    mesh=None,
     **cfgkw,
 ):
     """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
@@ -450,8 +453,8 @@ def align_genomes(
     idx.nodes = root_nodes
 
     cfg = PickerConfig(**cfgkw)
-    if frontier:
-        _align_loop_frontier(G, t, idx, cfg)
+    if frontier or mesh is not None:
+        _align_loop_frontier(G, t, idx, cfg, mesh=mesh)
     else:
         _align_loop(G, t, idx, cfg)
     return G, idx

@@ -395,9 +395,18 @@ def _get_apply(NI: int, SCAP: int):
 class DeviceFrontier:
     """Owns the packed device arrays and the per-level dispatches."""
 
-    def __init__(self, T, SA, LCP, SO, nsep0: int, nsamples: int):
+    def __init__(
+        self, T, SA, LCP, SO, nsep0: int, nsamples: int, mesh=None
+    ):
+        """mesh: optional jax.sharding.Mesh — the packed slot arrays are
+        sharded over its first axis and the SAME kernels run under GSPMD,
+        which partitions the elementwise work per shard and inserts the
+        collectives (halo exchanges for the adjacent-slot conditions,
+        all-to-alls for the distributed stable sort) automatically.  This
+        is the multi-chip rem path: one logical frontier, N devices."""
         import jax.numpy as jnp
 
+        self.mesh = mesh
         self.n = int(len(SA))
         self.nsep0 = int(nsep0)
         self.nsamples = int(nsamples)
@@ -414,11 +423,24 @@ class DeviceFrontier:
         SO_p[: len(SO)] = np.asarray(SO, dtype=np.int32)
         SEG_p = np.full(npad, -1, dtype=np.int32)
         SEG_p[: self.n] = 0
-        self.T = jnp.asarray(T_p)
-        self.SA = jnp.asarray(SA_p)
-        self.LCP = jnp.asarray(LCP_p)
-        self.SO = jnp.asarray(SO_p)
-        self.SEG = jnp.asarray(SEG_p)
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            shard = NamedSharding(mesh, P(axis))
+            put = lambda x: jax.device_put(jnp.asarray(x), shard)  # noqa: E731
+            self.T = put(T_p)
+            self.SA = put(SA_p)
+            self.LCP = put(LCP_p)
+            self.SO = put(SO_p)
+            self.SEG = put(SEG_p)
+        else:
+            self.T = jnp.asarray(T_p)
+            self.SA = jnp.asarray(SA_p)
+            self.LCP = jnp.asarray(LCP_p)
+            self.SO = jnp.asarray(SO_p)
+            self.SEG = jnp.asarray(SEG_p)
         self._K1 = max(1024, _next_pow2(self.n // 8))
         self._K2 = max(1024, _next_pow2(self.n // 8))
 

@@ -110,3 +110,42 @@ def test_make_mesh_sizes():
             continue
         m = make_mesh(n)
         assert m.devices.size == n
+
+
+def test_mesh_frontier_rem_matches_single_device(tmp_path):
+    """Distributed rem: the frontier state sharded over an 8-device mesh
+    (GSPMD partitions the kernels + inserts collectives) must produce the
+    same graph as the single-device frontier and the LIFO loop."""
+    import numpy as np
+
+    from reveal_tpu.align.rem import align_genomes
+    from reveal_tpu.core.io_fasta import fasta_writer
+    from reveal_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    base = "".join(rng.choice(list("ACGT"), size=5000))
+    mut = list(base)
+    for _ in range(40):
+        i = int(rng.integers(0, len(mut)))
+        if rng.random() < 0.5:
+            mut[i] = "ACGT"[int(rng.integers(0, 4))]
+        else:
+            del mut[i]
+    fa1 = str(tmp_path / "a.fa")
+    fa2 = str(tmp_path / "b.fa")
+    fasta_writer(fa1, [("a", base)])
+    fasta_writer(fa2, [("b", "".join(mut))])
+
+    def node_state(G):
+        return sorted(
+            (n, tuple(sorted(G.nodes[n]["offsets"].items())),
+             G.nodes[n].get("aligned", 0))
+            for n in G.nodes
+            if isinstance(n, tuple)
+        )
+
+    G1, i1 = align_genomes([fa1, fa2], backend="np")
+    mesh = make_mesh(8)
+    G2, i2 = align_genomes([fa1, fa2], backend="np", mesh=mesh)
+    assert node_state(G1) == node_state(G2)
+    assert np.array_equal(i1.main.T, i2.main.T)
