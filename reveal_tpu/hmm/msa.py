@@ -91,6 +91,118 @@ def _sparsify(p: np.ndarray) -> np.ndarray:
     return q
 
 
+_cons_cache = {}
+
+
+def _get_cons_fn(rounds: int, consgap: bool):
+    """Jitted batched consistency transform: one round of
+    P'(x_i, y_j) = 1/N * sum_z P(x,z) @ P(z,y) as a single einsum on the
+    MXU, using the identity-diagonal trick (Q[a,a] = I makes the z=a and
+    z=b terms contribute the reference's 2*P, DoRelaxation
+    Probcons.cc:1135-1248); previous-sparsity masking + 0.01 re-cutoff
+    match _sparsify/Relax exactly."""
+    key = (rounds, consgap)
+    fn = _cons_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    @jax.jit
+    def run(Q):
+        B, N, _, L, _ = Q.shape
+        eye = jnp.eye(L, dtype=Q.dtype)
+        diag = jnp.eye(N, dtype=bool)[None, :, :, None, None]
+        for _ in range(rounds):
+            acc = (
+                jnp.einsum(
+                    "bazik,bzwkj->bawij",
+                    Q,
+                    Q,
+                    preferred_element_type=jnp.float32,
+                )
+                / N
+            )
+            if consgap:
+                gx = 1.0 - jnp.sum(Q, axis=-1)  # row gap probs
+                gy = 1.0 - jnp.sum(Q, axis=-2)  # col gap probs
+                acc = acc + jnp.einsum("bazi,bzwj->bawij", gx, gy) / N
+            mask = (Q > 0) & (acc >= POSTERIOR_CUTOFF)
+            Q = jnp.where(mask, acc, 0.0)
+            Q = jnp.where(diag, eye[None, None, None], Q)
+        return Q
+
+    _cons_cache[key] = run
+    return run
+
+
+def batch_consistency(problems, consistency=2, consgap=False):
+    """Device-batched consistency transform across many MSA problems.
+
+    problems: list of (seqs, res) with res = [(posterior, total), ...]
+    over the a<b pair list of seqs.  Returns one mats dict per problem
+    ((a, b) -> sparsified float32 matrix), equal to probcons_align's
+    host stage 2 up to float32 matmul rounding.  Problems are bucketed
+    by (N, padded L) and each bucket runs as one jit dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out = [None] * len(problems)
+    buckets = {}
+    for pi, (seqs, res) in enumerate(problems):
+        N = len(seqs)
+        Lp = _bucket_len(max(len(s) for s in seqs) + 1)
+        buckets.setdefault((N, Lp), []).append(pi)
+
+    fn_cache_rounds = consistency
+    for (N, Lp), idxs in sorted(buckets.items()):
+        # cap batch size by tensor footprint (B * N^2 * Lp^2 floats)
+        maxb = max(1, (1 << 28) // max(1, N * N * Lp * Lp * 4))
+        for lo in range(0, len(idxs), maxb):
+            part = idxs[lo : lo + maxb]
+            B = _bucket_len(len(part)) if len(part) > 32 else len(part)
+            Q = np.zeros((B, N, N, Lp, Lp), dtype=np.float32)
+            Q[:, np.arange(N), np.arange(N)] = np.eye(
+                Lp, dtype=np.float32
+            )
+            for bi, pi in enumerate(part):
+                seqs, res = problems[pi]
+                k = 0
+                for a in range(N):
+                    for b in range(a + 1, N):
+                        p, _tot = res[k]
+                        k += 1
+                        sp = _sparsify(np.asarray(p))
+                        Q[bi, a, b, : sp.shape[0], : sp.shape[1]] = sp
+                        Q[bi, b, a, : sp.shape[1], : sp.shape[0]] = sp.T
+            fn = _get_cons_fn(fn_cache_rounds, consgap)
+            Qt = np.asarray(jax.device_get(fn(jnp.asarray(Q))))
+            for bi, pi in enumerate(part):
+                seqs, _res = problems[pi]
+                mats = {}
+                for a in range(N):
+                    for b in range(a + 1, N):
+                        mats[(a, b)] = Qt[
+                            bi, a, b, : len(seqs[a]) + 1,
+                            : len(seqs[b]) + 1,
+                        ]
+                out[pi] = mats
+    return out
+
+
+def _bucket_len(x: int) -> int:
+    b = 32
+    while b < x:
+        b *= 2
+    return b
+
+
 def _mea_dp(post: np.ndarray) -> Tuple[List[str], float]:
     """MEA alignment DP over a (L1+1)x(L2+1) posterior; returns the edit
     string (list over columns of 'B'/'X'/'Y') and the total score.
@@ -322,6 +434,7 @@ def probcons_align(
     consgap: bool = False,
     seed: int = 0,
     precomputed=None,
+    precomputed_mats=None,
 ):
     """Drop-in equivalent of probconslib.probcons().align(...)
     (Probcons.cc:1608-1713).  Returns ([(name, alnseq)...], conf list).
@@ -329,6 +442,8 @@ def probcons_align(
     precomputed: optional [(posterior, total), ...] for the (a<b) pair
     list, letting callers batch posterior computation across many MSA
     problems (e.g. all bubbles of a refinement pass) in one device call.
+    precomputed_mats: optional consistency-transformed sparse matrices
+    ((a, b) -> array) from batch_consistency — skips stage 2 here.
     """
     del pretraining  # the binding accepts it; training is not reachable
     names = [n for n, s in aobjs]
@@ -354,6 +469,10 @@ def probcons_align(
         dist[a, b] = dist[b, a] = score / max(
             1, min(len(seqs[a]), len(seqs[b]))
         )
+
+    if precomputed_mats is not None:
+        mats = precomputed_mats
+        consistency = 0
 
     # ---- stage 2: consistency transform ----
     for _ in range(consistency):

@@ -97,6 +97,7 @@ def msa_to_graph(
     consgap: bool = True,
     nrefinements: int = 100,
     precomputed=None,
+    precomputed_mats=None,
     method: str = "reveal_probcons",
     parameters: str = "",
 ) -> Optional[PanGraph]:
@@ -130,6 +131,7 @@ def msa_to_graph(
             refinement=nrefinements,
             consgap=consgap,
             precomputed=precomputed,
+            precomputed_mats=precomputed_mats,
         )
         seqs = [""] * len(aobjs)
         for name, seq in aln:
@@ -355,6 +357,7 @@ def refine_bubble(
     uniqueonly: bool = False,
     aobjs=None,
     precomputed=None,
+    precomputed_mats=None,
     method: str = "reveal_probcons",
     parameters: str = "",
     minlength: int = 20,
@@ -396,6 +399,7 @@ def refine_bubble(
             consgap=consgap,
             nrefinements=nrefinements,
             precomputed=precomputed,
+            precomputed_mats=precomputed_mats,
             method=method,
             parameters=parameters,
         )
@@ -565,7 +569,7 @@ def refine_all(
         pair_slices.append((start, len(all_pairs)))
         work.append((bubble, sg, offsets, paths, aobjs))
 
-    from .msa import batch_posteriors
+    from .msa import batch_consistency, batch_posteriors
 
     method = kwargs.get("method", "reveal_probcons")
     t0 = time.time()
@@ -583,9 +587,50 @@ def refine_all(
         time.time() - t0,
     )
 
+    # phase 1b: device-batched consistency transform across all bubbles
+    # (one MXU einsum per (n, L) bucket, see msa.batch_consistency);
+    # active when an accelerator backend is present — the host loop is
+    # the float64 exact twin
+    mats_for = [None] * len(work)
+    if posteriors:
+        use_dev = False
+        try:
+            import jax
+
+            use_dev = jax.default_backend() not in ("cpu",)
+        except Exception:
+            pass
+        if use_dev:
+            t0 = time.time()
+            problems = [
+                (
+                    [sq for _n, sq in aobjs],
+                    posteriors[s:e],
+                )
+                for (bubble, sg, offsets, paths, aobjs), (s, e) in zip(
+                    work, pair_slices
+                )
+            ]
+            try:
+                mats_for = batch_consistency(
+                    problems,
+                    consistency=kwargs.get("constrans", 2),
+                    consgap=kwargs.get("consgap", True),
+                )
+                log.info(
+                    "device consistency transform for %d bubbles in %.2fs",
+                    len(problems),
+                    time.time() - t0,
+                )
+            except Exception as e:
+                log.warning(
+                    "device consistency failed (%s); host fallback", e
+                )
+                mats_for = [None] * len(work)
+
     # phase 2: per-bubble MSA + graph splice on host
-    for (bubble, sg, offsets, paths, aobjs), (s, e) in zip(
-        work, pair_slices
+    for (bubble, sg, offsets, paths, aobjs), (s, e), pmats in zip(
+        work, pair_slices, mats_for
     ):
         t0 = time.time()
         res = refine_bubble(
@@ -595,6 +640,7 @@ def refine_all(
             paths,
             aobjs=aobjs,
             precomputed=posteriors[s:e] if posteriors else None,
+            precomputed_mats=pmats,
             minlength=minlength,
             **kwargs,
         )

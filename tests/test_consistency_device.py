@@ -1,0 +1,95 @@
+"""Batched device consistency transform vs the host float64 loop."""
+
+import numpy as np
+
+from reveal_tpu.hmm.msa import (
+    _sparsify,
+    batch_consistency,
+    batch_posteriors,
+    probcons_align,
+)
+
+
+def _host_consistency(seqs, res, rounds=2, consgap=True):
+    """The probcons_align stage-2 loop, extracted verbatim."""
+    N = len(seqs)
+    pair_keys = [(a, b) for a in range(N) for b in range(a + 1, N)]
+    mats = {}
+    for (a, b), (p, tot) in zip(pair_keys, res):
+        mats[(a, b)] = _sparsify(np.asarray(p))
+    for _ in range(rounds):
+        new_mats = {}
+        for (a, b) in pair_keys:
+            P = mats[(a, b)]
+            acc = 2.0 * P.astype(np.float64)
+            for z in range(N):
+                if z == a or z == b:
+                    continue
+                Paz = mats[(a, z)] if a < z else mats[(z, a)].T
+                Pzb = mats[(z, b)] if z < b else mats[(b, z)].T
+                acc += Paz.astype(np.float64) @ Pzb.astype(np.float64)
+                if consgap:
+                    pgx = 1.0 - Paz.sum(axis=1)
+                    pgy = 1.0 - Pzb.sum(axis=0)
+                    acc += np.outer(pgx, pgy)
+            acc /= N
+            acc[P == 0] = 0
+            from reveal_tpu.hmm.msa import POSTERIOR_CUTOFF
+
+            q = np.where(acc >= POSTERIOR_CUTOFF, acc, 0.0).astype(
+                np.float32
+            )
+            q[0, :] = 0
+            q[:, 0] = 0
+            new_mats[(a, b)] = q
+        mats = new_mats
+    return mats
+
+
+def _mk_problem(seed, n=4, L=60):
+    rng = np.random.default_rng(seed)
+    base = "".join(rng.choice(list("ACGT"), size=L))
+    seqs = []
+    for _ in range(n):
+        mut = list(base)
+        for _ in range(6):
+            i = int(rng.integers(0, len(mut)))
+            if rng.random() < 0.6:
+                mut[i] = "ACGT"[int(rng.integers(0, 4))]
+            else:
+                del mut[i]
+        seqs.append("".join(mut))
+    pairs = [
+        (seqs[a], seqs[b])
+        for a in range(n)
+        for b in range(a + 1, n)
+    ]
+    res = batch_posteriors(pairs)
+    return seqs, res
+
+
+def test_batch_consistency_matches_host():
+    problems = [_mk_problem(s, n=4, L=50 + 10 * s) for s in range(3)]
+    for consgap in (True, False):
+        got = batch_consistency(problems, consistency=2, consgap=consgap)
+        for (seqs, res), mats in zip(problems, got):
+            want = _host_consistency(seqs, res, rounds=2, consgap=consgap)
+            assert set(mats) == set(want)
+            for k in want:
+                assert mats[k].shape == want[k].shape, k
+                # float32 einsum vs float64 loop: small numeric drift,
+                # same sparsity decisions away from the cutoff edge
+                d = np.abs(mats[k] - want[k])
+                assert d.max() < 5e-3, (k, d.max())
+
+
+def test_probcons_align_precomputed_mats_roundtrip():
+    seqs, res = _mk_problem(9, n=3, L=40)
+    aobjs = [("s%d" % i, s) for i, s in enumerate(seqs)]
+    mats = batch_consistency([(seqs, res)], consistency=2)[0]
+    aln1, conf1 = probcons_align(aobjs, precomputed=res)
+    aln2, conf2 = probcons_align(
+        aobjs, precomputed=res, precomputed_mats=mats
+    )
+    # same alignment columns (float drift cannot flip this tiny case)
+    assert [s for _n, s in aln1] == [s for _n, s in aln2]
