@@ -203,6 +203,244 @@ def _bucket_len(x: int) -> int:
     return b
 
 
+# ---------------------------------------------------------------------------
+# fully device-resident stage 1+2: posteriors -> MEA distances ->
+# consistency transform, with only sparse transformed mats + scalar
+# distances crossing the device link
+# ---------------------------------------------------------------------------
+
+_chain_cache = {}
+
+
+def _posteriors_device(pairs, L1p, L2p):
+    """Posteriors for same-bucket pairs, kept on device.
+
+    pairs: [(s1, s2), ...] with len(s1) < L1p, len(s2) < L2p.  Returns a
+    device array (len(pairs), L1p, L2p) float32 (zero outside the valid
+    region of each pair).  Dispatches to the Pallas kernels on
+    accelerator backends (chunked to the VMEM-budget batch), the XLA
+    row-scan otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    from .pairhmm import _pad_with_dummy
+
+    use_pallas = False
+    try:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    except Exception:
+        pass
+
+    chunks = []
+    if use_pallas:
+        from .pallas_pairhmm import _get_pallas_kernels, _round_up
+
+        L2pal = _round_up(L2p, 128)
+        if L2pal * 8 > 100_000:
+            use_pallas = False  # too wide for the VMEM-resident layout
+        else:
+            posterior_batch = _get_pallas_kernels()
+            maxB = max(8, 100_000 // L2pal)
+            mB = 8
+            while mB * 2 <= maxB:
+                mB *= 2
+            for lo in range(0, len(pairs), mB):
+                part = pairs[lo : lo + mB]
+                B = 8
+                while B < len(part):
+                    B *= 2
+                npad = B - len(part)
+                xb = np.stack(
+                    [_pad_with_dummy(a.encode(), L1p - 1) for a, b in part]
+                    + [_pad_with_dummy(b"A", L1p - 1)] * npad
+                )
+                yb = np.stack(
+                    [_pad_with_dummy(b.encode(), L2pal - 1) for a, b in part]
+                    + [_pad_with_dummy(b"A", L2pal - 1)] * npad
+                )
+                lx = np.array(
+                    [len(a) for a, b in part] + [1] * npad, dtype=np.int32
+                )
+                ly = np.array(
+                    [len(b) for a, b in part] + [1] * npad, dtype=np.int32
+                )
+                p, _tot = posterior_batch(xb, yb, lx, ly)
+                chunks.append(p[: len(part), :L1p, :L2p])
+    if not chunks:
+        from .pairhmm import _get_kernels
+
+        _, _, _, batched = _get_kernels()
+        xb = np.stack(
+            [_pad_with_dummy(a.encode(), L1p - 1) for a, b in pairs]
+        )
+        yb = np.stack(
+            [_pad_with_dummy(b.encode(), L2p - 1) for a, b in pairs]
+        )
+        lx = np.array([len(a) for a, b in pairs], dtype=np.int32)
+        ly = np.array([len(b) for a, b in pairs], dtype=np.int32)
+        p, _tot = batched(xb, yb, lx, ly)
+        chunks.append(p)
+    if len(chunks) == 1:
+        return chunks[0]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def _get_chain_fn(B, N, Lq, rounds, consgap):
+    """Jitted posterior->distance->consistency chain for one (B, N, Lq)
+    bucket: MEA scores (expected-accuracy distances, DoAlign
+    Probcons.cc:384-400) as a scan-of-cummax over the dense posteriors,
+    then sparsify + ``rounds`` relaxation rounds as batched einsum (same
+    math as _get_cons_fn), returning only the transformed a<b pair
+    matrices and the scores."""
+    key = (B, N, Lq, rounds, consgap)
+    fn = _chain_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    npairs = N * (N - 1) // 2
+    ai = np.array(
+        [a for a in range(N) for b in range(a + 1, N)], dtype=np.int32
+    )
+    bi = np.array(
+        [b for a in range(N) for b in range(a + 1, N)], dtype=np.int32
+    )
+
+    @jax.jit
+    def chain(pflat):
+        # pflat: (B * npairs, Lq, Lq) dense masked posteriors
+        Bp = B * npairs
+
+        # ---- MEA score DP: new[j] = max(c[j], new[j-1]),
+        # c[j] = max(p[i,j] + old[j-1], old[j]) -> running max of c
+        def row(old, prow):
+            d = prow[:, 1:] + old[:, :-1]
+            u = old[:, 1:]
+            c = jnp.maximum(d, u)
+            m = jax.lax.cummax(c, axis=1)
+            new = jnp.concatenate(
+                [jnp.zeros((Bp, 1), jnp.float32), m], axis=1
+            )
+            return new, None
+
+        rows = jnp.transpose(pflat, (1, 0, 2))[1:]  # (Lq-1, Bp, Lq)
+        old0 = jnp.zeros((Bp, Lq), jnp.float32)
+        oldf, _ = jax.lax.scan(row, old0, rows)
+        scores = oldf[:, -1]  # zero-padded rows/cols are no-ops
+
+        # ---- sparsify + assemble the (B, N, N, Lq, Lq) tensor
+        P = jnp.where(pflat >= POSTERIOR_CUTOFF, pflat, 0.0)
+        P = P.at[:, 0, :].set(0.0).at[:, :, 0].set(0.0)
+        P = P.reshape(B, npairs, Lq, Lq)
+        eye = jnp.eye(Lq, dtype=jnp.float32)
+        diag = jnp.eye(N, dtype=bool)[None, :, :, None, None]
+        Q = jnp.zeros((B, N, N, Lq, Lq), jnp.float32)
+        Q = Q.at[:, ai, bi].set(P)
+        Q = Q.at[:, bi, ai].set(jnp.transpose(P, (0, 1, 3, 2)))
+        Q = jnp.where(diag, eye[None, None, None], Q)
+
+        # ---- consistency rounds (identical to _get_cons_fn)
+        for _ in range(rounds):
+            acc = (
+                jnp.einsum(
+                    "bazik,bzwkj->bawij",
+                    Q,
+                    Q,
+                    preferred_element_type=jnp.float32,
+                )
+                / N
+            )
+            if consgap:
+                gx = 1.0 - jnp.sum(Q, axis=-1)
+                gy = 1.0 - jnp.sum(Q, axis=-2)
+                acc = acc + jnp.einsum("bazi,bzwj->bawij", gx, gy) / N
+            mask = (Q > 0) & (acc >= POSTERIOR_CUTOFF)
+            Q = jnp.where(mask, acc, 0.0)
+            Q = jnp.where(diag, eye[None, None, None], Q)
+
+        Qp = Q[:, ai, bi].reshape(B * npairs, Lq, Lq)
+        return Qp, scores.reshape(B, npairs)
+
+    _chain_cache[key] = chain
+    return chain
+
+
+def batch_stage12_device(problems, consistency=2, consgap=False):
+    """Device-resident ProbCons stages 1+2 across many MSA problems.
+
+    problems: list of seq-lists.  For each problem returns
+    (mats, dist): the consistency-transformed sparse matrices
+    ((a, b) -> float32 array, sliced) and the expected-accuracy distance
+    matrix for the guide tree.  Posteriors never cross the device link —
+    only the top-K-sparsified transformed mats and the scalar MEA scores
+    do (see pairhmm.fetch_posteriors for the exactness argument)."""
+    from .pairhmm import fetch_posteriors
+
+    out = [None] * len(problems)
+    buckets = {}
+    for pi, seqs in enumerate(problems):
+        N = len(seqs)
+        if N < 2:
+            out[pi] = ({}, np.zeros((N, N), dtype=np.float64))
+            continue
+        Lq = _bucket_len(max(len(s) for s in seqs) + 1)
+        buckets.setdefault((N, Lq), []).append(pi)
+
+    for (N, Lq), idxs in sorted(buckets.items()):
+        npairs = N * (N - 1) // 2
+        maxb = max(1, (1 << 28) // max(1, N * N * Lq * Lq * 4))
+        for lo in range(0, len(idxs), maxb):
+            part = idxs[lo : lo + maxb]
+            B = _bucket_len(len(part)) if len(part) > 32 else len(part)
+            pairs = []
+            for pi in part:
+                seqs = problems[pi]
+                for a in range(N):
+                    for b in range(a + 1, N):
+                        pairs.append((seqs[a], seqs[b]))
+            pflat = _posteriors_device(pairs, Lq, Lq)
+            if B > len(part):
+                import jax.numpy as jnp
+
+                pflat = jnp.concatenate(
+                    [
+                        pflat,
+                        jnp.zeros(
+                            ((B - len(part)) * npairs, Lq, Lq),
+                            jnp.float32,
+                        ),
+                    ],
+                    axis=0,
+                )
+            chain = _get_chain_fn(B, N, Lq, consistency, consgap)
+            Qp, scores = chain(pflat)
+            Qh, scores = fetch_posteriors(Qp, scores)
+            Qh = Qh.reshape(B, npairs, Lq, Lq)
+            for bi_, pi in enumerate(part):
+                seqs = problems[pi]
+                Nl = len(seqs)
+                mats = {}
+                dist = np.zeros((Nl, Nl), dtype=np.float64)
+                k = 0
+                for a in range(Nl):
+                    for b in range(a + 1, Nl):
+                        mats[(a, b)] = Qh[
+                            bi_, k, : len(seqs[a]) + 1, : len(seqs[b]) + 1
+                        ]
+                        dist[a, b] = dist[b, a] = float(
+                            scores[bi_, k]
+                        ) / max(1, min(len(seqs[a]), len(seqs[b])))
+                        k += 1
+                out[pi] = (mats, dist)
+    return out
+
+
 def _mea_dp(post: np.ndarray) -> Tuple[List[str], float]:
     """MEA alignment DP over a (L1+1)x(L2+1) posterior; returns the edit
     string (list over columns of 'B'/'X'/'Y') and the total score.
@@ -435,6 +673,7 @@ def probcons_align(
     seed: int = 0,
     precomputed=None,
     precomputed_mats=None,
+    precomputed_dist=None,
 ):
     """Drop-in equivalent of probconslib.probcons().align(...)
     (Probcons.cc:1608-1713).  Returns ([(name, alnseq)...], conf list).
@@ -444,6 +683,9 @@ def probcons_align(
     problems (e.g. all bubbles of a refinement pass) in one device call.
     precomputed_mats: optional consistency-transformed sparse matrices
     ((a, b) -> array) from batch_consistency — skips stage 2 here.
+    precomputed_dist: optional (N, N) expected-accuracy distance matrix;
+    together with precomputed_mats (batch_stage12_device) it skips
+    stage 1 entirely — no posteriors ever reach the host.
     """
     del pretraining  # the binding accepts it; training is not reachable
     names = [n for n, s in aobjs]
@@ -454,25 +696,32 @@ def probcons_align(
 
     # ---- stage 1: all-pairs posteriors + expected-accuracy distances ----
     pair_keys = [(a, b) for a in range(N) for b in range(a + 1, N)]
-    if precomputed is not None:
-        res = precomputed
-        assert len(res) == len(pair_keys)
-    else:
-        res = batch_posteriors([(seqs[a], seqs[b]) for a, b in pair_keys])
-    mats = {}
-    dist = np.zeros((N, N), dtype=np.float64)
-    for (a, b), (p, tot) in zip(pair_keys, res):
-        mats[(a, b)] = _sparsify(p)
-        # expected-accuracy distance uses the dense posterior
-        # (DoAlign, Probcons.cc:384-400)
-        edit, score = _mea_dp_fast(p)
-        dist[a, b] = dist[b, a] = score / max(
-            1, min(len(seqs[a]), len(seqs[b]))
-        )
-
-    if precomputed_mats is not None:
+    if precomputed_mats is not None and precomputed_dist is not None:
         mats = precomputed_mats
+        dist = precomputed_dist
         consistency = 0
+    else:
+        if precomputed is not None:
+            res = precomputed
+            assert len(res) == len(pair_keys)
+        else:
+            res = batch_posteriors(
+                [(seqs[a], seqs[b]) for a, b in pair_keys]
+            )
+        mats = {}
+        dist = np.zeros((N, N), dtype=np.float64)
+        for (a, b), (p, tot) in zip(pair_keys, res):
+            mats[(a, b)] = _sparsify(p)
+            # expected-accuracy distance uses the dense posterior
+            # (DoAlign, Probcons.cc:384-400)
+            edit, score = _mea_dp_fast(p)
+            dist[a, b] = dist[b, a] = score / max(
+                1, min(len(seqs[a]), len(seqs[b]))
+            )
+
+        if precomputed_mats is not None:
+            mats = precomputed_mats
+            consistency = 0
 
     # ---- stage 2: consistency transform ----
     for _ in range(consistency):

@@ -98,6 +98,7 @@ def msa_to_graph(
     nrefinements: int = 100,
     precomputed=None,
     precomputed_mats=None,
+    precomputed_dist=None,
     method: str = "reveal_probcons",
     parameters: str = "",
 ) -> Optional[PanGraph]:
@@ -132,6 +133,7 @@ def msa_to_graph(
             consgap=consgap,
             precomputed=precomputed,
             precomputed_mats=precomputed_mats,
+            precomputed_dist=precomputed_dist,
         )
         seqs = [""] * len(aobjs)
         for name, seq in aln:
@@ -358,6 +360,7 @@ def refine_bubble(
     aobjs=None,
     precomputed=None,
     precomputed_mats=None,
+    precomputed_dist=None,
     method: str = "reveal_probcons",
     parameters: str = "",
     minlength: int = 20,
@@ -400,6 +403,7 @@ def refine_bubble(
             nrefinements=nrefinements,
             precomputed=precomputed,
             precomputed_mats=precomputed_mats,
+            precomputed_dist=precomputed_dist,
             method=method,
             parameters=parameters,
         )
@@ -569,68 +573,99 @@ def refine_all(
         pair_slices.append((start, len(all_pairs)))
         work.append((bubble, sg, offsets, paths, aobjs))
 
-    from .msa import batch_consistency, batch_posteriors
+    from .msa import (
+        batch_consistency,
+        batch_posteriors,
+        batch_stage12_device,
+    )
 
     method = kwargs.get("method", "reveal_probcons")
-    t0 = time.time()
-    # posteriors only feed the built-in MSA; external / reveal_rem
-    # methods skip the batch
-    posteriors = (
-        batch_posteriors(all_pairs)
-        if all_pairs and method == "reveal_probcons"
-        else []
-    )
-    log.info(
-        "computed %d pair posteriors for %d bubbles in %.2fs",
-        len(all_pairs),
-        len(work),
-        time.time() - t0,
-    )
+    use_dev = False
+    try:
+        import jax
 
-    # phase 1b: device-batched consistency transform across all bubbles
-    # (one MXU einsum per (n, L) bucket, see msa.batch_consistency);
-    # active when an accelerator backend is present — the host loop is
-    # the float64 exact twin
+        use_dev = jax.default_backend() not in ("cpu",)
+    except Exception:
+        pass
+
+    # phase 1 (device path): fused posterior -> distance -> consistency
+    # chain, fully device-resident (msa.batch_stage12_device) — only the
+    # sparse transformed mats + scalar distances cross the link.  The
+    # host path (and the fallback) computes posteriors on device but
+    # runs the exact float64 consistency loop on host.
+    posteriors = []
     mats_for = [None] * len(work)
-    if posteriors:
-        use_dev = False
-        try:
-            import jax
-
-            use_dev = jax.default_backend() not in ("cpu",)
-        except Exception:
-            pass
+    dist_for = [None] * len(work)
+    if all_pairs and method == "reveal_probcons":
+        done = False
         if use_dev:
             t0 = time.time()
-            problems = [
-                (
-                    [sq for _n, sq in aobjs],
-                    posteriors[s:e],
-                )
-                for (bubble, sg, offsets, paths, aobjs), (s, e) in zip(
-                    work, pair_slices
-                )
-            ]
             try:
-                mats_for = batch_consistency(
-                    problems,
+                stage12 = batch_stage12_device(
+                    [
+                        [sq for _n, sq in aobjs]
+                        for (bubble, sg, offsets, paths, aobjs) in work
+                    ],
                     consistency=kwargs.get("constrans", 2),
                     consgap=kwargs.get("consgap", True),
                 )
+                mats_for = [m for m, _d in stage12]
+                dist_for = [d for _m, d in stage12]
+                done = True
                 log.info(
-                    "device consistency transform for %d bubbles in %.2fs",
-                    len(problems),
+                    "device posterior+consistency chain for %d bubbles "
+                    "(%d pairs) in %.2fs",
+                    len(work),
+                    len(all_pairs),
                     time.time() - t0,
                 )
             except Exception as e:
                 log.warning(
-                    "device consistency failed (%s); host fallback", e
+                    "device stage-1+2 chain failed (%s); "
+                    "two-phase fallback",
+                    e,
                 )
-                mats_for = [None] * len(work)
+        if not done:
+            t0 = time.time()
+            posteriors = batch_posteriors(all_pairs)
+            log.info(
+                "computed %d pair posteriors for %d bubbles in %.2fs",
+                len(all_pairs),
+                len(work),
+                time.time() - t0,
+            )
+            if use_dev:
+                t0 = time.time()
+                problems = [
+                    (
+                        [sq for _n, sq in aobjs],
+                        posteriors[s:e],
+                    )
+                    for (bubble, sg, offsets, paths, aobjs), (s, e) in zip(
+                        work, pair_slices
+                    )
+                ]
+                try:
+                    mats_for = batch_consistency(
+                        problems,
+                        consistency=kwargs.get("constrans", 2),
+                        consgap=kwargs.get("consgap", True),
+                    )
+                    log.info(
+                        "device consistency transform for %d bubbles "
+                        "in %.2fs",
+                        len(problems),
+                        time.time() - t0,
+                    )
+                except Exception as e:
+                    log.warning(
+                        "device consistency failed (%s); host fallback", e
+                    )
+                    mats_for = [None] * len(work)
 
     # phase 2: per-bubble MSA + graph splice on host
-    for (bubble, sg, offsets, paths, aobjs), (s, e), pmats in zip(
-        work, pair_slices, mats_for
+    for (bubble, sg, offsets, paths, aobjs), (s, e), pmats, pdist in zip(
+        work, pair_slices, mats_for, dist_for
     ):
         t0 = time.time()
         res = refine_bubble(
@@ -641,6 +676,7 @@ def refine_all(
             aobjs=aobjs,
             precomputed=posteriors[s:e] if posteriors else None,
             precomputed_mats=pmats,
+            precomputed_dist=pdist,
             minlength=minlength,
             **kwargs,
         )

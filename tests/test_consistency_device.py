@@ -93,3 +93,46 @@ def test_probcons_align_precomputed_mats_roundtrip():
     )
     # same alignment columns (float drift cannot flip this tiny case)
     assert [s for _n, s in aln1] == [s for _n, s in aln2]
+
+
+def test_batch_stage12_device_matches_host():
+    """Fused device chain (posterior -> MEA distance -> consistency)
+    equals stage 1+2 of the host path."""
+    from reveal_tpu.hmm.msa import _mea_dp_fast, batch_stage12_device
+
+    problems = [_mk_problem(s, n=3, L=40 + 8 * s) for s in range(3)]
+    got = batch_stage12_device(
+        [seqs for seqs, _res in problems], consistency=2, consgap=True
+    )
+    for (seqs, res), (mats, dist) in zip(problems, got):
+        want = _host_consistency(seqs, res, rounds=2, consgap=True)
+        assert set(mats) == set(want)
+        for k in want:
+            assert mats[k].shape == want[k].shape, k
+            d = np.abs(mats[k] - want[k])
+            assert d.max() < 5e-3, (k, d.max())
+        # distances from the device MEA scan vs the host DP
+        n = len(seqs)
+        k = 0
+        for a in range(n):
+            for b in range(a + 1, n):
+                p, _tot = res[k]
+                _edit, score = _mea_dp_fast(np.asarray(p))
+                wantd = score / max(1, min(len(seqs[a]), len(seqs[b])))
+                assert abs(dist[a, b] - wantd) < 1e-4, (a, b)
+                k += 1
+
+
+def test_probcons_align_stage12_roundtrip():
+    """precomputed_mats+dist path reproduces the plain alignment."""
+    from reveal_tpu.hmm.msa import batch_stage12_device
+
+    seqs, res = _mk_problem(11, n=3, L=40)
+    aobjs = [("s%d" % i, s) for i, s in enumerate(seqs)]
+    mats, dist = batch_stage12_device([seqs], consistency=2, consgap=True)[0]
+    aln1, conf1 = probcons_align(aobjs, consgap=True)
+    aln2, conf2 = probcons_align(
+        aobjs, precomputed_mats=mats, precomputed_dist=dist, consgap=True
+    )
+    assert [s for _n, s in aln1] == [s for _n, s in aln2]
+    assert conf1 == conf2
