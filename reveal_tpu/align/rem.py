@@ -322,11 +322,15 @@ def _align_loop_frontier(
             desc.n = cnt
             nxt[sid] = desc
 
-        # ---- boundary repair on affected leading children -------------
-        for lead_sid, begins in repair_jobs:
-            if lead_sid in nxt and begins and int(rcount[lead_sid]) > 0:
-                d = nxt[lead_sid]
-                dev.repair_child(d.start, d.n, begins)
+        # ---- boundary repair on affected leading children (batched:
+        # one gather + one scatter for the whole level) ------------------
+        dev.repair_children(
+            [
+                (nxt[lead_sid].start, nxt[lead_sid].n, begins)
+                for lead_sid, begins in repair_jobs
+                if lead_sid in nxt and begins and int(rcount[lead_sid]) > 0
+            ]
+        )
 
         segs = nxt
 

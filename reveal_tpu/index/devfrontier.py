@@ -453,16 +453,18 @@ class DeviceFrontier:
 
         while True:
             fn = _get_enum_pairwise(self._K1)
-            slots, l, a, b, valid, count = fn(
+            out = fn(
                 self.T, self.SA, self.LCP, self.SEG,
                 jnp.int32(self.nsep0), jnp.int32(minl),
             )
+            # one bulk transfer for the whole result tuple
+            slots, l, a, b, _valid, count = jax.device_get(out)
             count = int(count)
             if count <= self._K1:
                 break
             self._K1 = _next_pow2(count)
         slots, l, a, b = (
-            np.asarray(jax.device_get(x))[:count] for x in (slots, l, a, b)
+            np.asarray(x)[:count] for x in (slots, l, a, b)
         )
         return slots, l, a, b
 
@@ -475,21 +477,23 @@ class DeviceFrontier:
         W = max(2, self.nsamples)
         while True:
             fn = _get_enum_multi(self._K2, W)
-            ls, lbs, ubs, sa_rows, so_rows, ok, count = fn(
+            out = fn(
                 self.T, self.SA, self.LCP, self.SEG, self.SO,
                 jnp.int32(minl), jnp.int32(minn),
                 jnp.int32(self.nsamples),
             )
+            # one bulk transfer for the whole result tuple
+            ls, lbs, ubs, sa_rows, so_rows, ok, count = jax.device_get(out)
             count = int(count)
             if count <= self._K2:
                 break
             self._K2 = _next_pow2(count)
-        ok = np.asarray(jax.device_get(ok))[:count]
-        ls = np.asarray(jax.device_get(ls))[:count][ok]
-        lbs = np.asarray(jax.device_get(lbs))[:count][ok]
-        ubs = np.asarray(jax.device_get(ubs))[:count][ok]
-        sa_rows = np.asarray(jax.device_get(sa_rows))[:count][ok]
-        so_rows = np.asarray(jax.device_get(so_rows))[:count][ok]
+        ok = np.asarray(ok)[:count]
+        ls = np.asarray(ls)[:count][ok]
+        lbs = np.asarray(lbs)[:count][ok]
+        ubs = np.asarray(ubs)[:count][ok]
+        sa_rows = np.asarray(sa_rows)[:count][ok]
+        so_rows = np.asarray(so_rows)[:count][ok]
         return ls, lbs, ubs, sa_rows, so_rows
 
     # -- level application ------------------------------------------------
@@ -553,24 +557,132 @@ class DeviceFrontier:
     # -- boundary repair --------------------------------------------------
     def repair_child(self, start: int, n: int, begins: List[int]):
         """Fetch one child's slice, run the exact bubble_sort repair
-        (native/esa.cpp repair_leading; numpy fallback), scatter back."""
+        (native/esa.cpp repair_leading; numpy fallback), scatter back.
+
+        Fetch/scatter go through dynamic_slice windows whose width is a
+        power-of-8 bucket and whose start is a traced scalar, so every
+        repair of a similar-sized child reuses ONE compiled executable —
+        a raw ``self.SA[start:start+n]`` bakes (start, n) into the jaxpr
+        and recompiles per child (minutes of tunnel compiles per run)."""
         import jax
 
         if n == 0 or not begins:
             return
-        sa = np.asarray(
-            jax.device_get(self.SA[start : start + n]), dtype=np.int64
-        )
-        lcp = np.asarray(
-            jax.device_get(self.LCP[start : start + n]), dtype=np.int64
-        )
+        npad = self.SA.shape[0]
+        W = min(_bucket8(max(n, 8)), npad)
+        start_eff = min(start, npad - W)
+        off = start - start_eff
+        fetch, scatter = _get_repair_window(W)
+        sa_w, lcp_w = fetch(self.SA, self.LCP, start_eff)
+        sa_w = np.array(jax.device_get(sa_w))  # writable copies
+        lcp_w = np.array(jax.device_get(lcp_w))
+        sa = sa_w[off : off + n].astype(np.int64)
+        lcp = lcp_w[off : off + n].astype(np.int64)
         _repair_host(sa, lcp, sorted(begins))
-        self.SA = self.SA.at[start : start + n].set(
-            sa.astype(np.int32)
+        sa_w[off : off + n] = sa.astype(np.int32)
+        lcp_w[off : off + n] = lcp.astype(np.int32)
+        self.SA, self.LCP = scatter(
+            self.SA, self.LCP, sa_w, lcp_w, start_eff
         )
-        self.LCP = self.LCP.at[start : start + n].set(
-            lcp.astype(np.int32)
+
+
+    def repair_children(self, jobs):
+        """Batched boundary repair: ONE windowed gather + ONE scatter for
+        every affected child of a level (jobs: [(start, n, begins)]).
+        The per-child host repair walk is unchanged; only the device
+        traffic is batched (385 per-child round trips -> 2 per level on
+        the 1a/1b trace)."""
+        import jax
+
+        jobs = [(s, n, b) for s, n, b in jobs if n > 0 and b]
+        if not jobs:
+            return
+        npad = int(self.SA.shape[0])
+        # group by window bucket so one near-full-size child doesn't
+        # inflate every row's padded width (R × Wmax transfer blow-up)
+        groups = {}
+        for s, n, b in jobs:
+            W = min(_bucket8(max(n, 8)), npad)
+            groups.setdefault(W, []).append((s, n, b))
+        for W, grp in sorted(groups.items()):
+            R = _next_pow2(len(grp))
+            starts = np.zeros(R, dtype=np.int32)
+            ns = np.zeros(R, dtype=np.int32)
+            for r, (s, n, _b) in enumerate(grp):
+                starts[r] = s
+                ns[r] = n
+            fetch, scatter = _get_repair_rows(R, W, npad)
+            sa_rows, lcp_rows = fetch(self.SA, self.LCP, starts)
+            sa_rows = np.array(jax.device_get(sa_rows))
+            lcp_rows = np.array(jax.device_get(lcp_rows))
+            for r, (s, n, begins) in enumerate(grp):
+                sa = sa_rows[r, :n].astype(np.int64)
+                lcp = lcp_rows[r, :n].astype(np.int64)
+                _repair_host(sa, lcp, sorted(begins))
+                sa_rows[r, :n] = sa.astype(np.int32)
+                lcp_rows[r, :n] = lcp.astype(np.int32)
+            self.SA, self.LCP = scatter(
+                self.SA, self.LCP, sa_rows, lcp_rows, starts, ns
+            )
+
+
+def _get_repair_rows(R: int, W: int, npad: int):
+    """Jitted (R, W)-windowed row gather + masked scatter (rows beyond a
+    child's length drop via out-of-bounds 'drop' mode)."""
+    key = ("repair_rows", R, W, npad)
+    fns = _kern_cache.get(key)
+    if fns is not None:
+        return fns
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fetch(SA, LCP, starts):
+        idx = jnp.clip(
+            starts[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :],
+            0,
+            npad - 1,
         )
+        return SA[idx], LCP[idx]
+
+    @jax.jit
+    def scatter(SA, LCP, sa_rows, lcp_rows, starts, ns):
+        j = jnp.arange(W, dtype=jnp.int32)[None, :]
+        idx = starts[:, None] + j
+        idx = jnp.where(j < ns[:, None], idx, npad)  # OOB rows drop
+        flat = idx.reshape(-1)
+        SA = SA.at[flat].set(sa_rows.reshape(-1), mode="drop")
+        LCP = LCP.at[flat].set(lcp_rows.reshape(-1), mode="drop")
+        return SA, LCP
+
+    _kern_cache[key] = (fetch, scatter)
+    return fetch, scatter
+
+
+def _get_repair_window(W: int):
+    """Jitted fixed-width window fetch + write-back (one compile per
+    power-of-8 width bucket; start is a traced scalar)."""
+    fns = _kern_cache.get(("repair", W))
+    if fns is not None:
+        return fns
+
+    import jax
+
+    @jax.jit
+    def fetch(SA, LCP, start):
+        sa = jax.lax.dynamic_slice(SA, (start,), (W,))
+        lcp = jax.lax.dynamic_slice(LCP, (start,), (W,))
+        return sa, lcp
+
+    @jax.jit
+    def scatter(SA, LCP, sa_w, lcp_w, start):
+        SA = jax.lax.dynamic_update_slice(SA, sa_w, (start,))
+        LCP = jax.lax.dynamic_update_slice(LCP, lcp_w, (start,))
+        return SA, LCP
+
+    _kern_cache[("repair", W)] = (fetch, scatter)
+    return fetch, scatter
 
 
 def _repair_host(SA: np.ndarray, LCP: np.ndarray, begins) -> None:
