@@ -599,10 +599,12 @@ class DeviceFrontier:
             return
         npad = int(self.SA.shape[0])
         # group by window bucket so one near-full-size child doesn't
-        # inflate every row's padded width (R × Wmax transfer blow-up)
+        # inflate every row's padded width (R × Wmax transfer blow-up);
+        # pow2 buckets (not pow8): transfer bytes dominate compile count
+        # over the device link
         groups = {}
         for s, n, b in jobs:
-            W = min(_bucket8(max(n, 8)), npad)
+            W = min(_next_pow2(max(n, 8)), npad)
             groups.setdefault(W, []).append((s, n, b))
         for W, grp in sorted(groups.items()):
             R = _next_pow2(len(grp))
