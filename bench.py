@@ -3,34 +3,104 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Primary metric: pair-HMM posterior throughput (cells/sec) of the refine
-stage's hot kernel on the device — the reference's equivalent computation is
-ProbCons ComputeForwardMatrix/Backward/Posterior
-(/root/reference/probcons/ProbabilisticModel.h:102-331), single-threaded C++.
-The reference repo publishes no benchmark numbers (BASELINE.md), so
-vs_baseline is reported against a conservative 100 Mcells/s estimate for
-single-core C++ pair-HMM forward-backward.
+Primary metric — rem anchoring throughput (Mbp/s) on the reference's
+tests/2a.fa vs 2b.fa fixtures (3.2 Mbp total), the metric BASELINE.json
+names first, measured on the production default path (align_genomes,
+backend="auto").
 
-Extra: end-to-end rem anchoring throughput (Mbp/s) on the reference's
-tests/2a.fa vs 2b.fa fixtures (3.2 Mbp total), and on 1a/1b.
+vs_baseline is MEASURED, not estimated: the same alignment is timed with
+REVEAL_TPU_DISABLE_NATIVE=1 and backend="np" in a subprocess — the repo's
+own pure-numpy engine, no C++, no device — as the reference-CPU proxy
+(the reference's py2+C binary cannot be built in this image; the numpy
+engine implements the identical algorithm and produces the identical
+graph, see tests/test_determinism.py).  The proxy time is reported in
+extra so the comparison is auditable.
+
+Correctness gate: before any timing, the production pair-HMM posterior
+path (Pallas kernels on TPU) is checked against the float64 scalar
+oracle (hmm/selfcheck.py).  On mismatch the benchmark prints an error
+JSON line and exits non-zero — no silent numbers from broken kernels.
+
+Extra: rem on 1a/1b, 3a/3b, the 6-way multi-genome run, and the
+device-resident frontier path; pair-HMM device-kernel cells/s AND the
+end-to-end production path (batched dispatch + sparse posterior
+transfer) cells/s, reported side by side.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
-REF_CELLS_PER_SEC_CPU = 1e8  # conservative single-core C++ pair-HMM estimate
+TESTS = "/root/reference/tests"
+
+
+def check_kernels():
+    from reveal_tpu.hmm.selfcheck import check_posterior_oracle
+
+    max_err, max_tot_err, backend = check_posterior_oracle()
+    return {
+        "pairhmm_oracle_max_abs_err": round(max_err, 6),
+        "pairhmm_oracle_logprob_err": round(max_tot_err, 6),
+        "backend": backend,
+    }
+
+
+def bench_rem(files, iters=1, **kw):
+    from reveal_tpu.align.rem import align_genomes
+
+    best = None
+    for _ in range(iters):
+        t0 = time.time()
+        G, idx = align_genomes(list(files), minlength=20, **kw)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    mbp = idx.main.nT / 1e6
+    return mbp / best, best
+
+
+def cpu_proxy_rem(files, timeout=1800):
+    """Measured reference-CPU proxy: pure-numpy engine in a subprocess
+    (native kernels disabled, CPU jax platform, device never touched)."""
+    prog = (
+        "import sys,time;sys.path.insert(0,%r);"
+        "from reveal_tpu.align.rem import align_genomes;"
+        "t0=time.time();"
+        "G,idx=align_genomes(%r,minlength=20,backend='np');"
+        "print('PROXY',time.time()-t0,idx.main.nT)" % (REPO, list(files))
+    )
+    env = dict(os.environ)
+    env["REVEAL_TPU_DISABLE_NATIVE"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", prog],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("PROXY"):
+            _, dt, nt = line.split()
+            return (float(nt) / 1e6) / float(dt), float(dt)
+    raise RuntimeError(
+        "cpu proxy failed: %s %s" % (out.stdout[-200:], out.stderr[-500:])
+    )
 
 
 def bench_pairhmm(B=128, L=512, iters=5):
-    """Device posterior throughput (Pallas kernels when on TPU) plus the
-    end-to-end host path (includes D2H transfer of the posterior grids,
-    which dominates over the remote-tunnel link)."""
+    """Returns (device_kernel_cps, e2e_production_cps).
+
+    device kernel = the Pallas posterior batch alone (block_until_ready,
+    nothing fetched); e2e = the production entry hmm.msa.batch_posteriors
+    including the sparse device->host posterior transfer the refine
+    pipeline actually pays for."""
     import jax
 
     from reveal_tpu.hmm.msa import batch_posteriors
@@ -45,23 +115,19 @@ def bench_pairhmm(B=128, L=512, iters=5):
     ]
     cells = float(sum(len(a) * len(b) for a, b in pairs))
 
-    # device-only throughput
+    dev_cps = None
     try:
+        from reveal_tpu.hmm.pairhmm import _pad_with_dummy
         from reveal_tpu.hmm.pallas_pairhmm import (
             _get_pallas_kernels,
             _round_up,
         )
-        from reveal_tpu.hmm.pairhmm import _pad_with_dummy
 
         posterior_batch = _get_pallas_kernels()
         L1p = L + 1
         L2p = _round_up(L + 1, 128)
-        xb = np.stack(
-            [_pad_with_dummy(a.encode(), L1p - 1) for a, b in pairs]
-        )
-        yb = np.stack(
-            [_pad_with_dummy(b.encode(), L2p - 1) for a, b in pairs]
-        )
+        xb = np.stack([_pad_with_dummy(a.encode(), L1p - 1) for a, b in pairs])
+        yb = np.stack([_pad_with_dummy(b.encode(), L2p - 1) for a, b in pairs])
         lx = np.array([len(a) for a, b in pairs], dtype=np.int32)
         ly = np.array([len(b) for a, b in pairs], dtype=np.int32)
         out = posterior_batch(xb, yb, lx, ly)
@@ -72,92 +138,91 @@ def bench_pairhmm(B=128, L=512, iters=5):
             jax.block_until_ready(out)
         dev_cps = cells / ((time.time() - t0) / iters)
     except Exception:
-        dev_cps = None
+        pass
 
-    # end-to-end host path (production MSA entry)
-    batch_posteriors(pairs, slice_output=False)
+    batch_posteriors(pairs)  # warm
     t0 = time.time()
     for _ in range(iters):
-        batch_posteriors(pairs, slice_output=False)
+        batch_posteriors(pairs)
     e2e_cps = cells / ((time.time() - t0) / iters)
     return dev_cps, e2e_cps
 
 
-def bench_rem(*files):
-    from reveal_tpu.align.rem import align_genomes
-
-    t0 = time.time()
-    G, idx = align_genomes(list(files), minlength=20, backend="auto")
-    dt = time.time() - t0
-    mbp = idx.main.nT / 1e6
-    return mbp / dt, dt
-
-
 def main():
     extra = {}
-    try:
-        r11, dt11 = bench_rem(
-            "/root/reference/tests/1a.fa", "/root/reference/tests/1b.fa"
-        )  # noqa: F841
-        extra["rem_1a1b_mbp_per_s"] = round(r11, 3)
-    except Exception as e:  # pragma: no cover
-        extra["rem_1a1b_error"] = str(e)[:200]
-    try:
-        r22, dt22 = bench_rem(
-            "/root/reference/tests/2a.fa", "/root/reference/tests/2b.fa"
-        )
-        extra["rem_2a2b_mbp_per_s"] = round(r22, 3)
-    except Exception as e:  # pragma: no cover
-        extra["rem_2a2b_error"] = str(e)[:200]
-    try:
-        r33, dt33 = bench_rem(
-            "/root/reference/tests/3a.fa", "/root/reference/tests/3b.fa"
-        )
-        extra["rem_3a3b_mbp_per_s"] = round(r33, 3)
-    except Exception as e:  # pragma: no cover
-        extra["rem_3a3b_error"] = str(e)[:200]
-    try:
-        # multi-genome (multiMUM) path
-        r6, dt6 = bench_rem(
-            "/root/reference/tests/1a.fa",
-            "/root/reference/tests/1b.fa",
-            "/root/reference/tests/1c.fa",
-            "/root/reference/tests/1d.fa",
-            "/root/reference/tests/1e.fa",
-            "/root/reference/tests/1f.fa",
-        )
-        extra["rem_6way_1af_mbp_per_s"] = round(r6, 3)
-    except Exception as e:  # pragma: no cover
-        extra["rem_6way_error"] = str(e)[:200]
 
-    dev_cps, e2e_cps = bench_pairhmm()
-    dev_wide, _ = bench_pairhmm(B=32, L=2048, iters=3)
-    cands = [
-        (c, tag)
-        for c, tag in (
-            (dev_cps, "B=128,L=512,posterior(fwd+bwd)"),
-            (dev_wide, "B=32,L=2048,posterior(fwd+bwd)"),
+    # ---- correctness gate (fail loudly; no numbers from broken kernels)
+    try:
+        extra.update(check_kernels())
+    except Exception as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "rem_2a2b_mbp_per_s",
+                    "value": None,
+                    "unit": "Mbp/s",
+                    "vs_baseline": None,
+                    "extra": {"error": "kernel selfcheck FAILED: %s" % e},
+                }
+            )
         )
-        if c is not None
-    ]
-    if cands:
-        cps, tag = max(cands)
-    else:
-        cps, tag = e2e_cps, "e2e-host"
-    extra["pairhmm_batch"] = tag
-    if dev_cps is not None:
-        extra["pairhmm_b128_l512_cells_per_sec"] = round(dev_cps, 1)
-    if dev_wide is not None:
-        extra["pairhmm_b32_l2048_cells_per_sec"] = round(dev_wide, 1)
-    extra["pairhmm_e2e_host_cells_per_sec"] = round(e2e_cps, 1)
+        sys.exit(1)
+
+    # ---- primary: rem 2a2b production path -----------------------------
+    r22, dt22 = bench_rem([TESTS + "/2a.fa", TESTS + "/2b.fa"])
+    extra["rem_2a2b_seconds"] = round(dt22, 2)
+
+    # measured CPU proxy on the same input
+    try:
+        pr, pdt = cpu_proxy_rem([TESTS + "/2a.fa", TESTS + "/2b.fa"])
+        extra["rem_2a2b_numpy_proxy_seconds"] = round(pdt, 2)
+        extra["rem_2a2b_numpy_proxy_mbp_per_s"] = round(pr, 4)
+        extra["baseline_kind"] = (
+            "measured pure-numpy engine (no native, no device), same input"
+        )
+        vs = r22 / pr
+    except Exception as e:  # pragma: no cover
+        extra["proxy_error"] = str(e)[:200]
+        vs = None
+
+    # ---- secondary rem configs ----------------------------------------
+    for tag, files, kw in (
+        ("rem_1a1b", ["1a.fa", "1b.fa"], {}),
+        ("rem_3a3b", ["3a.fa", "3b.fa"], {}),
+        (
+            "rem_6way_1af",
+            ["1a.fa", "1b.fa", "1c.fa", "1d.fa", "1e.fa", "1f.fa"],
+            {},
+        ),
+        ("rem_2a2b_frontier", ["2a.fa", "2b.fa"], {"frontier": True}),
+    ):
+        try:
+            r, dt = bench_rem([TESTS + "/" + f for f in files], **kw)
+            extra[tag + "_mbp_per_s"] = round(r, 3)
+            extra[tag + "_seconds"] = round(dt, 2)
+        except Exception as e:  # pragma: no cover
+            extra[tag + "_error"] = str(e)[:200]
+
+    # ---- pair-HMM: device kernel AND e2e production path ---------------
+    try:
+        dev_cps, e2e_cps = bench_pairhmm(B=128, L=512)
+        dev_wide, e2e_wide = bench_pairhmm(B=32, L=2048, iters=3)
+        if dev_cps:
+            extra["pairhmm_dev_b128_l512_cells_per_sec"] = round(dev_cps, 1)
+        if dev_wide:
+            extra["pairhmm_dev_b32_l2048_cells_per_sec"] = round(dev_wide, 1)
+        extra["pairhmm_e2e_b128_l512_cells_per_sec"] = round(e2e_cps, 1)
+        extra["pairhmm_e2e_b32_l2048_cells_per_sec"] = round(e2e_wide, 1)
+    except Exception as e:  # pragma: no cover
+        extra["pairhmm_error"] = str(e)[:200]
 
     print(
         json.dumps(
             {
-                "metric": "pairhmm_posterior_cells_per_sec",
-                "value": round(cps, 1),
-                "unit": "cells/s",
-                "vs_baseline": round(cps / REF_CELLS_PER_SEC_CPU, 3),
+                "metric": "rem_2a2b_mbp_per_s",
+                "value": round(r22, 3),
+                "unit": "Mbp/s",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
                 "extra": extra,
             }
         )

@@ -42,6 +42,10 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    if os.environ.get("REVEAL_TPU_DISABLE_NATIVE"):
+        # honest-CPU-proxy mode for bench.py: force every kernel onto its
+        # numpy fallback so the measured baseline contains no C++
+        return None
     try:
         with open(_SRC, "rb") as f:
             src = f.read()
