@@ -43,6 +43,16 @@ def _global_parser():
         choices=["auto", "jax", "np"],
         help="Index-construction backend (device vs host).",
     )
+    p.add_argument(
+        "--profile",
+        dest="profiledir",
+        default=None,
+        metavar="DIR",
+        help="Capture a JAX profiler trace (xplane protos + "
+        "TensorBoard trace-viewer files) of the whole command into "
+        "DIR.  The reference's only precedent is ad-hoc wall-clock "
+        "logs; this exposes per-kernel device timelines.",
+    )
     return p
 
 
@@ -1319,8 +1329,24 @@ def main(argv=None):
         level=args.loglevel,
         format="%(asctime)-15s %(levelname)s: %(message)s",
     )
+    profiledir = getattr(args, "profiledir", None)
+    if profiledir:
+        import contextlib
+
+        try:
+            import jax
+
+            trace_cm = jax.profiler.trace(profiledir)
+        except Exception as e:  # pragma: no cover
+            logging.warning("profiler unavailable: %s", e)
+            trace_cm = contextlib.nullcontext()
+    else:
+        import contextlib
+
+        trace_cm = contextlib.nullcontext()
     try:
-        return args.func(args) or 0
+        with trace_cm:
+            return args.func(args) or 0
     except BrokenPipeError:
         try:
             sys.stdout.close()

@@ -111,3 +111,15 @@ def test_plot_bed(data, monkeypatch, tmp_path):
          "--backend", "np", "-o", "bp2"])
     run(["plot", "bp2.bed"])
     assert os.path.getsize("bp2.bed.png") > 1000
+
+
+def test_profile_flag_writes_xplane(data, monkeypatch, tmp_path):
+    d, _ = data
+    monkeypatch.chdir(tmp_path)
+    run(["rem", d / "ref.fa", d / "qry.fa", "-m", "30", "--backend",
+         "np", "--profile", "prof", "-o", "pp.gfa"])
+    assert os.path.exists("pp.gfa")
+    hits = []
+    for root, _dirs, files in os.walk("prof"):
+        hits += [f for f in files if f.endswith(".xplane.pb")]
+    assert hits, "no xplane trace written by --profile"
