@@ -441,11 +441,17 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
     return out
 
 
-def _mea_dp(post: np.ndarray) -> Tuple[List[str], float]:
-    """MEA alignment DP over a (L1+1)x(L2+1) posterior; returns the edit
-    string (list over columns of 'B'/'X'/'Y') and the total score.
+# edit-op codes shared by the MEA DPs and _add_gaps: 0 = 'B' (both rows
+# advance), 1 = 'Y' (second group advances), 2 = 'X' (first group advances)
+OP_B, OP_Y, OP_X = 0, 1, 2
 
-    Vectorized per row; tie-breaking matches ChooseBestOfThree: D >= L >= U.
+
+def _mea_dp(post: np.ndarray) -> Tuple[np.ndarray, float]:
+    """MEA alignment DP over a (L1+1)x(L2+1) posterior; returns the edit
+    ops (uint8 array of OP_B/OP_X/OP_Y per column) and the total score.
+
+    Scalar reference implementation (differential oracle for the native
+    kernel); tie-breaking matches ChooseBestOfThree: D >= L >= U.
     """
     L1 = post.shape[0] - 1
     L2 = post.shape[1] - 1
@@ -497,26 +503,36 @@ def _mea_dp(post: np.ndarray) -> Tuple[List[str], float]:
         ch = tb[r, c_]
         if ch == 1:
             c_ -= 1
-            out.append("Y")
+            out.append(OP_Y)
         elif ch == 2:
             r -= 1
-            out.append("X")
+            out.append(OP_X)
         else:
             r -= 1
             c_ -= 1
-            out.append("B")
+            out.append(OP_B)
     out.reverse()
-    return out, total
+    return np.array(out, dtype=np.uint8), total
 
 
-def _mea_dp_fast(post: np.ndarray) -> Tuple[List[str], float]:
-    """Row-vectorized MEA DP.
+def _mea_dp_fast(post: np.ndarray) -> Tuple[np.ndarray, float]:
+    """MEA DP: native C++ kernel when available (identical float32
+    arithmetic and tie order, native/esa.cpp mea_dp), else the
+    row-vectorized numpy path.
 
     Exact same cell values and traceback choices as _mea_dp: within a row,
     new[j] = max(c[j], new[j-1]) where c[j] = max-with-D-preference(d, u);
     the L choice applies when new[j-1] > c[j] (strict, since D>=L wins for
     equality) — computed via running argmax over prefix maxima.
     """
+    try:
+        from ..native import mea_dp_native
+
+        res = mea_dp_native(post)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     L1 = post.shape[0] - 1
     L2 = post.shape[1] - 1
     old = np.zeros(L2 + 1, dtype=np.float32)
@@ -550,16 +566,16 @@ def _mea_dp_fast(post: np.ndarray) -> Tuple[List[str], float]:
         ch = tb[r, c_]
         if ch == 1:
             c_ -= 1
-            out.append("Y")
+            out.append(OP_Y)
         elif ch == 2:
             r -= 1
-            out.append("X")
+            out.append(OP_X)
         else:
             r -= 1
             c_ -= 1
-            out.append("B")
+            out.append(OP_B)
     out.reverse()
-    return out, total
+    return np.array(out, dtype=np.uint8), total
 
 
 class _Aln:
@@ -576,39 +592,49 @@ class _Aln:
     def mapping(self, r: int) -> np.ndarray:
         """mapping[k] = alignment column (1-based) of residue k (1-based),
         mapping[0]=0 (Sequence::GetMapping, Sequence.h:391-397)."""
-        row = self.rows[r]
-        out = [0]
-        for i, ch in enumerate(row):
-            if ch != "-":
-                out.append(i + 1)
-        return np.array(out, dtype=np.int64)
+        arr = np.frombuffer(self.rows[r].encode("latin1"), dtype=np.uint8)
+        nz = np.nonzero(arr != ord("-"))[0]
+        out = np.empty(len(nz) + 1, dtype=np.int64)
+        out[0] = 0
+        out[1:] = nz + 1
+        return out
 
 
 def _build_posterior(a1: _Aln, a2: _Aln, mats) -> np.ndarray:
     """BuildPosterior (ProbabilisticModel.h:1018-1089): sum sparse pairwise
-    posteriors into alignment-column coordinates."""
+    posteriors into alignment-column coordinates (one native batched
+    scatter-add call when available, numpy fancy-index fallback)."""
     L1 = a1.length
     L2 = a2.length
-    post = np.zeros((L1 + 1, L2 + 1), dtype=np.float32)
+    m1s = [a1.mapping(i) for i in range(len(a1.labels))]
+    m2s = [a2.mapping(j) for j in range(len(a2.labels))]
+    jobs = []
     for i, first in enumerate(a1.labels):
-        m1 = a1.mapping(i)
         for j, second in enumerate(a2.labels):
-            m2 = a2.mapping(j)
             if first < second:
-                P = mats[(first, second)]
-                # scatter-add P[ii, jj] into post[m1[ii], m2[jj]]
-                post[np.ix_(m1, m2)] += P
+                jobs.append((mats[(first, second)], i, j, False))
             else:
-                P = mats[(second, first)]
-                post[np.ix_(m1, m2)] += P.T
+                jobs.append((mats[(second, first)], i, j, True))
+    try:
+        from ..native import build_posterior_native
+
+        post = build_posterior_native(L1, L2 + 1, jobs, m1s, m2s)
+        if post is not None:
+            return post
+    except Exception:  # pragma: no cover
+        pass
+    post = np.zeros((L1 + 1, L2 + 1), dtype=np.float32)
+    for P, i, j, transpose in jobs:
+        # scatter-add P[ii, jj] into post[m1[ii], m2[jj]]
+        post[np.ix_(m1s[i], m2s[j])] += P.T if transpose else P
     return post
 
 
 def _align_alignments(a1: _Aln, a2: _Aln, mats) -> Tuple["_Aln", float]:
     post = _build_posterior(a1, a2, mats)
     edit, total = _mea_dp_fast(post)
-    rows1 = _add_gaps(a1.rows, edit, "X")
-    rows2 = _add_gaps(a2.rows, edit, "Y")
+    rows1 = _add_gaps(a1.rows, edit, OP_X)
+    rows2 = _add_gaps(a2.rows, edit, OP_Y)
     merged = _Aln(a1.labels + a2.labels, rows1 + rows2)
     # SortByLabel (Probcons.cc:1113-1114)
     order = np.argsort(np.array(merged.labels), kind="stable")
@@ -618,20 +644,16 @@ def _align_alignments(a1: _Aln, a2: _Aln, mats) -> Tuple["_Aln", float]:
     return merged, total
 
 
-def _add_gaps(rows: List[str], edit: List[str], keep: str) -> List[str]:
-    """Sequence::AddGaps: expand rows by the edit string; this group's
-    characters advance on 'B' and `keep`, others insert '-'."""
+def _add_gaps(rows: List[str], edit: np.ndarray, keep: int) -> List[str]:
+    """Sequence::AddGaps: expand rows by the edit ops; this group's
+    characters advance on OP_B and `keep` columns, others insert '-'."""
+    mask = (edit == OP_B) | (edit == keep)
+    tmpl = np.full(len(edit), ord("-"), dtype=np.uint8)
     out = []
     for row in rows:
-        buf = []
-        pos = 0
-        for e in edit:
-            if e == "B" or e == keep:
-                buf.append(row[pos])
-                pos += 1
-            else:
-                buf.append("-")
-        out.append("".join(buf))
+        buf = tmpl.copy()
+        buf[mask] = np.frombuffer(row.encode("latin1"), dtype=np.uint8)
+        out.append(buf.tobytes().decode("latin1"))
     return out
 
 
@@ -781,14 +803,14 @@ def _project(aln: _Aln, group: List[int]) -> _Aln:
     columns of the sub-alignment."""
     idxs = [aln.labels.index(g) for g in sorted(group)]
     rows = [aln.rows[i] for i in idxs]
-    cols = [
-        c
-        for c in range(len(rows[0]))
-        if any(r[c] != "-" for r in rows)
-    ]
+    mat = np.stack(
+        [np.frombuffer(r.encode("latin1"), dtype=np.uint8) for r in rows]
+    )
+    keep = (mat != ord("-")).any(axis=0)
+    sub = mat[:, keep]
     return _Aln(
         [aln.labels[i] for i in idxs],
-        ["".join(r[c] for c in cols) for r in rows],
+        [sub[k].tobytes().decode("latin1") for k in range(sub.shape[0])],
     )
 
 

@@ -144,6 +144,27 @@ def get_lib():
             + [ctypes.c_int]
             + [ctypes.c_void_p] * 2
         )
+        lib.rtpu_mea_dp.restype = ctypes.c_int64
+        lib.rtpu_mea_dp.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.rtpu_posterior_accum.restype = None
+        lib.rtpu_posterior_accum.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            + [ctypes.c_int64] * 3
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_int]
+        )
+        lib.rtpu_build_posterior.restype = None
+        lib.rtpu_build_posterior.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 10
+            + [ctypes.c_int64]
+        )
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -400,3 +421,116 @@ def glocal_dp_native(
         score.ctypes.data,
     )
     return best, score
+
+
+def mea_dp_native(post):
+    """MEA alignment DP (ComputeAlignment, ProbabilisticModel.h:641-760)
+    over a float32 (L1+1, L2+1) posterior.  Returns (edit_ops, total)
+    with edit_ops a uint8 array (0='B', 1='Y', 2='X') in forward order,
+    or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(post, dtype=np.float32)
+    L1 = p.shape[0] - 1
+    L2 = p.shape[1] - 1
+    edit = np.empty(L1 + L2 + 1, dtype=np.uint8)
+    total = np.zeros(1, dtype=np.float64)
+    k = lib.rtpu_mea_dp(
+        p.ctypes.data,
+        ctypes.c_int64(L1),
+        ctypes.c_int64(L2),
+        edit.ctypes.data,
+        total.ctypes.data,
+    )
+    return edit[:k], float(total[0])
+
+
+def posterior_accum_native(post, P, m1, m2, transpose=False):
+    """post[m1[ii], m2[jj]] += P[ii, jj] (or P[jj, ii] when transpose)
+    — the BuildPosterior scatter-add (ProbabilisticModel.h:1018-1089).
+    post must be float32 C-contiguous and is modified in place.  Returns
+    False if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert post.dtype == np.float32 and post.flags.c_contiguous
+    Pc = np.ascontiguousarray(P, dtype=np.float32)
+    m1c = np.ascontiguousarray(m1, dtype=np.int64)
+    m2c = np.ascontiguousarray(m2, dtype=np.int64)
+    l1 = len(m1c) - 1
+    l2 = len(m2c) - 1
+    lib.rtpu_posterior_accum(
+        post.ctypes.data,
+        ctypes.c_int64(post.shape[1]),
+        Pc.ctypes.data,
+        ctypes.c_int64(l1),
+        ctypes.c_int64(l2),
+        ctypes.c_int64(Pc.shape[1]),
+        m1c.ctypes.data,
+        m2c.ctypes.data,
+        ctypes.c_int(1 if transpose else 0),
+    )
+    return True
+
+
+def build_posterior_native(L1, W, pair_jobs, m1s, m2s):
+    """One-call BuildPosterior sum (ProbabilisticModel.h:1018-1089).
+
+    pair_jobs: [(P, i, j, transpose)] — P float32 C-contiguous; i/j index
+    into m1s/m2s (int64 mapping arrays).  Returns the (L1+1, W) float32
+    accumulation, or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(pair_jobs)
+    post = np.zeros((L1 + 1, W), dtype=np.float32)
+    if n == 0:
+        return post
+    ptrs = (ctypes.c_void_p * n)()
+    pl1 = np.empty(n, dtype=np.int64)
+    pl2 = np.empty(n, dtype=np.int64)
+    pw = np.empty(n, dtype=np.int64)
+    tf = np.empty(n, dtype=np.int32)
+    m1_idx = np.empty(n, dtype=np.int64)
+    m2_idx = np.empty(n, dtype=np.int64)
+    keep = []  # hold refs so contiguous copies outlive the call
+    for k, (P, i, j, transpose) in enumerate(pair_jobs):
+        Pc = np.ascontiguousarray(P, dtype=np.float32)
+        keep.append(Pc)
+        ptrs[k] = Pc.ctypes.data
+        m1_idx[k] = i
+        m2_idx[k] = j
+        pl1[k] = len(m1s[i]) - 1
+        pl2[k] = len(m2s[j]) - 1
+        pw[k] = Pc.shape[1]
+        tf[k] = 1 if transpose else 0
+    m1_off = np.zeros(len(m1s), dtype=np.int64)
+    off = 0
+    for i, m in enumerate(m1s):
+        m1_off[i] = off
+        off += len(m)
+    m1_cat = np.concatenate(m1s).astype(np.int64)
+    m2_off = np.zeros(len(m2s), dtype=np.int64)
+    off = 0
+    for j, m in enumerate(m2s):
+        m2_off[j] = off
+        off += len(m)
+    m2_cat = np.concatenate(m2s).astype(np.int64)
+    lib.rtpu_build_posterior(
+        post.ctypes.data,
+        ctypes.c_int64(W),
+        ctypes.cast(ptrs, ctypes.c_void_p),
+        pl1.ctypes.data,
+        pl2.ctypes.data,
+        pw.ctypes.data,
+        tf.ctypes.data,
+        m1_idx.ctypes.data,
+        m2_idx.ctypes.data,
+        m1_cat.ctypes.data,
+        m1_off.ctypes.data,
+        m2_cat.ctypes.data,
+        m2_off.ctypes.data,
+        ctypes.c_int64(n),
+    )
+    return post

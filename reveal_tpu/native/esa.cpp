@@ -645,9 +645,143 @@ void glocal_dp(const int64_t* S1, const int64_t* E1, const int64_t* S2,
   }
 }
 
+// ---------------------------------------------------------------------------
+// MEA alignment DP (ProbabilisticModel.h:641-760 ComputeAlignment).
+// Scalar float32 DP identical to hmm/msa._mea_dp: cell = max(D, L, U) with
+// ChooseBestOfThree tie order (D >= L >= U, .h:627-639); float arithmetic
+// matches the numpy float32 path bit-for-bit so native and fallback produce
+// identical alignments.  Returns the edit length; edit_out holds 0='B'
+// (both), 1='Y' (second advances), 2='X' (first advances) in forward order.
+// ---------------------------------------------------------------------------
+namespace {
+
+int64_t mea_dp(const float* post, int64_t L1, int64_t L2, uint8_t* edit_out,
+               double* total_out) {
+  const int64_t W = L2 + 1;
+  std::vector<float> oldrow(W, 0.0f), newrow(W, 0.0f);
+  std::vector<uint8_t> tb((L1 + 1) * W);
+  for (int64_t j = 0; j <= L2; ++j) tb[j] = 1;  // 'L'
+  for (int64_t i = 1; i <= L1; ++i) {
+    tb[i * W] = 2;  // 'U'
+    newrow[0] = 0.0f;
+    const float* prow = post + i * W;
+    uint8_t* trow = tb.data() + i * W;
+    for (int64_t j = 1; j <= L2; ++j) {
+      float dv = prow[j] + oldrow[j - 1];
+      float uv = oldrow[j];
+      float lv = newrow[j - 1];
+      if (dv >= lv) {
+        if (dv >= uv) {
+          newrow[j] = dv;
+          trow[j] = 0;
+        } else {
+          newrow[j] = uv;
+          trow[j] = 2;
+        }
+      } else if (lv >= uv) {
+        newrow[j] = lv;
+        trow[j] = 1;
+      } else {
+        newrow[j] = uv;
+        trow[j] = 2;
+      }
+    }
+    oldrow.swap(newrow);
+  }
+  *total_out = (double)oldrow[L2];
+  int64_t r = L1, c = L2, k = 0;
+  while (r != 0 || c != 0) {
+    uint8_t ch = tb[r * W + c];
+    if (ch == 1) {
+      --c;
+      edit_out[k++] = 1;  // 'Y'
+    } else if (ch == 2) {
+      --r;
+      edit_out[k++] = 2;  // 'X'
+    } else {
+      --r;
+      --c;
+      edit_out[k++] = 0;  // 'B'
+    }
+  }
+  std::reverse(edit_out, edit_out + k);
+  return k;
+}
+
+// Scatter-accumulate one pairwise posterior into alignment-column
+// coordinates (BuildPosterior, ProbabilisticModel.h:1018-1089):
+// post[m1[ii], m2[jj]] += P[ii, jj]  (or P[jj, ii] when transposed).
+// Zero entries are skipped — P is cutoff-sparsified, so most are.
+void posterior_accum(float* post, int64_t W, const float* P, int64_t l1,
+                     int64_t l2, int64_t w, const int64_t* m1,
+                     const int64_t* m2, int transpose) {
+  if (!transpose) {
+    for (int64_t ii = 0; ii <= l1; ++ii) {
+      const float* row = P + ii * w;
+      float* pr = post + m1[ii] * W;
+      for (int64_t jj = 0; jj <= l2; ++jj) {
+        float v = row[jj];
+        if (v != 0.0f) pr[m2[jj]] += v;
+      }
+    }
+  } else {
+    // P has shape (l2+1, w) with w = l1+1; logical P_t[ii, jj] = P[jj, ii]
+    for (int64_t jj = 0; jj <= l2; ++jj) {
+      const float* row = P + jj * w;
+      int64_t mj = m2[jj];
+      for (int64_t ii = 0; ii <= l1; ++ii) {
+        float v = row[ii];
+        if (v != 0.0f) post[m1[ii] * W + mj] += v;
+      }
+    }
+  }
+}
+
+// Whole BuildPosterior sum in one call: npairs sparse matrices scattered
+// into the (L1+1) x (W) output.  Mapping arrays arrive concatenated with
+// per-row offsets; pair k uses a1-row map m1_idx[k] and a2-row map
+// m2_idx[k], matrix Ps[k] (transposed indexing when tflags[k]).
+void build_posterior_sum(float* post, int64_t W, const float** Ps,
+                         const int64_t* pl1, const int64_t* pl2,
+                         const int64_t* pw, const int32_t* tflags,
+                         const int64_t* m1_idx, const int64_t* m2_idx,
+                         const int64_t* m1_cat, const int64_t* m1_off,
+                         const int64_t* m2_cat, const int64_t* m2_off,
+                         int64_t npairs) {
+  for (int64_t k = 0; k < npairs; ++k) {
+    posterior_accum(post, W, Ps[k], pl1[k], pl2[k], pw[k],
+                    m1_cat + m1_off[m1_idx[k]], m2_cat + m2_off[m2_idx[k]],
+                    tflags[k]);
+  }
+}
+
+}  // namespace
+
 }  // namespace
 
 extern "C" {
+
+int64_t rtpu_mea_dp(const float* post, int64_t L1, int64_t L2,
+                    uint8_t* edit_out, double* total_out) {
+  return mea_dp(post, L1, L2, edit_out, total_out);
+}
+
+void rtpu_posterior_accum(float* post, int64_t W, const float* P, int64_t l1,
+                          int64_t l2, int64_t w, const int64_t* m1,
+                          const int64_t* m2, int transpose) {
+  posterior_accum(post, W, P, l1, l2, w, m1, m2, transpose);
+}
+
+void rtpu_build_posterior(float* post, int64_t W, const float** Ps,
+                          const int64_t* pl1, const int64_t* pl2,
+                          const int64_t* pw, const int32_t* tflags,
+                          const int64_t* m1_idx, const int64_t* m2_idx,
+                          const int64_t* m1_cat, const int64_t* m1_off,
+                          const int64_t* m2_cat, const int64_t* m2_off,
+                          int64_t npairs) {
+  build_posterior_sum(post, W, Ps, pl1, pl2, pw, tflags, m1_idx, m2_idx,
+                      m1_cat, m1_off, m2_cat, m2_off, npairs);
+}
 
 void rtpu_chain(const int64_t* starts, const int64_t* lens,
                 const int64_t* nmul, int64_t k, int64_t d,

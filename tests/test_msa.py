@@ -23,7 +23,7 @@ def test_mea_fast_matches_scalar():
         e1, t1 = _mea_dp(post)
         e2, t2 = _mea_dp_fast(post)
         assert abs(t1 - t2) < 1e-5
-        assert e1 == e2
+        assert np.array_equal(e1, e2)
 
 
 def _check_alignment(aobjs, aln):
@@ -70,3 +70,49 @@ def test_identical_sequences_align_perfectly():
     assert all(row == s for _, row in aln)
     # conf caps at 200*C(n,2)/(n*(n-1)) = 100
     assert min(conf) > 90
+
+
+def test_mea_native_and_fallback_agree():
+    """Native mea_dp vs the numpy vectorized path vs the scalar oracle."""
+    from reveal_tpu import native as natmod
+    from reveal_tpu.hmm import msa as m
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        L1 = int(rng.integers(1, 40))
+        L2 = int(rng.integers(1, 40))
+        post = rng.random((L1 + 1, L2 + 1), dtype=np.float32)
+        post[0, :] = 0
+        post[:, 0] = 0
+        post[post < 0.4] = 0
+        e_sc, t_sc = m._mea_dp(post)
+        res = natmod.mea_dp_native(post)
+        if res is not None:
+            e_nat, t_nat = res
+            assert np.array_equal(e_nat, e_sc)
+            assert abs(t_nat - t_sc) < 1e-5
+
+
+def test_posterior_accum_native_matches_numpy():
+    from reveal_tpu.native import posterior_accum_native
+
+    rng = np.random.default_rng(8)
+    for transpose in (False, True):
+        l1, l2, L1, L2 = 5, 7, 11, 13
+        P = rng.random((l1 + 1, l2 + 1)).astype(np.float32)
+        P[P < 0.5] = 0
+        m1 = np.sort(
+            rng.choice(np.arange(1, L1 + 1), size=l1, replace=False)
+        )
+        m1 = np.concatenate([[0], m1]).astype(np.int64)
+        m2 = np.sort(
+            rng.choice(np.arange(1, L2 + 1), size=l2, replace=False)
+        )
+        m2 = np.concatenate([[0], m2]).astype(np.int64)
+        ref = np.zeros((L1 + 1, L2 + 1), dtype=np.float32)
+        Pin = P.T.copy() if transpose else P
+        ref[np.ix_(m1, m2)] += Pin.T if transpose else Pin
+        out = np.zeros((L1 + 1, L2 + 1), dtype=np.float32)
+        ok = posterior_accum_native(out, Pin, m1, m2, transpose=transpose)
+        if ok:
+            np.testing.assert_allclose(out, ref, atol=0)
