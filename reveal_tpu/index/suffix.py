@@ -146,18 +146,9 @@ def _num_levels(n: int) -> int:
 _jit_cache = {}
 
 
-def _get_build_fn(use64: bool = False):
-    """Module-level cached jitted builder (one compile per size bucket).
-
-    use64 builds with int64 ranks/indices — the device twin of the
-    reference's reveallib64 module (setup.py:21-31) for texts at or
-    beyond 2^31; requires jax_enable_x64 at call time (build_esa_jax
-    toggles it around the dispatch)."""
-    key = "build64" if use64 else "build"
-    fn = _jit_cache.get(key)
-    if fn is not None:
-        return fn
-
+def _make_build_body(use64: bool = False):
+    """The (un-jitted) doubling build body; shared by the single-device
+    and the mesh-sharded builders so both compile the same HLO."""
     import jax
     import jax.numpy as jnp
 
@@ -167,7 +158,6 @@ def _get_build_fn(use64: bool = False):
 
     idt = jnp.int64 if use64 else jnp.int32
 
-    @partial(jax.jit, static_argnums=(1,))
     def _build(T, nlev):
         n = T.shape[0]
         i32 = idt
@@ -234,8 +224,104 @@ def _get_build_fn(use64: bool = False):
         sai = jnp.zeros(n, i32).at[sa].set(iar)
         return sa, lcp, sai
 
-    _jit_cache[key] = _build
     return _build
+
+
+def _get_build_fn(use64: bool = False):
+    """Module-level cached jitted builder (one compile per size bucket).
+
+    use64 builds with int64 ranks/indices — the device twin of the
+    reference's reveallib64 module (setup.py:21-31) for texts at or
+    beyond 2^31; requires jax_enable_x64 at call time (build_esa_jax
+    toggles it around the dispatch)."""
+    key = "build64" if use64 else "build"
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+
+    fn = partial(jax.jit, static_argnums=(1,))(_make_build_body(use64))
+    _jit_cache[key] = fn
+    return fn
+
+
+def _get_build_fn_sharded(mesh, use64: bool = False):
+    """Mesh-sharded builder: input text and output SA/LCP/SAi sharded
+    over the mesh's first axis; GSPMD partitions the doubling sorts,
+    gathers, and scans and inserts the collectives (the all-to-alls of a
+    distributed sort, all-gathers for the rank gathers).  This is the
+    multi-chip SA construction path of SURVEY §7 step 9 — one logical
+    ESA, N devices."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = ("build_sharded", id(mesh), use64)
+    fn = _jit_cache.get(key)
+    if fn is not None:
+        return fn
+
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis))
+    fn = jax.jit(
+        _make_build_body(use64),
+        static_argnums=(1,),
+        in_shardings=(shard,),
+        out_shardings=(shard, shard, shard),
+    )
+    _jit_cache[key] = fn
+    return fn
+
+
+def build_esa_sharded(T_np: np.ndarray, mesh, force64: bool = False):
+    """Device construction of (SA, LCP, SAi) sharded over a mesh.
+
+    Same zero-padding and stripping semantics as build_esa_jax; the text
+    is padded to a power-of-two bucket (always divisible by the mesh
+    size), placed sharded, and the full doubling pipeline runs as one
+    GSPMD program across the devices."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = int(len(T_np))
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    npad = 1 << max(
+        1,
+        int(math.ceil(math.log2(max(n, mesh.devices.size)))),
+    )
+    T_padded = np.zeros(npad, dtype=np.uint8)
+    T_padded[:n] = T_np
+    nlev = int(math.log2(npad)) + 1
+    use64 = force64 or npad >= 2**31
+
+    axis = mesh.axis_names[0]
+    Td = jax.device_put(
+        jnp.asarray(T_padded), NamedSharding(mesh, P(axis))
+    )
+    if use64:
+        prev = bool(jax.config.jax_enable_x64)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            sa, lcp, sai = _get_build_fn_sharded(mesh, use64=True)(
+                Td, nlev
+            )
+        finally:
+            jax.config.update("jax_enable_x64", prev)
+    else:
+        sa, lcp, sai = _get_build_fn_sharded(mesh)(Td, nlev)
+    sa = np.asarray(jax.device_get(sa), dtype=np.int64)
+    lcp = np.asarray(jax.device_get(lcp), dtype=np.int64)
+    sai = np.asarray(jax.device_get(sai), dtype=np.int64)
+    off = npad - n
+    if off:
+        sa = sa[off:]
+        lcp = lcp[off:].copy()
+        lcp[0] = 0
+        sai = sai[:n] - off
+    return sa, lcp, sai
 
 
 def build_esa_jax(T_np: np.ndarray, force64: bool = False):

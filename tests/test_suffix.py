@@ -174,3 +174,33 @@ def test_device_esa_64bit_builder():
     want_lcp = lcp_from_sa_np(T, want_sa)
     assert np.array_equal(sa64, want_sa)
     assert np.array_equal(lcp64, want_lcp)
+
+
+def test_build_esa_sharded_matches_np():
+    """Mesh-sharded ESA build (GSPMD-partitioned doubling sorts) equals
+    the numpy oracle on an 8-device mesh."""
+    import jax
+    import numpy as np
+
+    from reveal_tpu.core.textstore import TextStore
+    from reveal_tpu.index.suffix import (
+        build_esa_sharded,
+        lcp_from_sa_np,
+        suffix_array_np,
+    )
+    from reveal_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    rng = np.random.default_rng(5)
+    ts = TextStore()
+    ts.add_sample("a")
+    ts.add_sequence("".join(rng.choice(list("ACGTN"), size=700)))
+    ts.add_sample("b")
+    ts.add_sequence("".join(rng.choice(list("ACGT"), size=555)))
+    T, SO, nsep = ts.build()
+    sa, lcp, sai = build_esa_sharded(T, mesh)
+    sa_ref = suffix_array_np(T)
+    lcp_ref = lcp_from_sa_np(T, sa_ref)
+    assert np.array_equal(sa, sa_ref)
+    assert np.array_equal(lcp, lcp_ref)
+    assert np.array_equal(sai[sa], np.arange(len(T)))
