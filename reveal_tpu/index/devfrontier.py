@@ -57,6 +57,20 @@ def _bucket8(x: int) -> int:
     return b
 
 
+# Floors for the static table sizes of the apply kernel.  Padding costs
+# device-trivial work (wider searchsorted ladders, bigger seg_map
+# transfers: ~100 KB/level), while every DISTINCT (NI, SCAP) pair is a
+# full recompile of the 3-way-split kernel at text scale — tens of
+# minutes over a remote-compile tunnel.  With the floors a typical run
+# compiles exactly one apply variant; only levels with >4096 intervals
+# or segments escalate (pow8, so at most one more shape in practice).
+TABLE_FLOOR = 4096
+
+
+def _table_bucket(x: int) -> int:
+    return max(TABLE_FLOOR, _bucket8(x))
+
+
 # ---------------------------------------------------------------------------
 # segment descriptor (host bookkeeping; no SA/LCP copies)
 # ---------------------------------------------------------------------------
@@ -511,12 +525,12 @@ class DeviceFrontier:
         import jax.numpy as jnp
 
         S = seg_map_rows.shape[0]
-        SCAP = _bucket8(max(S, int(seg_map_rows.max()) + 1, 2))
+        SCAP = _table_bucket(max(S, int(seg_map_rows.max()) + 1, 2))
         seg_map = np.full((SCAP, 5), -1, dtype=np.int32)
         seg_map[:S] = seg_map_rows
 
         iv = sorted(intervals)
-        NI = _bucket8(max(len(iv), 1))
+        NI = _table_bucket(max(len(iv), 1))
         begins = np.full(NI, self.n + 1, dtype=np.int32)
         ends = np.full(NI, self.n + 1, dtype=np.int32)
         cls_tab = np.zeros(NI, dtype=np.int32)
@@ -526,7 +540,7 @@ class DeviceFrontier:
             cls_tab[i] = c
 
         mv = sorted(match_intervals)
-        NM = _bucket8(max(len(mv), 1))
+        NM = _table_bucket(max(len(mv), 1))
         mbegins = np.full(NM, self.n + 1, dtype=np.int32)
         mends = np.full(NM, self.n + 1, dtype=np.int32)
         for i, (bgn, end) in enumerate(mv):
@@ -536,7 +550,7 @@ class DeviceFrontier:
         pairs = sorted(
             (sid, bgn) for sid, bgns in repair_jobs for bgn in bgns
         )
-        NK = _bucket8(max(len(pairs), 1))
+        NK = _table_bucket(max(len(pairs), 1))
         mk_sid = np.full(NK, 2**30, dtype=np.int32)
         mk_beg = np.zeros(NK, dtype=np.int32)
         for i, (sid, bgn) in enumerate(pairs):
@@ -601,13 +615,14 @@ class DeviceFrontier:
         # group by window bucket so one near-full-size child doesn't
         # inflate every row's padded width (R × Wmax transfer blow-up);
         # pow2 buckets (not pow8): transfer bytes dominate compile count
-        # over the device link
+        # over the device link.  Floors (W >= 1024, R >= 8) keep the
+        # number of distinct (R, W) gather/scatter compiles small.
         groups = {}
         for s, n, b in jobs:
-            W = min(_next_pow2(max(n, 8)), npad)
+            W = min(max(1024, _next_pow2(max(n, 8))), npad)
             groups.setdefault(W, []).append((s, n, b))
         for W, grp in sorted(groups.items()):
-            R = _next_pow2(len(grp))
+            R = max(8, _next_pow2(len(grp)))
             starts = np.zeros(R, dtype=np.int32)
             ns = np.zeros(R, dtype=np.int32)
             for r, (s, n, _b) in enumerate(grp):
