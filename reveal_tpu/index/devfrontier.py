@@ -471,12 +471,19 @@ class DeviceFrontier:
                 self.T, self.SA, self.LCP, self.SEG,
                 jnp.int32(self.nsep0), jnp.int32(minl),
             )
-            # one bulk transfer for the whole result tuple
-            slots, l, a, b, _valid, count = jax.device_get(out)
-            count = int(count)
+            # two-phase fetch: the scalar count first, then only a
+            # count-sized (pow4-bucketed) prefix of the K1-wide result
+            # arrays — late levels have a handful of candidates and a
+            # full-width transfer would dominate the level time on a
+            # bandwidth-constrained device link
+            count = int(jax.device_get(out[5]))
             if count <= self._K1:
                 break
             self._K1 = _next_pow2(count)
+        K = _fetch_bucket(count, self._K1)
+        slots, l, a, b = jax.device_get(
+            _get_prefix_fetch(K)(out[0], out[1], out[2], out[3])
+        )
         slots, l, a, b = (
             np.asarray(x)[:count] for x in (slots, l, a, b)
         )
@@ -496,12 +503,17 @@ class DeviceFrontier:
                 jnp.int32(minl), jnp.int32(minn),
                 jnp.int32(self.nsamples),
             )
-            # one bulk transfer for the whole result tuple
-            ls, lbs, ubs, sa_rows, so_rows, ok, count = jax.device_get(out)
-            count = int(count)
+            # two-phase fetch (see enumerate_pairwise)
+            count = int(jax.device_get(out[6]))
             if count <= self._K2:
                 break
             self._K2 = _next_pow2(count)
+        K = _fetch_bucket(count, self._K2)
+        ls, lbs, ubs, sa_rows, so_rows, ok = jax.device_get(
+            _get_prefix_fetch(K)(
+                out[0], out[1], out[2], out[3], out[4], out[5]
+            )
+        )
         ok = np.asarray(ok)[:count]
         ls = np.asarray(ls)[:count][ok]
         lbs = np.asarray(lbs)[:count][ok]
@@ -641,6 +653,33 @@ class DeviceFrontier:
             self.SA, self.LCP = scatter(
                 self.SA, self.LCP, sa_rows, lcp_rows, starts, ns
             )
+
+
+def _fetch_bucket(count: int, cap: int) -> int:
+    """pow4 ladder (1024 floor) for the two-phase result fetch width —
+    few distinct prefix-slice compiles, at most 4x transfer overshoot."""
+    k = 1024
+    while k < count:
+        k *= 4
+    return min(k, cap)
+
+
+def _get_prefix_fetch(K: int):
+    """Jitted static-prefix slice of N same-length device arrays (first
+    axis), one compile per (K, arity, row-shape) combination."""
+    key = ("prefix", K)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+
+    @jax.jit
+    def fetch(*arrs):
+        return tuple(a[:K] for a in arrs)
+
+    _kern_cache[key] = fetch
+    return fetch
 
 
 def _get_repair_rows(R: int, W: int, npad: int):
