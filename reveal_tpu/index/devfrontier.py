@@ -71,6 +71,12 @@ def _table_bucket(x: int) -> int:
     return max(TABLE_FLOOR, _bucket8(x))
 
 
+# Width of the speculative result prefix fetched together with the
+# candidate count in one device round trip (device link latency is the
+# per-level cost floor; most levels yield fewer candidates than this).
+_SPEC_PREFIX = 1024
+
+
 # ---------------------------------------------------------------------------
 # segment descriptor (host bookkeeping; no SA/LCP copies)
 # ---------------------------------------------------------------------------
@@ -471,19 +477,29 @@ class DeviceFrontier:
                 self.T, self.SA, self.LCP, self.SEG,
                 jnp.int32(self.nsep0), jnp.int32(minl),
             )
-            # two-phase fetch: the scalar count first, then only a
-            # count-sized (pow4-bucketed) prefix of the K1-wide result
-            # arrays — late levels have a handful of candidates and a
-            # full-width transfer would dominate the level time on a
-            # bandwidth-constrained device link
-            count = int(jax.device_get(out[5]))
+            # speculative fetch: the scalar count AND a small prefix of
+            # the K1-wide result arrays in ONE device round trip — late
+            # levels have a handful of candidates, so this usually
+            # completes the enumeration; only when count exceeds the
+            # speculative width is a second (pow4-bucketed) prefix
+            # fetched.  A full-width transfer would dominate the level
+            # time on a bandwidth-constrained device link.
+            spec = min(_SPEC_PREFIX, self._K1)
+            count, slots, l, a, b = jax.device_get(
+                (out[5],)
+                + tuple(_get_prefix_fetch(spec)(
+                    out[0], out[1], out[2], out[3]
+                ))
+            )
+            count = int(count)
             if count <= self._K1:
                 break
             self._K1 = _next_pow2(count)
-        K = _fetch_bucket(count, self._K1)
-        slots, l, a, b = jax.device_get(
-            _get_prefix_fetch(K)(out[0], out[1], out[2], out[3])
-        )
+        if count > spec:
+            K = _fetch_bucket(count, self._K1)
+            slots, l, a, b = jax.device_get(
+                _get_prefix_fetch(K)(out[0], out[1], out[2], out[3])
+            )
         slots, l, a, b = (
             np.asarray(x)[:count] for x in (slots, l, a, b)
         )
@@ -503,17 +519,26 @@ class DeviceFrontier:
                 jnp.int32(minl), jnp.int32(minn),
                 jnp.int32(self.nsamples),
             )
-            # two-phase fetch (see enumerate_pairwise)
-            count = int(jax.device_get(out[6]))
+            # speculative count+prefix fetch (see enumerate_pairwise)
+            spec = min(_SPEC_PREFIX, self._K2)
+            fetched = jax.device_get(
+                (out[6],)
+                + tuple(_get_prefix_fetch(spec)(
+                    out[0], out[1], out[2], out[3], out[4], out[5]
+                ))
+            )
+            count = int(fetched[0])
+            ls, lbs, ubs, sa_rows, so_rows, ok = fetched[1:]
             if count <= self._K2:
                 break
             self._K2 = _next_pow2(count)
-        K = _fetch_bucket(count, self._K2)
-        ls, lbs, ubs, sa_rows, so_rows, ok = jax.device_get(
-            _get_prefix_fetch(K)(
-                out[0], out[1], out[2], out[3], out[4], out[5]
+        if count > spec:
+            K = _fetch_bucket(count, self._K2)
+            ls, lbs, ubs, sa_rows, so_rows, ok = jax.device_get(
+                _get_prefix_fetch(K)(
+                    out[0], out[1], out[2], out[3], out[4], out[5]
+                )
             )
-        )
         ok = np.asarray(ok)[:count]
         ls = np.asarray(ls)[:count][ok]
         lbs = np.asarray(lbs)[:count][ok]
@@ -576,9 +601,8 @@ class DeviceFrontier:
             jnp.asarray(seg_map), jnp.asarray(mbegins), jnp.asarray(mends),
             jnp.asarray(mk_sid), jnp.asarray(mk_beg),
         )
-        counts = np.asarray(jax.device_get(counts))
-        rcount = np.asarray(jax.device_get(rcount))
-        return counts, rcount
+        counts, rcount = jax.device_get((counts, rcount))
+        return np.asarray(counts), np.asarray(rcount)
 
     # -- boundary repair --------------------------------------------------
     def repair_child(self, start: int, n: int, begins: List[int]):
