@@ -166,7 +166,8 @@ def batch_consistency(problems, consistency=2, consgap=False):
         maxb = max(1, (1 << 28) // max(1, N * N * Lp * Lp * 4))
         for lo in range(0, len(idxs), maxb):
             part = idxs[lo : lo + maxb]
-            B = _bucket_len(len(part)) if len(part) > 32 else len(part)
+            # pow2 batch: one compile per power bucket, not per size
+            B = 1 << max(0, len(part) - 1).bit_length()
             Q = np.zeros((B, N, N, Lp, Lp), dtype=np.float32)
             Q[:, np.arange(N), np.arange(N)] = np.eye(
                 Lp, dtype=np.float32
@@ -270,16 +271,24 @@ def _posteriors_device(pairs, L1p, L2p):
         from .pairhmm import _get_kernels
 
         _, _, _, batched = _get_kernels()
+        B = 1 << max(0, len(pairs) - 1).bit_length()
+        npad = B - len(pairs)
         xb = np.stack(
             [_pad_with_dummy(a.encode(), L1p - 1) for a, b in pairs]
+            + [_pad_with_dummy(b"A", L1p - 1)] * npad
         )
         yb = np.stack(
             [_pad_with_dummy(b.encode(), L2p - 1) for a, b in pairs]
+            + [_pad_with_dummy(b"A", L2p - 1)] * npad
         )
-        lx = np.array([len(a) for a, b in pairs], dtype=np.int32)
-        ly = np.array([len(b) for a, b in pairs], dtype=np.int32)
+        lx = np.array(
+            [len(a) for a, b in pairs] + [1] * npad, dtype=np.int32
+        )
+        ly = np.array(
+            [len(b) for a, b in pairs] + [1] * npad, dtype=np.int32
+        )
         p, _tot = batched(xb, yb, lx, ly)
-        chunks.append(p)
+        chunks.append(p[: len(pairs)])
     if len(chunks) == 1:
         return chunks[0]
     return jnp.concatenate(chunks, axis=0)
@@ -397,7 +406,9 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
         maxb = max(1, (1 << 28) // max(1, N * N * Lq * Lq * 4))
         for lo in range(0, len(idxs), maxb):
             part = idxs[lo : lo + maxb]
-            B = _bucket_len(len(part)) if len(part) > 32 else len(part)
+            # pow2 batch: one chain compile per (B, N, Lq) power bucket
+            # instead of one per exact remainder size
+            B = 1 << max(0, len(part) - 1).bit_length()
             pairs = []
             for pi in part:
                 seqs = problems[pi]

@@ -125,10 +125,22 @@ def _get_kernels():
 
     configure_jax()
 
-    log_init = jnp.asarray(LOG_INIT)
-    log_trans = jnp.asarray(LOG_TRANS)
-    les = jnp.asarray(LOG_EMIT_SINGLE)
-    lep = jnp.asarray(LOG_EMIT_PAIRS)
+    # Parameter tables stay *numpy*: numpy closure constants lower through
+    # the host-side constant path, whereas jnp arrays become device
+    # ArrayImpl constants whose lowering blocks on a device fetch per
+    # compile (minutes over a busy remote-device tunnel).  Tracer
+    # fancy-indexing of numpy requires jnp.take.
+    log_init = LOG_INIT
+    log_trans = LOG_TRANS
+    les_tab = LOG_EMIT_SINGLE
+    lep_tab = LOG_EMIT_PAIRS
+
+    def les(idx):
+        return jnp.take(les_tab, idx.astype(jnp.int32))
+
+    def lep_row(c1, ys):
+        row = jnp.take(lep_tab, c1.astype(jnp.int32), axis=0)
+        return jnp.take(row, ys.astype(jnp.int32))
 
     NEG = jnp.float32(LOG_ZERO)
 
@@ -171,15 +183,15 @@ def _get_kernels():
         L1p = x.shape[0]
         L2p = y.shape[0]
 
-        e2 = les[y]  # (L2+1,)
-        match_row = lambda c1: lep[c1, y]  # (L2+1,)
+        e2 = les(y)  # (L2+1,)
+        match_row = lambda c1: lep_row(c1, y)  # (L2+1,)
 
         def step(carry, i):
             # carry: (5, L2+1) previous row
             prev = carry
             c1 = x[jnp.minimum(i, L1p - 1)]
             mrow_e = match_row(c1)
-            e1 = les[c1]
+            e1 = les(c1)
 
             # M[i][j] = match + lse_k prev[k][j-1] + t[k][0]
             shifted = jnp.concatenate(
@@ -195,7 +207,7 @@ def _get_kernels():
             # init cell (1,1)
             m = jnp.where(
                 (i == 1),
-                m.at[1].set(log_init[0] + lep[x[1 % L1p], y[1 % L2p]]),
+                m.at[1].set(log_init[0] + lep_row(x[1 % L1p], y[1 % L2p])),
                 m,
             )
             m = jnp.where(i == 0, jnp.full_like(m, NEG), m)
@@ -237,13 +249,13 @@ def _get_kernels():
         G: (5, L1+1, L2+1) with G[k][i'][j'] = B[k][L1-i'][L2-j']."""
         L1p = xr.shape[0]
         L2p = yr.shape[0]
-        e2r = les[yr]
+        e2r = les(yr)
 
         def step(carry, ip):
             prev = carry  # (5, L2+1) = G rows at i'-1
             c1 = xr[jnp.minimum(ip, L1p - 1)]
-            e1 = les[c1]
-            mrow_e = lep[c1, yr]
+            e1 = les(c1)
+            mrow_e = lep_row(c1, yr)
 
             # dual match row: Gm[ip][jp] = lse over sources that *enter*
             # state 0 ... we compute helper H[jp] = match+G0[ip-1][jp-1]

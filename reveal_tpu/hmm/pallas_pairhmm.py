@@ -330,22 +330,25 @@ def _get_pallas_kernels():
             out_shape=out_shape,
         )(xcls, e1, ematch, e2, lxb)
 
-    cls_tab = jnp.asarray(_CLS)
-    cls_single = jnp.asarray(_CLS_SINGLE)
-    cls_pair = jnp.asarray(_CLS_PAIR)
-    log_init = jnp.asarray(LOG_INIT)
+    # numpy closures (not jnp): device-array constants block on a device
+    # fetch at every lowering (see pairhmm._get_kernels note); numpy
+    # constants lower host-side.  Tracer indexing goes through jnp.take.
+    cls_tab = np.asarray(_CLS)
+    cls_single = np.asarray(_CLS_SINGLE)
+    cls_pair = np.asarray(_CLS_PAIR)
+    log_init = np.asarray(LOG_INIT)
 
     def _prep(x, y):
         """x: (B, L1p) uint8, y: (B, L2pal) uint8 ->
         (xcls, e1, ematch, e2)."""
-        xcls = cls_tab[x]  # (B, L1p)
-        ycls = cls_tab[y]  # (B, L2)
-        e1 = cls_single[xcls].astype(jnp.float32)
-        e2 = cls_single[ycls].astype(jnp.float32)
+        xcls = jnp.take(cls_tab, x.astype(jnp.int32))  # (B, L1p)
+        ycls = jnp.take(cls_tab, y.astype(jnp.int32))  # (B, L2)
+        e1 = jnp.take(cls_single, xcls).astype(jnp.float32)
+        e2 = jnp.take(cls_single, ycls).astype(jnp.float32)
         # ematch[b, c, j] = cls_pair[c, ycls[b, j]]
-        ematch = jnp.transpose(cls_pair[:, ycls], (1, 0, 2)).astype(
-            jnp.float32
-        )
+        ematch = jnp.transpose(
+            jnp.take(cls_pair, ycls, axis=1), (1, 0, 2)
+        ).astype(jnp.float32)
         return xcls.astype(jnp.int32), e1, ematch, e2
 
     def _reverse_within(x, lx, L):
