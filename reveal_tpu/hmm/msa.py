@@ -83,6 +83,12 @@ log = logging.getLogger(__name__)
 
 POSTERIOR_CUTOFF = 0.01
 
+# Single-problem footprint cap for the device stage-1+2 chain: the
+# relaxation einsum materializes a few (N, N, Lq, Lq) float32 tensors, so
+# a problem past ~1 GB risks HBM OOM (v5e: 16 GB) or a remote-compiler
+# failure; such problems take the per-bubble host path instead.
+CHAIN_BYTES_CAP = 1 << 30
+
 
 def _sparsify(p: np.ndarray) -> np.ndarray:
     q = np.where(p >= POSTERIOR_CUTOFF, p, 0.0).astype(np.float32)
@@ -158,6 +164,8 @@ def batch_consistency(problems, consistency=2, consgap=False):
     for pi, (seqs, res) in enumerate(problems):
         N = len(seqs)
         Lp = _bucket_len(max(len(s) for s in seqs) + 1)
+        if N * N * Lp * Lp * 4 > CHAIN_BYTES_CAP:
+            continue  # out[pi] stays None -> host consistency fallback
         buckets.setdefault((N, Lp), []).append(pi)
 
     fn_cache_rounds = consistency
@@ -183,7 +191,15 @@ def batch_consistency(problems, consistency=2, consgap=False):
                         Q[bi, a, b, : sp.shape[0], : sp.shape[1]] = sp
                         Q[bi, b, a, : sp.shape[1], : sp.shape[0]] = sp.T
             fn = _get_cons_fn(fn_cache_rounds, consgap)
-            Qt = np.asarray(jax.device_get(fn(jnp.asarray(Q))))
+            try:
+                Qt = np.asarray(jax.device_get(fn(jnp.asarray(Q))))
+            except Exception as e:
+                log.warning(
+                    "device consistency bucket (B=%d, N=%d, Lp=%d) "
+                    "failed (%s); host fallback for %d problems",
+                    B, N, Lp, str(e)[:200], len(part),
+                )
+                continue  # those out[pi] stay None
             for bi, pi in enumerate(part):
                 seqs, _res = problems[pi]
                 mats = {}
@@ -388,7 +404,12 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
     ((a, b) -> float32 array, sliced) and the expected-accuracy distance
     matrix for the guide tree.  Posteriors never cross the device link —
     only the top-K-sparsified transformed mats and the scalar MEA scores
-    do (see pairhmm.fetch_posteriors for the exactness argument)."""
+    do (see pairhmm.fetch_posteriors for the exactness argument).
+
+    Problems whose (N, N, Lq, Lq) chain tensor exceeds the device
+    footprint cap — or whose bucket fails to compile/run — are left as
+    ``None`` entries: the caller falls back per problem instead of
+    losing the whole batch to one oversized bubble."""
     from .pairhmm import fetch_posteriors
 
     out = [None] * len(problems)
@@ -399,6 +420,8 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
             out[pi] = ({}, np.zeros((N, N), dtype=np.float64))
             continue
         Lq = _bucket_len(max(len(s) for s in seqs) + 1)
+        if N * N * Lq * Lq * 4 > CHAIN_BYTES_CAP:
+            continue  # out[pi] stays None -> per-problem fallback
         buckets.setdefault((N, Lq), []).append(pi)
 
     for (N, Lq), idxs in sorted(buckets.items()):
@@ -415,23 +438,31 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
                 for a in range(N):
                     for b in range(a + 1, N):
                         pairs.append((seqs[a], seqs[b]))
-            pflat = _posteriors_device(pairs, Lq, Lq)
-            if B > len(part):
-                import jax.numpy as jnp
+            try:
+                pflat = _posteriors_device(pairs, Lq, Lq)
+                if B > len(part):
+                    import jax.numpy as jnp
 
-                pflat = jnp.concatenate(
-                    [
-                        pflat,
-                        jnp.zeros(
-                            ((B - len(part)) * npairs, Lq, Lq),
-                            jnp.float32,
-                        ),
-                    ],
-                    axis=0,
+                    pflat = jnp.concatenate(
+                        [
+                            pflat,
+                            jnp.zeros(
+                                ((B - len(part)) * npairs, Lq, Lq),
+                                jnp.float32,
+                            ),
+                        ],
+                        axis=0,
+                    )
+                chain = _get_chain_fn(B, N, Lq, consistency, consgap)
+                Qp, scores = chain(pflat)
+                Qh, scores = fetch_posteriors(Qp, scores)
+            except Exception as e:
+                log.warning(
+                    "stage12 bucket (B=%d, N=%d, Lq=%d) failed (%s); "
+                    "per-problem fallback for %d problems",
+                    B, N, Lq, str(e)[:200], len(part),
                 )
-            chain = _get_chain_fn(B, N, Lq, consistency, consgap)
-            Qp, scores = chain(pflat)
-            Qh, scores = fetch_posteriors(Qp, scores)
+                continue  # those out[pi] stay None
             Qh = Qh.reshape(B, npairs, Lq, Lq)
             for bi_, pi in enumerate(part):
                 seqs = problems[pi]
@@ -697,6 +728,53 @@ def _compute_tree(dist: np.ndarray) -> list:
     return nodes[0]
 
 
+# Use scipy-sparse host consistency above this many matrix elements
+# (2048^2): beyond it one dense f64 L^2 x L^2 matmul costs ~Tflops while
+# the cutoff keeps <=1/POSTERIOR_CUTOFF nonzeros per row.
+_SPARSE_CONS_MIN_ELEMS = 2048 * 2048
+
+
+def _consistency_round_sparse(mats, pair_keys, N, consgap):
+    """One relaxation round with scipy.sparse csr products, equal to the
+    dense round up to f64 summation order.  mats stay dense float32
+    arrays for the downstream consumers (BuildPosterior / MEA)."""
+    import scipy.sparse as sp
+
+    csr = {k: sp.csr_matrix(m.astype(np.float64)) for k, m in mats.items()}
+    csc_t = {k: c.T.tocsr() for k, c in csr.items()}
+    new_mats = {}
+    for (a, b) in pair_keys:
+        P = mats[(a, b)]
+        Ps = csr[(a, b)]
+        pi_, pj_ = Ps.nonzero()
+        mask = sp.csr_matrix(
+            (np.ones(len(pi_)), (pi_, pj_)), shape=P.shape
+        )
+        acc = 2.0 * Ps
+        gap_vals = None
+        for z in range(N):
+            if z == a or z == b:
+                continue
+            Paz = csr[(a, z)] if a < z else csc_t[(z, a)]
+            Pzb = csr[(z, b)] if z < b else csc_t[(b, z)]
+            acc = acc + (Paz @ Pzb).multiply(mask)
+            if consgap:
+                pgx = 1.0 - np.asarray(Paz.sum(axis=1)).ravel()
+                pgy = 1.0 - np.asarray(Pzb.sum(axis=0)).ravel()
+                gv = pgx[pi_] * pgy[pj_]
+                gap_vals = gv if gap_vals is None else gap_vals + gv
+        if gap_vals is not None:
+            acc = acc + sp.csr_matrix(
+                (gap_vals, (pi_, pj_)), shape=P.shape
+            )
+        acc = acc.multiply(mask) / N
+        dense = np.zeros(P.shape, dtype=np.float32)
+        accc = acc.tocoo()
+        dense[accc.row, accc.col] = accc.data.astype(np.float32)
+        new_mats[(a, b)] = _sparsify(dense)
+    return new_mats
+
+
 def probcons_align(
     aobjs: Sequence[Tuple[str, str]],
     consistency: int = 2,
@@ -757,7 +835,19 @@ def probcons_align(
             consistency = 0
 
     # ---- stage 2: consistency transform ----
+    # Dense f64 matmuls for typical bubble sizes; sparse (scipy csr)
+    # triple products for long bubbles, where the cutoff leaves <=100
+    # nonzeros per row — the reference's own representation
+    # (SparseMatrix.h:14-67).  The relaxed value is only needed on P's
+    # nonzero pattern (DoRelaxation masks to it, Probcons.cc:1203-1234).
+    use_sparse = consistency > 0 and any(
+        m.shape[0] * m.shape[1] > _SPARSE_CONS_MIN_ELEMS
+        for m in mats.values()
+    )
     for _ in range(consistency):
+        if use_sparse:
+            mats = _consistency_round_sparse(mats, pair_keys, N, consgap)
+            continue
         new_mats = {}
         for (a, b) in pair_keys:
             P = mats[(a, b)]

@@ -609,12 +609,15 @@ def refine_all(
                     consistency=kwargs.get("constrans", 2),
                     consgap=kwargs.get("consgap", True),
                 )
-                mats_for = [m for m, _d in stage12]
-                dist_for = [d for _m, d in stage12]
+                # oversized / failed buckets come back as None entries:
+                # those bubbles fall back per problem below
+                mats_for = [md[0] if md else None for md in stage12]
+                dist_for = [md[1] if md else None for md in stage12]
                 done = True
                 log.info(
-                    "device posterior+consistency chain for %d bubbles "
-                    "(%d pairs) in %.2fs",
+                    "device posterior+consistency chain for %d/%d "
+                    "bubbles (%d pairs) in %.2fs",
+                    sum(m is not None for m in mats_for),
                     len(work),
                     len(all_pairs),
                     time.time() - t0,

@@ -136,3 +136,65 @@ def test_probcons_align_stage12_roundtrip():
     )
     assert [s for _n, s in aln1] == [s for _n, s in aln2]
     assert conf1 == conf2
+
+
+def test_stage12_oversized_problem_isolated(monkeypatch):
+    """A problem past CHAIN_BYTES_CAP must come back as None (per-bubble
+    fallback) without poisoning the other problems in the batch — one
+    oversized bubble used to throw the whole refine onto the host path."""
+    from reveal_tpu.hmm import msa
+
+    monkeypatch.setattr(msa, "CHAIN_BYTES_CAP", 4 * 64 * 64 * 4)
+    problems = [
+        ["ACGTACGTAC", "ACGAACGTAC"],          # Lq=32 -> under the cap
+        ["A" * 200, "C" * 195],                # Lq=256 -> over the cap
+    ]
+    out = msa.batch_stage12_device(problems)
+    assert out[0] is not None
+    mats, dist = out[0]
+    assert (0, 1) in mats and dist.shape == (2, 2)
+    assert out[1] is None
+
+
+def test_sparse_host_consistency_matches_dense(monkeypatch):
+    """_consistency_round_sparse == the dense f64 round (up to summation
+    order) — the long-bubble host path must relax identically."""
+    from reveal_tpu.hmm import msa
+
+    rng = np.random.default_rng(7)
+    N, L = 4, 40
+    pair_keys = [(a, b) for a in range(N) for b in range(a + 1, N)]
+    mats = {}
+    for k in pair_keys:
+        p = rng.random((L + 1, L + 1)).astype(np.float32)
+        p[p < 0.95] = 0.0  # sparse-ish rows
+        mats[k] = p
+
+    dense = {k: m.copy() for k, m in mats.items()}
+    for _ in range(2):
+        new = {}
+        for (a, b) in pair_keys:
+            P = dense[(a, b)]
+            acc = 2.0 * P.astype(np.float64)
+            for z in range(N):
+                if z in (a, b):
+                    continue
+                Paz = dense[(a, z)] if a < z else dense[(z, a)].T
+                Pzb = dense[(z, b)] if z < b else dense[(b, z)].T
+                acc += Paz.astype(np.float64) @ Pzb.astype(np.float64)
+                pgx = 1.0 - Paz.sum(axis=1)
+                pgy = 1.0 - Pzb.sum(axis=0)
+                acc += np.outer(pgx, pgy)
+            acc /= N
+            acc[P == 0] = 0
+            new[(a, b)] = msa._sparsify(acc.astype(np.float32))
+        dense = new
+
+    sparse = {k: m.copy() for k, m in mats.items()}
+    for _ in range(2):
+        sparse = msa._consistency_round_sparse(
+            sparse, pair_keys, N, consgap=True
+        )
+
+    for k in pair_keys:
+        np.testing.assert_allclose(dense[k], sparse[k], atol=2e-5)
