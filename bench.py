@@ -186,6 +186,10 @@ def main():
         vs = None
 
     # ---- secondary rem configs ----------------------------------------
+    # (frontier demo runs on 1a/1b: the device-resident path is
+    # per-level-dispatch-bound over the remote tunnel, so the small input
+    # demonstrates the same path at ~1/8 the wall; Mbp/s scales with
+    # input on this path, see README)
     for tag, files, kw in (
         ("rem_1a1b", ["1a.fa", "1b.fa"], {}),
         ("rem_3a3b", ["3a.fa", "3b.fa"], {}),
@@ -194,7 +198,7 @@ def main():
             ["1a.fa", "1b.fa", "1c.fa", "1d.fa", "1e.fa", "1f.fa"],
             {},
         ),
-        ("rem_2a2b_frontier", ["2a.fa", "2b.fa"], {"frontier": True}),
+        ("rem_1a1b_frontier", ["1a.fa", "1b.fa"], {"frontier": True}),
     ):
         try:
             r, dt = bench_rem([TESTS + "/" + f for f in files], **kw)
@@ -202,6 +206,29 @@ def main():
             extra[tag + "_seconds"] = round(dt, 2)
         except Exception as e:  # pragma: no cover
             extra[tag + "_error"] = str(e)[:200]
+
+    # ---- production refine stage: unzip + device pair-HMM MSA over the
+    # 6-way graph (the end-to-end refine path BASELINE.json names second)
+    try:
+        from reveal_tpu.align.rem import align_genomes
+        from reveal_tpu.graph.unzip import unzip_graph
+        from reveal_tpu.hmm.refine import refine_all
+
+        G6, _ = align_genomes(
+            [
+                TESTS + "/" + f
+                for f in (
+                    "1a.fa", "1b.fa", "1c.fa", "1d.fa", "1e.fa", "1f.fa"
+                )
+            ],
+            minlength=20,
+        )
+        unzip_graph(G6, minunzip=10)
+        t0 = time.time()
+        refine_all(G6, maxsize=10000, minsize=2, mindiff=0, minconf=0)
+        extra["refine_6way_seconds"] = round(time.time() - t0, 2)
+    except Exception as e:  # pragma: no cover
+        extra["refine_6way_error"] = str(e)[:200]
 
     # ---- pair-HMM: device kernel AND e2e production path ---------------
     try:
