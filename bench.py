@@ -168,8 +168,9 @@ def main():
         )
         sys.exit(1)
 
-    # ---- primary: rem 2a2b production path -----------------------------
-    r22, dt22 = bench_rem([TESTS + "/2a.fa", TESTS + "/2b.fa"])
+    # ---- primary: rem 2a2b production path (best of 2: host-side CPU
+    # noise was measured at +-30% between back-to-back runs) ------------
+    r22, dt22 = bench_rem([TESTS + "/2a.fa", TESTS + "/2b.fa"], iters=2)
     extra["rem_2a2b_seconds"] = round(dt22, 2)
 
     # measured CPU proxy on the same input
@@ -210,11 +211,17 @@ def main():
     # ---- production refine stage: unzip + device pair-HMM MSA over the
     # 6-way graph (the end-to-end refine path BASELINE.json names second)
     try:
+        import tempfile
+
         from reveal_tpu.align.rem import align_genomes
+        from reveal_tpu.core.io_gfa import read_gfa, write_gfa
         from reveal_tpu.graph.unzip import unzip_graph
         from reveal_tpu.hmm.refine import refine_all
 
-        G6, _ = align_genomes(
+        from reveal_tpu.align.graphops import prune_nodes
+        from reveal_tpu.core.io_gfa import seq2node
+
+        G6, idx6 = align_genomes(
             [
                 TESTS + "/" + f
                 for f in (
@@ -223,7 +230,19 @@ def main():
             ],
             minlength=20,
         )
-        unzip_graph(G6, minunzip=10)
+        # rem_cmd post-processing (cli.py rem_cmd): multi-sample prune +
+        # interval-node -> sequence conversion before the stage boundary
+        prune_nodes(G6, T=idx6.main.T)
+        seq2node(G6, idx6.main.T)
+        # GFA round trips = the production stage boundaries (node seqs
+        # and per-path offsets are normalized on write+read, exactly as
+        # between the CLI stages)
+        with tempfile.TemporaryDirectory() as td:
+            fn = write_gfa(G6, None, outputfile=td + "/b6.gfa")
+            G6 = read_gfa(fn)
+            unzip_graph(G6, minunzip=10)
+            fn = write_gfa(G6, None, outputfile=td + "/b6u.gfa")
+            G6 = read_gfa(fn)
         t0 = time.time()
         refine_all(G6, maxsize=10000, minsize=2, mindiff=0, minconf=0)
         extra["refine_6way_seconds"] = round(time.time() - t0, 2)

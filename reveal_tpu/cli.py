@@ -237,6 +237,7 @@ def refine_cmd(args):
         consgap=args.consgap,
         nrefinements=args.nrefinements,
         uniqueonly=args.uniqueonly,
+        nproc=args.nproc,
         method=args.method,
         parameters=args.parameters,
         wpen=args.wpen,
@@ -1105,6 +1106,11 @@ def main(argv=None):
                  "slow scalar mode.",
         )
         p.add_argument("--uniqueonly", action="store_true")
+        p.add_argument("--nproc", type=int, default=0,
+                       help="Worker threads for the per-bubble MSA phase "
+                            "(reference refine.py:459-525 used an mp "
+                            "pool); 0 = cpu count.  The native MEA DP "
+                            "releases the GIL, so threads scale it.")
         p.add_argument("--method", default="reveal_probcons",
                        choices=["reveal_probcons", "reveal_rem", "muscle",
                                 "probcons", "msaprobs", "pecan"],

@@ -21,6 +21,7 @@ optimization).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -666,10 +667,15 @@ def refine_all(
                     )
                     mats_for = [None] * len(work)
 
-    # phase 2: per-bubble MSA + graph splice on host
-    for (bubble, sg, offsets, paths, aobjs), (s, e), pmats, pdist in zip(
-        work, pair_slices, mats_for, dist_for
-    ):
+    # phase 2: per-bubble MSA on worker threads (refine_bubble only
+    # reads its own subgraph + precomputed mats; the native MEA DP
+    # releases the GIL, so threads scale it — the reference used an mp
+    # pool here, refine.py:459-525), then the graph splice serially in
+    # input order so the result is identical to the sequential loop.
+    jobs = list(zip(work, pair_slices, mats_for, dist_for))
+
+    def _run(job):
+        (bubble, sg, offsets, paths, aobjs), (s, e), pmats, pdist = job
         t0 = time.time()
         res = refine_bubble(
             sg,
@@ -689,6 +695,37 @@ def refine_all(
             bubble.sink,
             time.time() - t0,
         )
+        return res
+
+    nproc = int(kwargs.pop("nproc", 0) or os.cpu_count() or 1)
+    # bubbles without precomputed stage-1/2 data compute posteriors on
+    # the device inside refine_bubble — keep those serial (one device
+    # client at a time); everything else is pure host work
+    parallel_ix = [
+        i
+        for i, (_w, _se, pm, _pd) in enumerate(jobs)
+        if pm is not None or posteriors
+    ]
+    results = [None] * len(jobs)
+    par_set = set(parallel_ix)
+    for i in range(len(jobs)):
+        if i not in par_set:
+            results[i] = _run(jobs[i])
+    if parallel_ix:
+        if nproc > 1 and len(parallel_ix) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=nproc) as ex:
+                for i, res in zip(
+                    parallel_ix,
+                    ex.map(_run, (jobs[i] for i in parallel_ix)),
+                ):
+                    results[i] = res
+        else:
+            for i in parallel_ix:
+                results[i] = _run(jobs[i])
+
+    for res in results:
         if res is None:
             continue
         bubble, ng, path2start, path2end = res

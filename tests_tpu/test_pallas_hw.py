@@ -39,3 +39,66 @@ def test_pallas_kernel_direct_vs_xla(tpu_backend):
     for (pp, tp), (px, tx) in zip(out_p, out_x):
         np.testing.assert_allclose(pp, px, atol=2e-3)
         assert abs(tp - tx) < 5e-2
+
+
+def test_stage12_chain_matches_host_two_phase(tpu_backend):
+    """batch_stage12_device (posterior -> MEA distance -> consistency,
+    fully on device) vs the host float64 two-phase path on the same
+    problems — guards the production refine chain end-to-end on real
+    hardware."""
+    from reveal_tpu.hmm.msa import (
+        _mea_dp_fast,
+        _sparsify,
+        batch_posteriors,
+        batch_stage12_device,
+    )
+
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(list("ACGT"), size=120))
+
+    def mutate(s, k):
+        out = list(s)
+        for _ in range(k):
+            i = int(rng.integers(0, len(out)))
+            out[i] = str(rng.choice(list("ACGT")))
+        return "".join(out)
+
+    problems = [
+        [base, mutate(base, 6), mutate(base, 9)],
+        [mutate(base, 3), mutate(base, 12)],
+    ]
+    out = batch_stage12_device(problems, consistency=2, consgap=True)
+
+    for seqs, (mats, dist) in zip(problems, out):
+        N = len(seqs)
+        pair_keys = [(a, b) for a in range(N) for b in range(a + 1, N)]
+        res = batch_posteriors([(seqs[a], seqs[b]) for a, b in pair_keys])
+        host = {}
+        hdist = np.zeros((N, N))
+        for (a, b), (p, _t) in zip(pair_keys, res):
+            host[(a, b)] = _sparsify(np.asarray(p))
+            _e, score = _mea_dp_fast(np.asarray(p))
+            hdist[a, b] = hdist[b, a] = score / max(
+                1, min(len(seqs[a]), len(seqs[b]))
+            )
+        for _ in range(2):
+            new = {}
+            for (a, b) in pair_keys:
+                P = host[(a, b)]
+                acc = 2.0 * P.astype(np.float64)
+                for z in range(N):
+                    if z in (a, b):
+                        continue
+                    Paz = host[(a, z)] if a < z else host[(z, a)].T
+                    Pzb = host[(z, b)] if z < b else host[(b, z)].T
+                    acc += Paz.astype(np.float64) @ Pzb.astype(np.float64)
+                    pgx = 1.0 - Paz.sum(axis=1)
+                    pgy = 1.0 - Pzb.sum(axis=0)
+                    acc += np.outer(pgx, pgy)
+                acc /= N
+                acc[P == 0] = 0
+                new[(a, b)] = _sparsify(acc.astype(np.float32))
+            host = new
+        np.testing.assert_allclose(dist, hdist, atol=1e-3)
+        for k in pair_keys:
+            np.testing.assert_allclose(mats[k], host[k], atol=5e-3)
