@@ -439,16 +439,24 @@ def fetch_posteriors(p, tot):
     if W < SPARSE_TRANSFER_MIN_WIDTH:
         return np.asarray(jax.device_get(p)), tot
     if _topk_fn is None:
-        import functools
+        import jax.numpy as jnp
 
-        _topk_fn = jax.jit(
-            functools.partial(jax.lax.top_k, k=SPARSE_TRANSFER_K)
-        )
+        @jax.jit
+        def _topk(x):
+            v, i = jax.lax.top_k(x, k=SPARSE_TRANSFER_K)
+            # narrow the index dtype when the lane width allows: halves
+            # the index bytes on the bandwidth-limited device link
+            # (shape is static per compile, so the branch is free)
+            if x.shape[-1] < 2**15:
+                i = i.astype(jnp.int16)
+            return v, i
+
+        _topk_fn = _topk
     vals, idx = _topk_fn(p)
     vals = np.asarray(jax.device_get(vals))
     idx = np.asarray(jax.device_get(idx))
     dense = np.zeros(p.shape, dtype=vals.dtype)
-    np.put_along_axis(dense, idx.astype(np.int64), vals, axis=-1)
+    np.put_along_axis(dense, idx, vals, axis=-1)
     return dense, tot
 
 
