@@ -58,3 +58,22 @@ P\ty\t1+,2+\t0M
     G = read_gfa(str(p))
     G2 = refine_all(G, minlength=1)
     assert extract(G2, "x") == "AAAACCCC"
+
+
+def test_refine_nproc_deterministic(tmp_path):
+    """The --nproc thread pool must produce the same graph as the serial
+    loop (results collected, splice applied in input order)."""
+    from reveal_tpu.core.io_gfa import write_gfa
+
+    outs = []
+    for nproc in (1, 4):
+        p = tmp_path / ("g%d.gfa" % nproc)
+        p.write_text(GFA_REGION)
+        G = read_gfa(str(p))
+        G = refine_all(
+            G, minlength=1, minsize=1, nrefinements=5, nproc=nproc
+        )
+        of = str(tmp_path / ("out%d.gfa" % nproc))
+        write_gfa(G, None, outputfile=of)
+        outs.append(open(of).read())
+    assert outs[0] == outs[1]
