@@ -90,34 +90,46 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
-        lib.rtpu_repair_leading.restype = None
-        lib.rtpu_repair_leading.argtypes = [ctypes.c_void_p] * 3 + [
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_int64,
+        lib.rtpu_kasai32.restype = None
+        lib.rtpu_kasai32.argtypes = [ctypes.c_void_p] * 4 + [
+            ctypes.c_int32
         ]
-        lib.rtpu_multimums.restype = ctypes.c_int64
-        lib.rtpu_multimums.argtypes = [ctypes.c_void_p] * 4 + [
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int64,
-        ] + [ctypes.c_void_p] * 3
-        lib.rtpu_split3_full.restype = None
-        lib.rtpu_split3_full.argtypes = [ctypes.c_void_p] * 2 + [
-            ctypes.c_int64,
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-        ] + [ctypes.c_void_p] * 3
-        lib.rtpu_pairwise_mums.restype = ctypes.c_int64
-        lib.rtpu_pairwise_mums.argtypes = [ctypes.c_void_p] * 3 + [
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.c_int,
-            ctypes.c_int64,
-        ] + [ctypes.c_void_p] * 3
+        for nm in ("rtpu_repair_leading", "rtpu_repair_leading32"):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p] * 3 + [
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
+        for nm in ("rtpu_multimums", "rtpu_multimums32"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p] * 4 + [
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+            ] + [ctypes.c_void_p] * 3
+        for nm in ("rtpu_split3_full", "rtpu_split3_full32"):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p] * 2 + [
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+            ] + [ctypes.c_void_p] * 3
+        for nm in ("rtpu_pairwise_mums", "rtpu_pairwise_mums32"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p] * 3 + [
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int64,
+            ] + [ctypes.c_void_p] * 3
         lib.rtpu_split3.restype = None
         lib.rtpu_split3.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64
@@ -172,46 +184,71 @@ def get_lib():
     return _lib
 
 
+def index_dtype(n: int):
+    """Index width for an n-byte text: int32 below 2^31 (the reference
+    builds 32- and 64-bit extension twins, setup.py:21-31; the 32-bit
+    index halves memory traffic on the memory-bound SA/LCP passes)."""
+    return np.int32 if n < 2**31 else np.int64
+
+
 def build_esa_native(T: np.ndarray):
     """(SA, LCP, SAi) via SA-IS + capped Kasai.  Raises if the native
-    library is unavailable."""
+    library is unavailable.  Arrays are int32 for texts below 2^31,
+    int64 otherwise (the reveallib/reveallib64 twin-width design)."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native kernels unavailable")
     n = len(T)
     T = np.ascontiguousarray(T, dtype=np.uint8)
-    SA = np.empty(n, dtype=np.int64)
-    rc = lib.rtpu_sais64(
-        T.ctypes.data, SA.ctypes.data, ctypes.c_int64(n)
-    )
+    dt = index_dtype(n)
+    SA = np.empty(n, dtype=dt)
+    if dt == np.int32:
+        rc = lib.rtpu_sais32(
+            T.ctypes.data, SA.ctypes.data, ctypes.c_int32(n)
+        )
+    else:
+        rc = lib.rtpu_sais64(
+            T.ctypes.data, SA.ctypes.data, ctypes.c_int64(n)
+        )
     if rc != 0:
         raise RuntimeError("sais failed: %d" % rc)
-    SAi = np.empty(n, dtype=np.int64)
-    LCP = np.empty(n, dtype=np.int64)
-    lib.rtpu_kasai64(
-        T.ctypes.data,
-        SA.ctypes.data,
-        SAi.ctypes.data,
-        LCP.ctypes.data,
-        ctypes.c_int64(n),
-    )
+    SAi = np.empty(n, dtype=dt)
+    LCP = np.empty(n, dtype=dt)
+    if dt == np.int32:
+        lib.rtpu_kasai32(
+            T.ctypes.data,
+            SA.ctypes.data,
+            SAi.ctypes.data,
+            LCP.ctypes.data,
+            ctypes.c_int32(n),
+        )
+    else:
+        lib.rtpu_kasai64(
+            T.ctypes.data,
+            SA.ctypes.data,
+            SAi.ctypes.data,
+            LCP.ctypes.data,
+            ctypes.c_int64(n),
+        )
     return SA, LCP, SAi
 
 
 def pairwise_mums_native(T, SA, LCP, nsep0, minl, rc, nT):
-    """Fast per-segment pairwise MUM scan; returns (l, a, b) int64 arrays
-    or None if the library is unavailable."""
+    """Fast per-segment pairwise MUM scan; returns (l, a, b) arrays in
+    the index dtype, or None if the library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(SA)
-    out_l = np.empty(n, dtype=np.int64)
-    out_a = np.empty(n, dtype=np.int64)
-    out_b = np.empty(n, dtype=np.int64)
-    cnt = lib.rtpu_pairwise_mums(
+    dt = np.int32 if SA.dtype == np.int32 else np.int64
+    fn = lib.rtpu_pairwise_mums32 if dt == np.int32 else lib.rtpu_pairwise_mums
+    out_l = np.empty(n, dtype=dt)
+    out_a = np.empty(n, dtype=dt)
+    out_b = np.empty(n, dtype=dt)
+    cnt = fn(
         T.ctypes.data,
-        np.ascontiguousarray(SA, dtype=np.int64).ctypes.data,
-        np.ascontiguousarray(LCP, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(SA, dtype=dt).ctypes.data,
+        np.ascontiguousarray(LCP, dtype=dt).ctypes.data,
         ctypes.c_int64(n),
         ctypes.c_int64(nsep0),
         ctypes.c_int64(minl),
@@ -228,19 +265,23 @@ def repair_leading_native(SA, LCP, SAi, begins) -> bool:
     """In-place boundary repair (bubble_sort semantics) on the child's
     SA/LCP and the global SAi.  Returns False (caller should use the
     Python path) when the library is unavailable or the arrays are not
-    mutable contiguous int64 buffers."""
+    mutable contiguous same-width int32/int64 buffers."""
     lib = get_lib()
     if lib is None:
         return False
+    dt = SA.dtype
+    if dt not in (np.int32, np.int64):
+        return False
     for a in (SA, LCP, SAi):
         if (
-            a.dtype != np.int64
+            a.dtype != dt
             or not a.flags["C_CONTIGUOUS"]
             or not a.flags["WRITEABLE"]
         ):
             return False
+    fn = lib.rtpu_repair_leading32 if dt == np.int32 else lib.rtpu_repair_leading
     b = np.ascontiguousarray(begins, dtype=np.int64)
-    lib.rtpu_repair_leading(
+    fn(
         SA.ctypes.data,
         LCP.ctypes.data,
         SAi.ctypes.data,
@@ -258,12 +299,14 @@ def multimums_native(T, SA, LCP, SO, nsamples_main, minl, minn):
     if lib is None or SO.dtype != np.uint16:
         return None
     n = len(SA)
-    SA = np.ascontiguousarray(SA, dtype=np.int64)
-    LCP = np.ascontiguousarray(LCP, dtype=np.int64)
-    out_l = np.empty(n, dtype=np.int64)
-    out_lb = np.empty(n, dtype=np.int64)
-    out_ub = np.empty(n, dtype=np.int64)
-    cnt = lib.rtpu_multimums(
+    dt = np.int32 if SA.dtype == np.int32 else np.int64
+    fn = lib.rtpu_multimums32 if dt == np.int32 else lib.rtpu_multimums
+    SA = np.ascontiguousarray(SA, dtype=dt)
+    LCP = np.ascontiguousarray(LCP, dtype=dt)
+    out_l = np.empty(n, dtype=dt)
+    out_lb = np.empty(n, dtype=dt)
+    out_ub = np.empty(n, dtype=dt)
+    cnt = fn(
         T.ctypes.data,
         SA.ctypes.data,
         LCP.ctypes.data,
@@ -289,16 +332,18 @@ def split3_full_native(SA, LCP, SAi, intervals):
     if lib is None:
         return None
     n = len(SA)
-    SA = np.ascontiguousarray(SA, dtype=np.int64)
-    LCP = np.ascontiguousarray(LCP, dtype=np.int64)
-    if SAi.dtype != np.int64 or not SAi.flags["C_CONTIGUOUS"]:
+    dt = np.int32 if SA.dtype == np.int32 else np.int64
+    fn = lib.rtpu_split3_full32 if dt == np.int32 else lib.rtpu_split3_full
+    SA = np.ascontiguousarray(SA, dtype=dt)
+    LCP = np.ascontiguousarray(LCP, dtype=dt)
+    if SAi.dtype != dt or not SAi.flags["C_CONTIGUOUS"]:
         return None
     iv = np.array(intervals, dtype=np.int64).reshape(-1, 3)
     iv = np.ascontiguousarray(iv)
-    sa_buf = np.empty(n, dtype=np.int64)
-    lcp_buf = np.empty(n, dtype=np.int64)
+    sa_buf = np.empty(n, dtype=dt)
+    lcp_buf = np.empty(n, dtype=dt)
     out_n = np.zeros(3, dtype=np.int64)
-    lib.rtpu_split3_full(
+    fn(
         SA.ctypes.data,
         LCP.ctypes.data,
         ctypes.c_int64(n),

@@ -202,11 +202,14 @@ namespace {
 
 // pairwise MUM scan over one segment (reveal.c:119-180 semantics):
 // adjacent SA entries with LCP >= minl, straddling nsep0, left-maximal,
-// unique.  Returns match count; fills (l, a, b) arrays.
-int64_t pairwise_mums(const uint8_t* T, const int64_t* SA,
-                      const int64_t* LCP, int64_t n, int64_t nsep0,
-                      int64_t minl, int rc, int64_t nT, int64_t* out_l,
-                      int64_t* out_a, int64_t* out_b) {
+// unique.  Returns match count; fills (l, a, b) arrays.  Index is int32
+// or int64 — the 32-bit twin (reference setup.py:21-31 builds both)
+// halves memory traffic on these memory-bound passes.
+template <typename Index>
+int64_t pairwise_mums(const uint8_t* T, const Index* SA,
+                      const Index* LCP, int64_t n, int64_t nsep0,
+                      int64_t minl, int rc, int64_t nT, Index* out_l,
+                      Index* out_a, Index* out_b) {
   int64_t cnt = 0;
   for (int64_t i = 1; i < n; ++i) {
     int64_t l = LCP[i];
@@ -237,36 +240,37 @@ int64_t pairwise_mums(const uint8_t* T, const int64_t* SA,
 // 3-way stable split with running-min LCP (reveal.c:582-664).  D_sa is the
 // per-SA-slot class (1=leading, 2=trailing, 3=matched, 4=parallel,
 // 0=dropped).  Outputs are preallocated to n; returns counts via out_n.
-void split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
-            int64_t n, int64_t* SAi, int64_t* sa_l, int64_t* lcp_l,
-            int64_t* sa_t, int64_t* lcp_t, int64_t* sa_p, int64_t* lcp_p,
+template <typename Index>
+void split3(const Index* SA, const Index* LCP, const uint8_t* D_sa,
+            int64_t n, Index* SAi, Index* sa_l, Index* lcp_l,
+            Index* sa_t, Index* lcp_t, Index* sa_p, Index* lcp_p,
             int64_t* out_n) {
   int64_t il = 0, it = 0, ip = 0;
-  int64_t minl = 0, mint = 0, minp = 0;
+  Index minl = 0, mint = 0, minp = 0;
   int64_t lastl = -1, lastt = -1, lastp = -1;
   for (int64_t i = 0; i < n; ++i) {
     uint8_t d = D_sa[i];
     if (d == 1) {
       sa_l[il] = SA[i];
       lcp_l[il] = il == 0 ? 0 : minl;
-      SAi[SA[i]] = il;
+      SAi[SA[i]] = (Index)il;
       ++il;
       lastl = i;
     } else if (d == 2) {
       sa_t[it] = SA[i];
       lcp_t[it] = it == 0 ? 0 : mint;
-      SAi[SA[i]] = it;
+      SAi[SA[i]] = (Index)it;
       ++it;
       lastt = i;
     } else if (d == 4) {
       sa_p[ip] = SA[i];
       lcp_p[ip] = ip == 0 ? 0 : minp;
-      SAi[SA[i]] = ip;
+      SAi[SA[i]] = (Index)ip;
       ++ip;
       lastp = i;
     }
     if (i == n - 1) break;
-    int64_t nxt = LCP[i + 1];
+    Index nxt = LCP[i + 1];
     minl = (i == lastl) ? nxt : (nxt < minl ? nxt : minl);
     mint = (i == lastt) ? nxt : (nxt < mint ? nxt : mint);
     minp = (i == lastp) ? nxt : (nxt < minp ? nxt : minp);
@@ -283,9 +287,10 @@ void split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
 // [leading | trailing | parallel].  Interval classes overwrite in input
 // order (callers pass leading, trailing, rest, then matched=3 last, like
 // the numpy D_sa construction).  SAi is rewritten for child slots.
-void split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
-                 int64_t* SAi, const int64_t* iv, int64_t niv,
-                 int64_t* sa_buf, int64_t* lcp_buf, int64_t* out_n) {
+template <typename Index>
+void split3_full(const Index* SA, const Index* LCP, int64_t n,
+                 Index* SAi, const int64_t* iv, int64_t niv,
+                 Index* sa_buf, Index* lcp_buf, int64_t* out_n) {
   std::vector<uint8_t> D(n, 0);
   for (int64_t k = 0; k < niv; ++k) {
     const int64_t begin = iv[k * 3];
@@ -298,12 +303,12 @@ void split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
     if (D[i] == 1) ++c1;
     else if (D[i] == 2) ++c2;
   }
-  int64_t* sa_l = sa_buf;
-  int64_t* lcp_l = lcp_buf;
-  int64_t* sa_t = sa_buf + c1;
-  int64_t* lcp_t = lcp_buf + c1;
-  int64_t* sa_p = sa_buf + c1 + c2;
-  int64_t* lcp_p = lcp_buf + c1 + c2;
+  Index* sa_l = sa_buf;
+  Index* lcp_l = lcp_buf;
+  Index* sa_t = sa_buf + c1;
+  Index* lcp_t = lcp_buf + c1;
+  Index* sa_p = sa_buf + c1 + c2;
+  Index* lcp_p = lcp_buf + c1 + c2;
   split3(SA, LCP, D.data(), n, SAi, sa_l, lcp_l, sa_t, lcp_t, sa_p, lcp_p,
          out_n);
 }
@@ -313,10 +318,11 @@ void split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
 // every lcp-interval whose width is in [minn, nsamples_main], whose
 // suffixes come from distinct samples, and where some adjacent pair is
 // left-maximal.  Output arrays must hold n entries.
-int64_t multimums_scan(const uint8_t* T, const int64_t* SA,
-                       const int64_t* LCP, const uint16_t* SO, int64_t n,
+template <typename Index>
+int64_t multimums_scan(const uint8_t* T, const Index* SA,
+                       const Index* LCP, const uint16_t* SO, int64_t n,
                        int64_t nsamples_main, int64_t minl, int64_t minn,
-                       int64_t* out_l, int64_t* out_lb, int64_t* out_ub) {
+                       Index* out_l, Index* out_lb, Index* out_ub) {
   if (minl < 1) minl = 1;
   int64_t cnt = 0;
   auto ismultimum = [&](int64_t l, int64_t lb, int64_t ub) -> bool {
@@ -339,9 +345,9 @@ int64_t multimums_scan(const uint8_t* T, const int64_t* SA,
     int64_t w = ub - lb + 1;
     if (l >= minl && w >= minn && w <= nsamples_main &&
         ismultimum(l, lb, ub)) {
-      out_l[cnt] = l;
-      out_lb[cnt] = lb;
-      out_ub[cnt] = ub;
+      out_l[cnt] = (Index)l;
+      out_lb[cnt] = (Index)lb;
+      out_ub[cnt] = (Index)ub;
       ++cnt;
     }
   };
@@ -373,25 +379,26 @@ int64_t multimums_scan(const uint8_t* T, const int64_t* SA,
 // corrected position with truncated LCP; following entries get their LCP
 // capped.  Mutates SA/LCP (the child's arrays) and SAi (the global
 // inverse) in place.
-void repair_leading(int64_t* SA, int64_t* LCP, int64_t* SAi, int64_t n,
+template <typename Index>
+void repair_leading(Index* SA, Index* LCP, Index* SAi, int64_t n,
                     const int64_t* begins, int64_t nb) {
   if (n == 0) return;
   for (int64_t bi = 0; bi < nb; ++bi) {
-    const int64_t begin = begins[bi];
+    const Index begin = (Index)begins[bi];
     for (int64_t i = 0; i < n; ++i) {
       if (SA[i] < begin && SA[i] + LCP[i] > begin) {
-        const int64_t tmp_sa = SA[i];
-        const int64_t tmp_lcp = LCP[i];
-        const int64_t thr = begin - tmp_sa;
+        const Index tmp_sa = SA[i];
+        const Index tmp_lcp = LCP[i];
+        const Index thr = begin - tmp_sa;
         int64_t x = i;
         while (x > 0 && LCP[x] >= thr) --x;
         if (x < i) {
-          std::memmove(SA + x + 1, SA + x, (i - x) * sizeof(int64_t));
-          std::memmove(LCP + x + 1, LCP + x, (i - x) * sizeof(int64_t));
-          for (int64_t j = x + 1; j <= i; ++j) SAi[SA[j]] = j;
+          std::memmove(SA + x + 1, SA + x, (i - x) * sizeof(Index));
+          std::memmove(LCP + x + 1, LCP + x, (i - x) * sizeof(Index));
+          for (int64_t j = x + 1; j <= i; ++j) SAi[SA[j]] = (Index)j;
         }
         SA[x] = tmp_sa;
-        SAi[tmp_sa] = x;
+        SAi[tmp_sa] = (Index)x;
         LCP[x + 1] = thr;
         if (i < n - 1 && tmp_lcp < LCP[i + 1]) LCP[i + 1] = tmp_lcp;
       } else if (i < n - 1 && SA[i] < begin && SA[i] + LCP[i + 1] > begin &&
@@ -802,6 +809,15 @@ int64_t rtpu_pairwise_mums(const uint8_t* T, const int64_t* SA,
                        out_b);
 }
 
+int64_t rtpu_pairwise_mums32(const uint8_t* T, const int32_t* SA,
+                             const int32_t* LCP, int64_t n, int64_t nsep0,
+                             int64_t minl, int rc, int64_t nT,
+                             int32_t* out_l, int32_t* out_a,
+                             int32_t* out_b) {
+  return pairwise_mums(T, SA, LCP, n, nsep0, minl, rc, nT, out_l, out_a,
+                       out_b);
+}
+
 void rtpu_split3(const int64_t* SA, const int64_t* LCP, const uint8_t* D_sa,
                  int64_t n, int64_t* SAi, int64_t* sa_l, int64_t* lcp_l,
                  int64_t* sa_t, int64_t* lcp_t, int64_t* sa_p,
@@ -819,9 +835,20 @@ void rtpu_repair_leading(int64_t* SA, int64_t* LCP, int64_t* SAi, int64_t n,
   repair_leading(SA, LCP, SAi, n, begins, nb);
 }
 
+void rtpu_repair_leading32(int32_t* SA, int32_t* LCP, int32_t* SAi,
+                           int64_t n, const int64_t* begins, int64_t nb) {
+  repair_leading(SA, LCP, SAi, n, begins, nb);
+}
+
 void rtpu_split3_full(const int64_t* SA, const int64_t* LCP, int64_t n,
                       int64_t* SAi, const int64_t* iv, int64_t niv,
                       int64_t* sa_buf, int64_t* lcp_buf, int64_t* out_n) {
+  split3_full(SA, LCP, n, SAi, iv, niv, sa_buf, lcp_buf, out_n);
+}
+
+void rtpu_split3_full32(const int32_t* SA, const int32_t* LCP, int64_t n,
+                        int32_t* SAi, const int64_t* iv, int64_t niv,
+                        int32_t* sa_buf, int32_t* lcp_buf, int64_t* out_n) {
   split3_full(SA, LCP, n, SAi, iv, niv, sa_buf, lcp_buf, out_n);
 }
 
@@ -833,9 +860,22 @@ int64_t rtpu_multimums(const uint8_t* T, const int64_t* SA,
                         out_l, out_lb, out_ub);
 }
 
+int64_t rtpu_multimums32(const uint8_t* T, const int32_t* SA,
+                         const int32_t* LCP, const uint16_t* SO, int64_t n,
+                         int64_t nsamples_main, int64_t minl, int64_t minn,
+                         int32_t* out_l, int32_t* out_lb, int32_t* out_ub) {
+  return multimums_scan(T, SA, LCP, SO, n, nsamples_main, minl, minn,
+                        out_l, out_lb, out_ub);
+}
+
 void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,
                   int64_t* LCP, int64_t n) {
   kasai_capped<int64_t>(T, SA, SAi, LCP, n);
+}
+
+void rtpu_kasai32(const uint8_t* T, const int32_t* SA, int32_t* SAi,
+                  int32_t* LCP, int32_t n) {
+  kasai_capped<int32_t>(T, SA, SAi, LCP, n);
 }
 
 void rtpu_glocal_dp(const int64_t* S1, const int64_t* E1, const int64_t* S2,

@@ -112,3 +112,28 @@ def test_full_pipeline_deterministic(tmp_path, monkeypatch):
               "--backend", "np"])
         outs.append(open(pre + ".ref.gfa").read())
     assert outs[0] == outs[1]
+
+
+def test_index_widths_agree():
+    """The 32-bit native index twin (texts < 2^31, reference
+    setup.py:21-31 builds reveallib + reveallib64) must produce the same
+    graph as the 64-bit twin on the same input."""
+    import reveal_tpu.native as nat
+
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    aobjs = _pop(23)
+    G1, i1 = align_seqs(list(aobjs), minlength=15, backend="native")
+    assert i1.main.SAi.dtype == np.int32  # small text -> 32-bit twin
+
+    saved = nat.index_dtype
+    nat.index_dtype = lambda n: np.int64
+    try:
+        G2, i2 = align_seqs(list(aobjs), minlength=15, backend="native")
+        assert i2.main.SAi.dtype == np.int64
+    finally:
+        nat.index_dtype = saved
+    assert _graph_sig(G1, i1.main.T) == _graph_sig(G2, i2.main.T)
