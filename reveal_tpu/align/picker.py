@@ -42,6 +42,40 @@ class MumPicker:
         self.G = G
         self.t = t
         self.cfg = cfg
+        # (seq_starts, seq_sids) for the array fast path; see set_fastmap
+        self.fastmap = None
+
+    def set_fastmap(self, root_nodes):
+        """Enable the pairwise array fast path when every root node is a
+        whole single-sample sequence at offset 0 (fasta inputs).  Then a
+        text position p maps to path offset p - seq_start — the invariant
+        breaknode maintains for every unaligned descendant node — so the
+        picker needs no interval lookups."""
+        import numpy as np
+
+        G = self.G
+        if any(p.startswith("*") for p in G.graph["paths"]):
+            return
+        starts = []
+        sids = []
+        for iv in root_nodes:
+            if isinstance(iv, str):
+                continue  # endpoint markers are not in root_nodes; guard
+            offs = G.nodes[iv]["offsets"]
+            if len(offs) != 1:
+                return
+            (sid, off), = offs.items()
+            if off != 0:
+                return
+            starts.append(iv[0])
+            sids.append(sid)
+        if not starts:
+            return
+        order = np.argsort(starts)
+        self.fastmap = (
+            np.asarray(starts, dtype=np.int64)[order],
+            np.asarray(sids, dtype=np.int64)[order],
+        )
 
     # -- helpers -----------------------------------------------------------
     def segment_subset(self, mums):
@@ -141,6 +175,32 @@ class MumPicker:
             mapping[tuple(qlpoint.values())] = mum
         return relmums, mapping
 
+    def _maxsize_stop(self, idx) -> bool:
+        """Bubble-size stop (schemes.py:207-224)."""
+        G = self.G
+        cfg = self.cfg
+        rpaths = [p for p in G.graph["paths"] if not p.startswith("*")]
+        if idx.left_node is None:
+            lo = {G.graph["path2id"][p]: 0 for p in rpaths}
+        else:
+            ln = idx.left_node
+            lo = {
+                k: G.nodes[ln]["offsets"][k] + (ln[1] - ln[0])
+                for k in G.nodes[ln]["offsets"]
+            }
+        if idx.right_node is None:
+            ro = {
+                G.graph["path2id"][p]: G.graph["id2end"][
+                    G.graph["path2id"][p]
+                ]
+                for p in rpaths
+            }
+        else:
+            ro = G.nodes[idx.right_node]["offsets"]
+        return all(
+            ro[k] - lo[k] <= cfg.maxsize for k in set(lo) & set(ro)
+        )
+
     # -- the picker --------------------------------------------------------
     def __call__(self, mums, idx, precomputed=False, minlength=0):
         """Returns () to stop recursion, else (splitmum, skipleft, skipright)
@@ -154,32 +214,8 @@ class MumPicker:
             if cfg.maxdepth is not None and idx.depth > cfg.maxdepth:
                 return ()
 
-            if cfg.maxsize is not None:
-                rpaths = [
-                    p for p in G.graph["paths"] if not p.startswith("*")
-                ]
-                if idx.left_node is None:
-                    lo = {G.graph["path2id"][p]: 0 for p in rpaths}
-                else:
-                    ln = idx.left_node
-                    lo = {
-                        k: G.nodes[ln]["offsets"][k] + (ln[1] - ln[0])
-                        for k in G.nodes[ln]["offsets"]
-                    }
-                if idx.right_node is None:
-                    ro = {
-                        G.graph["path2id"][p]: G.graph["id2end"][
-                            G.graph["path2id"][p]
-                        ]
-                        for p in rpaths
-                    }
-                else:
-                    ro = G.nodes[idx.right_node]["offsets"]
-                if all(
-                    ro[k] - lo[k] <= cfg.maxsize
-                    for k in set(lo) & set(ro)
-                ):
-                    return ()
+            if cfg.maxsize is not None and self._maxsize_stop(idx):
+                return ()
 
             mmums = [mum for mum in mums if mum[1] == idx.nsamples]
             if len(mmums) == 0 and idx.nsamples > 2:
@@ -315,3 +351,222 @@ class MumPicker:
             skipright = chainedmums[half + 1 :]
 
         return splitmum, skipleft, skipright
+
+    # -- array fast path -----------------------------------------------------
+    def pick_pairwise(self, ls, aa, bb, idx, minlength=0):
+        """Array re-expression of __call__ for the 2-genome case with a
+        fastmap (fasta inputs): trim (native), offset map (arithmetic),
+        chain (native), split pick — without materializing per-mum tuples.
+
+        Returns None to defer to the generic path (caller falls back),
+        () to stop recursion, or (splitmum, skipleft, skipright) exactly
+        like __call__; splitmum/skip entries are index-coordinate tuples.
+        """
+        import numpy as np
+
+        cfg = self.cfg
+        if (
+            self.fastmap is None
+            or cfg.splitchain != "largest"
+            or cfg.gcmodel != "sumofpairs"
+            or not float(cfg.wscore).is_integer()
+        ):
+            return None
+        if len(ls) == 0:
+            return ()
+        if cfg.maxdepth is not None and idx.depth > cfg.maxdepth:
+            return ()
+        if cfg.maxsize is not None and self._maxsize_stop(idx):
+            return ()
+        if idx.nsamples != 2:
+            # the generic path filters mums to n == idx.nsamples and
+            # stops (pairwise enum only emits n=2)
+            return ()
+
+        if cfg.trim:
+            from ..native import trim_overlap_native
+
+            res = trim_overlap_native(ls, np.stack([aa, bb], axis=1))
+            if res is None:
+                return None
+            ls, P = res
+            if len(ls) == 0:
+                return ()
+            aa = P[:, 0]
+            bb = P[:, 1]
+
+        # mmums.sort(l desc, stable), then relmums.sort((n, l) asc,
+        # stable) with n == 2 everywhere: the two stable passes compose
+        # exactly like the list sorts of the generic path
+        order = np.argsort(-ls, kind="stable")
+        order = order[np.argsort(ls[order], kind="stable")]
+        ls, aa, bb = ls[order], aa[order], bb[order]
+
+        # offsets: path offset = text pos - sequence start (breaknode
+        # invariant for whole-sequence roots, see set_fastmap)
+        starts, sids = self.fastmap
+        ia = np.searchsorted(starts, aa, side="right") - 1
+        ib = np.searchsorted(starts, bb, side="right") - 1
+        offa = aa - starts[ia]
+        offb = bb - starts[ib]
+        sida = sids[ia]
+        sidb = sids[ib]
+
+        # target keys = keys of the last (n, l)-sorted mum; dict-keys
+        # equality is set equality, and a-side/b-side sample ids are
+        # disjoint, so pair equality suffices
+        ta = int(sida[-1])
+        tb = int(sidb[-1])
+        sel = (sida == ta) & (sidb == tb)
+        if not sel.all():
+            ls, aa, bb = ls[sel], aa[sel], bb[sel]
+            offa, offb = offa[sel], offb[sel]
+
+        G = self.G
+        if idx.left_node is not None:
+            ln = idx.left_node
+            try:
+                left = {
+                    k: G.nodes[ln]["offsets"][k] + (ln[1] - ln[0]) - 1
+                    for k in (ta, tb)
+                }
+            except KeyError:
+                return None
+        else:
+            left = {ta: -1, tb: -1}
+        if idx.right_node is not None:
+            rn = idx.right_node
+            try:
+                right = {k: G.nodes[rn]["offsets"][k] for k in (ta, tb)}
+            except KeyError:
+                return None
+        else:
+            right = {
+                ta: G.graph["id2end"][ta],
+                tb: G.graph["id2end"][tb],
+            }
+
+        skipleft = []
+        skipright = []
+
+        k = len(ls)
+        if k == 1:
+            si = 0
+        else:
+            if k > cfg.maxmums:
+                ls, aa, bb = (
+                    ls[-cfg.maxmums :],
+                    aa[-cfg.maxmums :],
+                    bb[-cfg.maxmums :],
+                )
+                offa, offb = offa[-cfg.maxmums :], offb[-cfg.maxmums :]
+                k = cfg.maxmums
+
+            # chain: [mums..., right] stable-sorted by the ref dim; the
+            # native DP keys on unique ref starts (chaining.py:88-106)
+            ca = np.concatenate([offa, [right[ta]]])
+            cb = np.concatenate([offb, [right[tb]]])
+            cl = np.concatenate([ls, [0]])
+            cidx = np.concatenate([aa, [0]])
+            cidxb = np.concatenate([bb, [0]])
+            o3 = np.argsort(ca, kind="stable")
+            ca, cb, cl = ca[o3], cb[o3], cl[o3]
+            cidx, cidxb = cidx[o3], cidxb[o3]
+            if len(np.unique(ca)) != len(ca):
+                return None  # aliasing ref starts: defer to generic path
+
+            from ..native import chain_native
+
+            starts_arr = np.stack([ca, cb], axis=1)
+            nmul = int(cfg.wscore) * cl
+            left_arr = np.array([left[ta], left[tb]], dtype=np.int64)
+            res = chain_native(
+                starts_arr, cl, nmul, left_arr, float(cfg.wpen)
+            )
+            if res is None:
+                return None
+            nlink, nscores = res
+            if (nlink == -2).any():
+                return None
+
+            pos_r = int(np.nonzero(o3 == k)[0][0])
+            slots = []
+            s = pos_r
+            while True:
+                slots.append(s)
+                nl = int(nlink[s])
+                if nl < 0:
+                    break
+                s = nl
+            # generic path: chainedmums = chain(...)[::-1] — left-to-right
+            # order, right boundary excluded
+            chained = slots[1:][::-1]
+            if len(chained) == 0:
+                return ()
+
+            lc = cl[chained]
+            # sorted(..., key=l)[-1]: the max-l entry latest in chain order
+            j = len(lc) - 1 - int(np.argmax(lc[::-1]))
+            si_slot = chained[j]
+
+            if cfg.seedsize and cfg.seedsize > 0:
+                tlist = skipleft
+                scoreatsplit = 0.0
+                for s in chained:
+                    if s == si_slot:
+                        scoreatsplit = float(nscores[s])
+                        tlist = skipright
+                        continue
+                    if int(cl[s]) >= cfg.seedsize:
+                        tlist.append(
+                            (
+                                (
+                                    int(cl[s]),
+                                    2,
+                                    ((0, int(cidx[s])), (1, int(cidxb[s]))),
+                                ),
+                                float(nscores[s]) - scoreatsplit,
+                            )
+                        )
+                # NB: the generic path appends all, then filters by
+                # seedsize — same result, order preserved
+
+            splitmum = (
+                int(cl[si_slot]),
+                2,
+                ((0, int(cidx[si_slot])), (1, int(cidxb[si_slot]))),
+            )
+            return self._pvalue_gate(
+                splitmum, left, right, minlength
+            ) and (splitmum, skipleft, skipright) or ()
+
+        splitmum = (int(ls[si]), 2, ((0, int(aa[si])), (1, int(bb[si]))))
+        return self._pvalue_gate(splitmum, left, right, minlength) and (
+            splitmum,
+            skipleft,
+            skipright,
+        ) or ()
+
+    def _pvalue_gate(self, splitmum, left, right, minlength) -> bool:
+        """p-value significance stop (schemes.py:334-345); True = keep."""
+        if minlength != 0:
+            return True
+        cfg = self.cfg
+        o = 1
+        for p in left:
+            o = o * (right[p] - left[p])
+        l = splitmum[0]
+        n = splitmum[1]
+        p = (0.25 ** (n - 1)) ** l
+        if p > 0:
+            p = 1 - math.exp(math.log(1 - p) * o)
+        if p > cfg.pcutoff:
+            log.info(
+                "P-value for anchor (n=%d l=%d o=%d) is %.4g — stop",
+                n,
+                l,
+                o,
+                p,
+            )
+            return False
+        return True

@@ -78,10 +78,16 @@ def graphalign(G: PanGraph, t: IntervalIndex, idx: ESAIndex, mum):
 def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig):
     """LIFO worklist replicating aligner()'s threads=0 order."""
     picker = MumPicker(G, t, cfg)
+    if root.main.nsamples == 2 and not os.environ.get(
+        "REVEAL_TPU_DISABLE_FASTPICK"
+    ):
+        picker.set_fastmap(root.nodes)
     queue = [root]
     steps = 0
     while queue:
         idx = queue.pop()  # LIFO (reveal.c:21-27)
+        mums = None
+        pick = None
         if len(idx.skipmums) == 0:
             precomputed = False
             if idx.main.nsamples > 2:
@@ -89,12 +95,32 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
                     minlength=cfg.minlength, minn=cfg.minn
                 )
             else:
-                mums = idx.getmums_rem(cfg.minlength)
+                if picker.fastmap is not None:
+                    arrs = idx.getmums_rem_arrays(cfg.minlength)
+                    if arrs is not None:
+                        pick = picker.pick_pairwise(
+                            *arrs, idx, minlength=cfg.minlength
+                        )
+                        if pick is None:  # defer to the generic path
+                            ls, aas, bbs = arrs
+                            mums = [
+                                (li, 2, ((0, ai), (1, bi)))
+                                for li, ai, bi in zip(
+                                    ls.tolist(),
+                                    aas.tolist(),
+                                    bbs.tolist(),
+                                )
+                            ]
+                if pick is None and mums is None:
+                    mums = idx.getmums_rem(cfg.minlength)
         else:
             precomputed = True
             mums = idx.skipmums
 
-        pick = picker(mums, idx, precomputed=precomputed, minlength=cfg.minlength)
+        if pick is None:
+            pick = picker(
+                mums, idx, precomputed=precomputed, minlength=cfg.minlength
+            )
         if not pick:
             continue
         splitmum, skipleft, skipright = pick

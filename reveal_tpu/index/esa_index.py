@@ -159,6 +159,26 @@ class ESAIndex:
             rem_format=True,
         )
 
+    def getmums_rem_arrays(self, minl: int = 0):
+        """(l, a, b) arrays of the pairwise MUM scan, or None when the
+        native scan is unavailable (callers then use getmums_rem)."""
+        if self.rc:
+            return None
+        try:
+            from ..native import pairwise_mums_native
+
+            return pairwise_mums_native(
+                self.main.T,
+                self.SA,
+                self.LCP,
+                int(self.main.nsep[0]),
+                minl,
+                False,
+                self.main.nT,
+            )
+        except Exception:
+            return None
+
     def getmultimums(self, minlength: int = 0, minn: int = 2):
         return mums_mod.multimums(
             self.main.T,

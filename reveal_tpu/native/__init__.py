@@ -134,6 +134,14 @@ def get_lib():
         lib.rtpu_split3.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64
         ] + [ctypes.c_void_p] * 8
+        lib.rtpu_trim_overlap.restype = ctypes.c_int64
+        lib.rtpu_trim_overlap.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         lib.rtpu_chain.restype = None
         lib.rtpu_chain.argtypes = [
             ctypes.c_void_p,
@@ -397,6 +405,29 @@ def split3_native(SA, LCP, D_sa, SAi):
         out_n.ctypes.data,
     )
     return ((sa_l, lcp_l), (sa_t, lcp_t), (sa_p, lcp_p))
+
+
+def trim_overlap_native(L, P):
+    """Per-dimension overlap trimming (schemes.py:161-191 semantics, see
+    align/chaining.trim_overlap).  L: (k,) lengths, P: (k, d) start
+    coordinates.  Returns trimmed (L', P') copies in final order, or None
+    if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    Lc = np.ascontiguousarray(L, dtype=np.int64).copy()
+    Pc = np.ascontiguousarray(P, dtype=np.int64).copy()
+    k, d = Pc.shape
+    ord_out = np.empty(k, dtype=np.int64)
+    cnt = lib.rtpu_trim_overlap(
+        Lc.ctypes.data,
+        Pc.ctypes.data,
+        ctypes.c_int64(k),
+        ctypes.c_int64(d),
+        ord_out.ctypes.data,
+    )
+    sel = ord_out[:cnt]
+    return Lc[sel], Pc[sel]
 
 
 def chain_native(starts, lens, nmul, left_start, wpen):

@@ -211,7 +211,13 @@ int64_t pairwise_mums(const uint8_t* T, const Index* SA,
                       int64_t minl, int rc, int64_t nT, Index* out_l,
                       Index* out_a, Index* out_b) {
   int64_t cnt = 0;
+  constexpr int64_t PD = 16;
   for (int64_t i = 1; i < n; ++i) {
+    // T[SA[.]-1] left-maximality checks are random gathers — prefetch
+    if (i + PD < n) {
+      __builtin_prefetch(&T[SA[i + PD - 1]], 0, 0);
+      __builtin_prefetch(&T[SA[i + PD]], 0, 0);
+    }
     int64_t l = LCP[i];
     if (l < minl || l <= 0) continue;
     int64_t prev = SA[i - 1], cur = SA[i];
@@ -248,7 +254,10 @@ void split3(const Index* SA, const Index* LCP, const uint8_t* D_sa,
   int64_t il = 0, it = 0, ip = 0;
   Index minl = 0, mint = 0, minp = 0;
   int64_t lastl = -1, lastt = -1, lastp = -1;
+  constexpr int64_t PD = 16;
   for (int64_t i = 0; i < n; ++i) {
+    // SAi[SA[i]] writes are random — prefetch the line ahead of use
+    if (i + PD < n) __builtin_prefetch(&SAi[SA[i + PD]], 1, 0);
     uint8_t d = D_sa[i];
     if (d == 1) {
       sa_l[il] = SA[i];
@@ -296,7 +305,13 @@ void split3_full(const Index* SA, const Index* LCP, int64_t n,
     const int64_t begin = iv[k * 3];
     const int64_t end = iv[k * 3 + 1];
     const uint8_t cls = (uint8_t)iv[k * 3 + 2];
-    for (int64_t p = begin; p < end; ++p) D[SAi[p]] = cls;
+    // the D[SAi[p]] scatter is a dependent cache miss per position —
+    // prefetch ahead on the sequential SAi read to overlap the misses
+    constexpr int64_t PD = 16;
+    for (int64_t p = begin; p < end; ++p) {
+      if (p + PD < end) __builtin_prefetch(&D[SAi[p + PD]], 1, 0);
+      D[SAi[p]] = cls;
+    }
   }
   int64_t c1 = 0, c2 = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -407,6 +422,79 @@ void repair_leading(Index* SA, Index* LCP, Index* SAi, int64_t n,
       }
     }
   }
+}
+
+// per-dimension overlap trimming (schemes.py:161-191 semantics as
+// re-expressed in align/chaining.trim_overlap): for each dimension,
+// stable-sort by (start, -len), drop matches contained in their sorted
+// neighbour (with the reference's i==0 wraparound quirk), then walk the
+// survivors resolving overlaps by shortening the earlier match (or
+// deleting it) and shifting the later one's start in every dimension.
+// L (k) and P (k, d) are mutated in place; the surviving indices are
+// written to ord_out in final order; returns the survivor count.
+int64_t trim_overlap_dp(int64_t* L, int64_t* P, int64_t k, int64_t d,
+                        int64_t* ord_out) {
+  std::vector<int64_t> cur(k);
+  for (int64_t i = 0; i < k; ++i) cur[i] = i;
+  for (int64_t coord = 0; coord < d; ++coord) {
+    if ((int64_t)cur.size() <= 1) break;
+    std::stable_sort(cur.begin(), cur.end(),
+                     [&](int64_t x, int64_t y) {
+                       if (P[x * d + coord] != P[y * d + coord])
+                         return P[x * d + coord] < P[y * d + coord];
+                       return L[x] > L[y];
+                     });
+    const int64_t m = (int64_t)cur.size();
+    std::vector<int64_t> ends(m);
+    for (int64_t i = 0; i < m; ++i)
+      ends[i] = P[cur[i] * d + coord] + L[cur[i]];
+    std::vector<int64_t> kept;
+    kept.reserve(m);
+    for (int64_t i = 0; i < m; ++i) {
+      bool keep;
+      if (i == 0) {
+        keep = (ends[1] > ends[0]) || (ends[m - 1] < ends[0]);
+      } else {
+        keep = ends[i - 1] < ends[i];
+      }
+      if (keep) kept.push_back(cur[i]);
+    }
+    cur.swap(kept);
+    if ((int64_t)cur.size() <= 1) break;
+    std::vector<int64_t> trimmed;
+    trimmed.reserve(cur.size());
+    trimmed.push_back(cur[0]);
+    for (size_t t = 1; t < cur.size(); ++t) {
+      const int64_t mi = cur[t];
+      if (trimmed.empty()) {
+        // both neighbours fully consumed each other; the reference would
+        // raise here (trimmed[-1] on an empty list) — the containment
+        // filter makes this unreachable for well-formed input, so treat
+        // the next mum as a fresh run start
+        trimmed.push_back(mi);
+        continue;
+      }
+      const int64_t pi = trimmed.back();
+      const int64_t overlap = P[pi * d + coord] + L[pi] - P[mi * d + coord];
+      if (overlap > 0) {
+        if (L[pi] - overlap > 0) {
+          L[pi] -= overlap;
+        } else {
+          trimmed.pop_back();
+        }
+        if (L[mi] - overlap > 0) {
+          L[mi] -= overlap;
+          for (int64_t c = 0; c < d; ++c) P[mi * d + c] += overlap;
+          trimmed.push_back(mi);
+        }
+      } else {
+        trimmed.push_back(mi);
+      }
+    }
+    cur.swap(trimmed);
+  }
+  for (size_t i = 0; i < cur.size(); ++i) ord_out[i] = cur[i];
+  return (int64_t)cur.size();
 }
 
 }  // namespace
@@ -788,6 +876,11 @@ void rtpu_build_posterior(float* post, int64_t W, const float** Ps,
                           int64_t npairs) {
   build_posterior_sum(post, W, Ps, pl1, pl2, pw, tflags, m1_idx, m2_idx,
                       m1_cat, m1_off, m2_cat, m2_off, npairs);
+}
+
+int64_t rtpu_trim_overlap(int64_t* L, int64_t* P, int64_t k, int64_t d,
+                          int64_t* ord_out) {
+  return trim_overlap_dp(L, P, k, d, ord_out);
 }
 
 void rtpu_chain(const int64_t* starts, const int64_t* lens,

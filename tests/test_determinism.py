@@ -137,3 +137,87 @@ def test_index_widths_agree():
     finally:
         nat.index_dtype = saved
     assert _graph_sig(G1, i1.main.T) == _graph_sig(G2, i2.main.T)
+
+
+def test_fast_pick_path_agrees(tmp_path, monkeypatch):
+    """The pairwise array fast path (picker.pick_pairwise: native trim +
+    arithmetic offset map + native chain) must write a byte-identical GFA
+    to the generic tuple path on file inputs."""
+    import reveal_tpu.native as nat
+
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    from reveal_tpu.cli import main
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(31)
+    base = "".join(rng.choice(list("ACGT"), size=20000))
+    mut = list(base)
+    for _ in range(220):
+        i = int(rng.integers(0, len(mut)))
+        r = rng.random()
+        if r < 0.5:
+            mut[i] = "ACGT"[int(rng.integers(0, 4))]
+        elif r < 0.75:
+            mut.insert(i, "ACGT"[int(rng.integers(0, 4))])
+        else:
+            del mut[i]
+    fasta_writer("a.fa", [("a", base)])
+    fasta_writer("b.fa", [("b", "".join(mut))])
+
+    main(["rem", "a.fa", "b.fa", "-o", "fast.gfa", "-m", "15"])
+    monkeypatch.setenv("REVEAL_TPU_DISABLE_FASTPICK", "1")
+    main(["rem", "a.fa", "b.fa", "-o", "gen.gfa", "-m", "15"])
+    assert open("fast.gfa").read() == open("gen.gfa").read()
+
+    # and with seeding enabled (exercises the skip-list construction)
+    monkeypatch.delenv("REVEAL_TPU_DISABLE_FASTPICK")
+    main(["rem", "a.fa", "b.fa", "-o", "fast_s.gfa", "-m", "15",
+          "--seedsize", "200"])
+    monkeypatch.setenv("REVEAL_TPU_DISABLE_FASTPICK", "1")
+    main(["rem", "a.fa", "b.fa", "-o", "gen_s.gfa", "-m", "15",
+          "--seedsize", "200"])
+    assert open("fast_s.gfa").read() == open("gen_s.gfa").read()
+
+
+def test_trim_overlap_native_matches_python():
+    """Randomized differential test of the native trim kernel."""
+    import reveal_tpu.native as nat
+
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    from reveal_tpu.align.chaining import trim_overlap
+    from reveal_tpu.native import trim_overlap_native
+
+    rng = np.random.default_rng(7)
+    for _ in range(500):
+        k = int(rng.integers(0, 12))
+        L = rng.integers(1, 30, size=k)
+        A = rng.integers(0, 120, size=k)
+        B = rng.integers(200, 320, size=k)
+        mums = [
+            (int(L[i]), 2, ((0, int(A[i])), (1, int(B[i]))))
+            for i in range(k)
+        ]
+        try:
+            ref = trim_overlap(list(mums))
+        except IndexError:
+            continue  # the reference path raises on this input
+        P = (
+            np.stack([A, B], axis=1)
+            if k
+            else np.zeros((0, 2), np.int64)
+        )
+        Lt, Pt = trim_overlap_native(L, P)
+        got = [
+            (int(Lt[i]), 2, ((0, int(Pt[i, 0])), (1, int(Pt[i, 1]))))
+            for i in range(len(Lt))
+        ]
+        assert got == ref
