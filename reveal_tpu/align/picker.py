@@ -396,10 +396,10 @@ class MumPicker:
             bb = P[:, 1]
 
         # mmums.sort(l desc, stable), then relmums.sort((n, l) asc,
-        # stable) with n == 2 everywhere: the two stable passes compose
-        # exactly like the list sorts of the generic path
-        order = np.argsort(-ls, kind="stable")
-        order = order[np.argsort(ls[order], kind="stable")]
+        # stable) with n == 2 everywhere: both passes are stable, so the
+        # composition is a single stable ascending sort by l (ties keep
+        # the trim-output order through both list sorts)
+        order = np.argsort(ls, kind="stable")
         ls, aa, bb = ls[order], aa[order], bb[order]
 
         # offsets: path offset = text pos - sequence start (breaknode
@@ -472,7 +472,7 @@ class MumPicker:
             o3 = np.argsort(ca, kind="stable")
             ca, cb, cl = ca[o3], cb[o3], cl[o3]
             cidx, cidxb = cidx[o3], cidxb[o3]
-            if len(np.unique(ca)) != len(ca):
+            if (ca[1:] == ca[:-1]).any():
                 return None  # aliasing ref starts: defer to generic path
 
             from ..native import chain_native

@@ -96,7 +96,9 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
                 )
             else:
                 if picker.fastmap is not None:
-                    arrs = idx.getmums_rem_arrays(cfg.minlength)
+                    arrs = getattr(idx, "_premums", None)
+                    if arrs is None:
+                        arrs = idx.getmums_rem_arrays(cfg.minlength)
                     if arrs is not None:
                         pick = picker.pick_pairwise(
                             *arrs, idx, minlength=cfg.minlength
@@ -141,6 +143,9 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
             newright,
             skipleft=skipleft,
             skipright=skipright,
+            enum_minl=(
+                cfg.minlength if picker.fastmap is not None else None
+            ),
         )
         steps += 1
         # push order parallel, leading, trailing (reveal.c:1295-1324)

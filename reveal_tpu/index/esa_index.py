@@ -221,6 +221,7 @@ class ESAIndex:
         newrightnode,
         skipleft=None,
         skipright=None,
+        enum_minl=None,
     ):
         """Classify + 3-way split, mirroring aligner()'s post-callback work
         (reveal.c:1005-1324).  Returns (leading_idx, trailing_idx,
@@ -230,6 +231,12 @@ class ESAIndex:
         * T is lowercased over the matched occurrences;
         * SAi is rewritten for all suffixes that land in a child;
         * the leading child's SA/LCP get the boundary repair pass.
+
+        enum_minl (pairwise fast loop): also enumerate the leading and
+        trailing children's MUM candidates inside the same native call
+        (cache-hot; exact under the LIFO pop order, see
+        split3_repair_enum in native/esa.cpp) and stash them on the
+        children as ``_premums``.
         """
         main = self.main
         n = self.n
@@ -238,8 +245,12 @@ class ESAIndex:
         # this segment's SA); class order matters — matched (3) overwrites
         # last
         res = None
+        premums = (None, None)
         try:
-            from ..native import split3_full_native
+            from ..native import (
+                split3_full_native,
+                split3_repair_enum_native,
+            )
 
             iv = (
                 [(b, e, 1) for b, e in leading]
@@ -247,6 +258,38 @@ class ESAIndex:
                 + [(b, e, 4) for b, e in rest]
                 + [(p, p + mum_l, 3) for p in mum_positions]
             )
+            if enum_minl is not None:
+                fused = split3_repair_enum_native(
+                    self.SA,
+                    self.LCP,
+                    main.SAi,
+                    iv,
+                    main.T,
+                    [(p, mum_l) for p in mum_positions],
+                    int(main.nsep[0]),
+                    enum_minl,
+                    enum_lead=not skipleft,
+                    enum_trail=not skipright,
+                )
+                if fused is not None:
+                    res, lead_m, trail_m = fused
+                    premums = (lead_m, trail_m)
+                    children = [
+                        (sa, lcp) if len(sa) else None for sa, lcp in res
+                    ]
+                    return self._make_children(
+                        children,
+                        leading,
+                        trailing,
+                        matching,
+                        rest,
+                        newleftnode,
+                        newrightnode,
+                        skipleft,
+                        skipright,
+                        repaired=True,
+                        premums=premums,
+                    )
             res = split3_full_native(self.SA, self.LCP, main.SAi, iv)
         except Exception:
             res = None
@@ -329,6 +372,8 @@ class ESAIndex:
         newrightnode,
         skipleft,
         skipright,
+        repaired=False,
+        premums=(None, None),
     ):
         main = self.main
         newdepth = self.depth + 1
@@ -346,7 +391,10 @@ class ESAIndex:
                 right_node=newrightnode,
                 skipmums=list(skipleft or []),
             )
-            _repair_leading(lead_idx, sorted(matching))
+            if not repaired:
+                _repair_leading(lead_idx, sorted(matching))
+            if premums[0] is not None:
+                lead_idx._premums = premums[0]
         if children[1] is not None:
             sa, lcp = children[1]
             trail_idx = ESAIndex(
@@ -360,6 +408,8 @@ class ESAIndex:
                 right_node=self.right_node,
                 skipmums=list(skipright or []),
             )
+            if premums[1] is not None:
+                trail_idx._premums = premums[1]
         if children[2] is not None:
             sa, lcp = children[2]
             par_idx = ESAIndex(

@@ -120,6 +120,22 @@ def get_lib():
                 ctypes.c_void_p,
                 ctypes.c_int64,
             ] + [ctypes.c_void_p] * 3
+        for nm in ("rtpu_split3_repair_enum", "rtpu_split3_repair_enum32"):
+            fn = getattr(lib, nm)
+            fn.restype = None
+            fn.argtypes = [ctypes.c_void_p] * 2 + [
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.c_int,
+            ] + [ctypes.c_void_p] * 6
         for nm in ("rtpu_pairwise_mums", "rtpu_pairwise_mums32"):
             fn = getattr(lib, nm)
             fn.restype = ctypes.c_int64
@@ -368,6 +384,94 @@ def split3_full_native(SA, LCP, SAi, intervals):
         (sa_buf[nl : nl + nt], lcp_buf[nl : nl + nt]),
         (sa_buf[nl + nt : nl + nt + npar], lcp_buf[nl + nt : nl + nt + npar]),
     )
+
+
+def split3_repair_enum_native(
+    SA, LCP, SAi, intervals, T, matches, nsep0, minl,
+    enum_lead=True, enum_trail=True,
+):
+    """Fused split + matched-text lowercase + leading-child boundary
+    repair + per-child pairwise MUM enumeration (one ctypes crossing per
+    recursion step instead of four; children are scanned cache-hot).
+
+    matches: [(pos, l)] of the picked anchor's occurrences.  Returns
+    (children, lead_mums, trail_mums) where children is the
+    split3_full_native triple and each mums entry is (l, a, b) arrays or
+    None when that child was not enumerated.  Returns None if the
+    library is unavailable (callers use the separate steps)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(SA)
+    dt = np.int32 if SA.dtype == np.int32 else np.int64
+    fn = (
+        lib.rtpu_split3_repair_enum32
+        if dt == np.int32
+        else lib.rtpu_split3_repair_enum
+    )
+    SA = np.ascontiguousarray(SA, dtype=dt)
+    LCP = np.ascontiguousarray(LCP, dtype=dt)
+    if SAi.dtype != dt or not SAi.flags["C_CONTIGUOUS"]:
+        return None
+    iv = np.ascontiguousarray(
+        np.array(intervals, dtype=np.int64).reshape(-1, 3)
+    )
+    mt = np.ascontiguousarray(
+        np.array(matches, dtype=np.int64).reshape(-1, 2)
+    )
+    sa_buf = np.empty(n, dtype=dt)
+    lcp_buf = np.empty(n, dtype=dt)
+    ml = np.empty(n, dtype=dt)
+    ma = np.empty(n, dtype=dt)
+    mb = np.empty(n, dtype=dt)
+    out_n = np.zeros(5, dtype=np.int64)
+    fn(
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        ctypes.c_int64(n),
+        SAi.ctypes.data,
+        iv.ctypes.data,
+        ctypes.c_int64(len(iv)),
+        T.ctypes.data,
+        mt.ctypes.data,
+        ctypes.c_int64(len(mt)),
+        ctypes.c_int64(nsep0),
+        ctypes.c_int64(minl),
+        ctypes.c_int(1 if enum_lead else 0),
+        ctypes.c_int(1 if enum_trail else 0),
+        sa_buf.ctypes.data,
+        lcp_buf.ctypes.data,
+        ml.ctypes.data,
+        ma.ctypes.data,
+        mb.ctypes.data,
+        out_n.ctypes.data,
+    )
+    nl, nt, npar = int(out_n[0]), int(out_n[1]), int(out_n[2])
+    children = (
+        (sa_buf[:nl], lcp_buf[:nl]),
+        (sa_buf[nl : nl + nt], lcp_buf[nl : nl + nt]),
+        (sa_buf[nl + nt : nl + nt + npar], lcp_buf[nl + nt : nl + nt + npar]),
+    )
+    # copy the (small) mum prefixes so the n-sized scratch buffers are
+    # not pinned alive by children waiting on the LIFO queue
+    cl = int(out_n[3])
+    ct = int(out_n[4])
+    lead_mums = (
+        None
+        if cl < 0
+        else (ml[:cl].copy(), ma[:cl].copy(), mb[:cl].copy())
+    )
+    off = max(cl, 0)
+    trail_mums = (
+        None
+        if ct < 0
+        else (
+            ml[off : off + ct].copy(),
+            ma[off : off + ct].copy(),
+            mb[off : off + ct].copy(),
+        )
+    )
+    return children, lead_mums, trail_mums
 
 
 def split3_native(SA, LCP, D_sa, SAi):

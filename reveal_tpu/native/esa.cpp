@@ -424,6 +424,55 @@ void repair_leading(Index* SA, Index* LCP, Index* SAi, int64_t n,
   }
 }
 
+// fused post-pick step (the aligner()'s whole post-callback sequence,
+// reveal.c:1005-1324, in one host call): classify + 3-way split, lowercase
+// the matched text (reveal.c:1230-1234), boundary-repair the leading child
+// (bubble_sort, reveal.c:666-727), then enumerate pairwise MUM candidates
+// for the leading and trailing children while their SA/LCP slices are
+// cache-hot.  Eager enumeration is exact for these two children under the
+// LIFO worklist: the trailing child is popped immediately next, and every
+// split that runs before the leading child is popped only lowercases text
+// to the right of this match (see align/rem._align_loop).
+// out_n: [n_lead, n_trail, n_par, mums_lead, mums_trail].
+template <typename Index>
+void split3_repair_enum(const Index* SA, const Index* LCP, int64_t n,
+                        Index* SAi, const int64_t* iv, int64_t niv,
+                        uint8_t* T, const int64_t* matches /* (nm,2) */,
+                        int64_t nm, int64_t nsep0, int64_t minl,
+                        int enum_lead, int enum_trail, Index* sa_buf,
+                        Index* lcp_buf, Index* ml, Index* ma, Index* mb,
+                        int64_t* out_n) {
+  split3_full(SA, LCP, n, SAi, iv, niv, sa_buf, lcp_buf, out_n);
+  const int64_t c1 = out_n[0], c2 = out_n[1];
+  for (int64_t k = 0; k < nm; ++k) {
+    const int64_t p = matches[k * 2];
+    const int64_t l = matches[k * 2 + 1];
+    for (int64_t q = p; q < p + l; ++q) {
+      if (T[q] >= 'A' && T[q] <= 'Z') T[q] += 32;
+    }
+  }
+  if (c1 > 0 && nm > 0) {
+    std::vector<int64_t> begins(nm);
+    for (int64_t k = 0; k < nm; ++k) begins[k] = matches[k * 2];
+    std::sort(begins.begin(), begins.end());
+    repair_leading(sa_buf, lcp_buf, SAi, c1, begins.data(), nm);
+  }
+  out_n[3] = -1;  // -1 = not enumerated (caller enumerates lazily)
+  out_n[4] = -1;
+  if (enum_lead) {
+    out_n[3] = c1 > 1 ? pairwise_mums(T, sa_buf, lcp_buf, c1, nsep0, minl,
+                                      0, (int64_t)0, ml, ma, mb)
+                      : 0;
+  }
+  if (enum_trail) {
+    const int64_t off = out_n[3] > 0 ? out_n[3] : 0;
+    out_n[4] = c2 > 1 ? pairwise_mums(T, sa_buf + c1, lcp_buf + c1, c2,
+                                      nsep0, minl, 0, (int64_t)0, ml + off,
+                                      ma + off, mb + off)
+                      : 0;
+  }
+}
+
 // per-dimension overlap trimming (schemes.py:161-191 semantics as
 // re-expressed in align/chaining.trim_overlap): for each dimension,
 // stable-sort by (start, -len), drop matches contained in their sorted
@@ -943,6 +992,32 @@ void rtpu_split3_full32(const int32_t* SA, const int32_t* LCP, int64_t n,
                         int32_t* SAi, const int64_t* iv, int64_t niv,
                         int32_t* sa_buf, int32_t* lcp_buf, int64_t* out_n) {
   split3_full(SA, LCP, n, SAi, iv, niv, sa_buf, lcp_buf, out_n);
+}
+
+void rtpu_split3_repair_enum(const int64_t* SA, const int64_t* LCP,
+                             int64_t n, int64_t* SAi, const int64_t* iv,
+                             int64_t niv, uint8_t* T,
+                             const int64_t* matches, int64_t nm,
+                             int64_t nsep0, int64_t minl, int enum_lead,
+                             int enum_trail, int64_t* sa_buf,
+                             int64_t* lcp_buf, int64_t* ml, int64_t* ma,
+                             int64_t* mb, int64_t* out_n) {
+  split3_repair_enum(SA, LCP, n, SAi, iv, niv, T, matches, nm, nsep0,
+                     minl, enum_lead, enum_trail, sa_buf, lcp_buf, ml, ma,
+                     mb, out_n);
+}
+
+void rtpu_split3_repair_enum32(const int32_t* SA, const int32_t* LCP,
+                               int64_t n, int32_t* SAi, const int64_t* iv,
+                               int64_t niv, uint8_t* T,
+                               const int64_t* matches, int64_t nm,
+                               int64_t nsep0, int64_t minl, int enum_lead,
+                               int enum_trail, int32_t* sa_buf,
+                               int32_t* lcp_buf, int32_t* ml, int32_t* ma,
+                               int32_t* mb, int64_t* out_n) {
+  split3_repair_enum(SA, LCP, n, SAi, iv, niv, T, matches, nm, nsep0,
+                     minl, enum_lead, enum_trail, sa_buf, lcp_buf, ml, ma,
+                     mb, out_n);
 }
 
 int64_t rtpu_multimums(const uint8_t* T, const int64_t* SA,
