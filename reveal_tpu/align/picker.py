@@ -44,6 +44,8 @@ class MumPicker:
         self.cfg = cfg
         # (seq_starts, seq_sids) for the array fast path; see set_fastmap
         self.fastmap = None
+        self._nsid = None
+        self._id2end_arr = None
 
     def set_fastmap(self, root_nodes):
         """Enable the pairwise array fast path when every root node is a
@@ -383,6 +385,10 @@ class MumPicker:
             # stops (pairwise enum only emits n=2)
             return ()
 
+        res = self._pick_pairwise_c(ls, aa, bb, idx, minlength)
+        if res is not NotImplemented:
+            return res
+
         if cfg.trim:
             from ..native import trim_overlap_native
 
@@ -546,6 +552,78 @@ class MumPicker:
             skipleft,
             skipright,
         ) or ()
+
+    def _boundary_arrays(self, idx):
+        """(left_off, right_off) int64 arrays indexed by sample id for the
+        native pick; INT64_MIN marks sids absent from the boundary node
+        (the native pick defers to the generic path on those)."""
+        import numpy as np
+
+        G = self.G
+        if self._nsid is None:
+            self._nsid = int(self.fastmap[1].max()) + 1
+        nsid = self._nsid
+        MISSING = np.iinfo(np.int64).min
+        if idx.left_node is None:
+            left = np.full(nsid, -1, dtype=np.int64)
+        else:
+            ln = idx.left_node
+            left = np.full(nsid, MISSING, dtype=np.int64)
+            add = ln[1] - ln[0] - 1
+            for k, v in G.nodes[ln]["offsets"].items():
+                if k < nsid:
+                    left[k] = v + add
+        if idx.right_node is None:
+            if self._id2end_arr is None:
+                arr = np.full(nsid, MISSING, dtype=np.int64)
+                for k, v in G.graph["id2end"].items():
+                    if k < nsid:
+                        arr[k] = v
+                self._id2end_arr = arr
+            right = self._id2end_arr
+        else:
+            rn = idx.right_node
+            right = np.full(nsid, MISSING, dtype=np.int64)
+            for k, v in G.nodes[rn]["offsets"].items():
+                if k < nsid:
+                    right[k] = v
+        return left, right
+
+    def _pick_pairwise_c(self, ls, aa, bb, idx, minlength):
+        """One-crossing native pick; NotImplemented = run the numpy path."""
+        try:
+            from ..native import pick_pairwise_native
+        except Exception:
+            return NotImplemented
+        cfg = self.cfg
+        starts, sids = self.fastmap
+        left_off, right_off = self._boundary_arrays(idx)
+        res = pick_pairwise_native(
+            ls, aa, bb, starts, sids, left_off, right_off,
+            cfg.trim, cfg.maxmums, int(cfg.wscore), float(cfg.wpen),
+            cfg.seedsize or 0, cfg.pcutoff, minlength,
+        )
+        if res is None:
+            return NotImplemented
+        st, (sl, sa_, sb), pvalue, skl, skr = res
+        if st == 2:
+            return NotImplemented
+        if st == 1:
+            if pvalue >= 0:
+                log.info(
+                    "P-value for anchor (n=2 l=%d) is %.4g — stop",
+                    sl,
+                    pvalue,
+                )
+            return ()
+        splitmum = (sl, 2, ((0, sa_), (1, sb)))
+        skipleft = [
+            ((l, 2, ((0, a), (1, b))), s) for l, a, b, s in skl
+        ]
+        skipright = [
+            ((l, 2, ((0, a), (1, b))), s) for l, a, b, s in skr
+        ]
+        return splitmum, skipleft, skipright
 
     def _pvalue_gate(self, splitmum, left, right, minlength) -> bool:
         """p-value significance stop (schemes.py:334-345); True = keep."""

@@ -158,6 +158,18 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.rtpu_pick_pairwise.restype = ctypes.c_int
+        lib.rtpu_pick_pairwise.argtypes = (
+            [ctypes.c_void_p] * 3
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_int64, ctypes.c_int]
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_double]
+            + [ctypes.c_int64, ctypes.c_double, ctypes.c_int64]
+            + [ctypes.c_void_p] * 5
+        )
         lib.rtpu_chain.restype = None
         lib.rtpu_chain.argtypes = [
             ctypes.c_void_p,
@@ -509,6 +521,80 @@ def split3_native(SA, LCP, D_sa, SAi):
         out_n.ctypes.data,
     )
     return ((sa_l, lcp_l), (sa_t, lcp_t), (sa_p, lcp_p))
+
+
+def pick_pairwise_native(
+    ls, aa, bb, seq_starts, seq_sids, left_off, right_off,
+    trim, maxmums, wscore, wpen, seedsize, pcutoff, minlength,
+):
+    """Whole pairwise pick (graphmumpicker, schemes.py:197-358) in one
+    native call; see pick_pairwise_dp in esa.cpp.  Returns
+    (status, (l, a, b), pvalue, skip_left, skip_right) where status is
+    0 = picked, 1 = stop recursion, 2 = defer to the generic path; skip
+    lists are [(l, a, b, score_delta)] (seedsize-filtered).  None when
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    k = len(ls)
+    ls = np.ascontiguousarray(ls, dtype=np.int64)
+    aa = np.ascontiguousarray(aa, dtype=np.int64)
+    bb = np.ascontiguousarray(bb, dtype=np.int64)
+    seq_starts = np.ascontiguousarray(seq_starts, dtype=np.int64)
+    seq_sids = np.ascontiguousarray(seq_sids, dtype=np.int64)
+    left_off = np.ascontiguousarray(left_off, dtype=np.int64)
+    right_off = np.ascontiguousarray(right_off, dtype=np.int64)
+    split_out = np.zeros(3, dtype=np.int64)
+    pvalue = np.zeros(1, dtype=np.float64)
+    nskip = max(k, 1)
+    skip_buf = np.empty((2, nskip, 3), dtype=np.int64)
+    skip_counts = np.zeros(2, dtype=np.int64)
+    skip_scores = np.empty((2, nskip), dtype=np.float64)
+    st = lib.rtpu_pick_pairwise(
+        ls.ctypes.data,
+        aa.ctypes.data,
+        bb.ctypes.data,
+        ctypes.c_int64(k),
+        seq_starts.ctypes.data,
+        seq_sids.ctypes.data,
+        ctypes.c_int64(len(seq_starts)),
+        left_off.ctypes.data,
+        right_off.ctypes.data,
+        ctypes.c_int64(len(left_off)),
+        ctypes.c_int(1 if trim else 0),
+        ctypes.c_int64(maxmums),
+        ctypes.c_int64(wscore),
+        ctypes.c_double(wpen),
+        ctypes.c_int64(seedsize),
+        ctypes.c_double(pcutoff),
+        ctypes.c_int64(minlength),
+        split_out.ctypes.data,
+        pvalue.ctypes.data,
+        skip_buf.ctypes.data,
+        skip_counts.ctypes.data,
+        skip_scores.ctypes.data,
+    )
+    skips = []
+    for side in range(2):
+        cnt = int(skip_counts[side])
+        skips.append(
+            [
+                (
+                    int(skip_buf[side, i, 0]),
+                    int(skip_buf[side, i, 1]),
+                    int(skip_buf[side, i, 2]),
+                    float(skip_scores[side, i]),
+                )
+                for i in range(cnt)
+            ]
+        )
+    return (
+        int(st),
+        (int(split_out[0]), int(split_out[1]), int(split_out[2])),
+        float(pvalue[0]),
+        skips[0],
+        skips[1],
+    )
 
 
 def trim_overlap_native(L, P):

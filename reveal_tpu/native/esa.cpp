@@ -658,6 +658,231 @@ void chain_dp(const int64_t* starts,  // (k, d) row-major
 
 }  // namespace
 
+
+// whole pairwise pick in one call (graphmumpicker, schemes.py:197-358,
+// for the 2-genome sumofpairs/largest case as re-expressed in
+// align/picker.pick_pairwise): trim -> stable (n, l) sort -> arithmetic
+// offset map -> target-pair filter -> maxmums cap -> chain DP -> chain
+// walk -> largest split pick -> optional seed skip lists -> p-value gate.
+// left_off/right_off: per-sample-id boundary offsets (INT64_MIN =
+// missing -> defer).  Returns 0 ok, 1 stop-recursion, 2 defer-to-generic.
+namespace {
+
+struct PickResult {
+  int64_t split_l, split_a, split_b;
+  double pvalue;  // set when status==1 because of the p-gate, else -1
+};
+
+int pick_pairwise_dp(const int64_t* ls_in, const int64_t* aa_in,
+                     const int64_t* bb_in, int64_t k,
+                     const int64_t* seq_starts, const int64_t* seq_sids,
+                     int64_t nseq, const int64_t* left_off,
+                     const int64_t* right_off, int64_t nsid, int do_trim,
+                     int64_t maxmums, int64_t wscore, double wpen,
+                     int64_t seedsize, double pcutoff, int64_t minlength,
+                     PickResult* out, int64_t* skip_buf /* (2, k, 3) */,
+                     int64_t* skip_counts /* [nleft, nright] */,
+                     double* skip_scores /* (2, k) */) {
+  const int64_t MISSING = INT64_MIN;
+  const int64_t skip_stride = k;  // caller allocates (2, k_orig, 3)
+  skip_counts[0] = skip_counts[1] = 0;
+  out->pvalue = -1;
+  if (k == 0) return 1;
+
+  std::vector<int64_t> L(ls_in, ls_in + k);
+  std::vector<int64_t> A(aa_in, aa_in + k);
+  std::vector<int64_t> B(bb_in, bb_in + k);
+
+  if (do_trim) {
+    std::vector<int64_t> P(2 * k);
+    for (int64_t i = 0; i < k; ++i) {
+      P[2 * i] = A[i];
+      P[2 * i + 1] = B[i];
+    }
+    std::vector<int64_t> tord(k);
+    int64_t nk = trim_overlap_dp(L.data(), P.data(), k, 2, tord.data());
+    if (nk == 0) return 1;
+    std::vector<int64_t> L2(nk), A2(nk), B2(nk);
+    for (int64_t i = 0; i < nk; ++i) {
+      L2[i] = L[tord[i]];
+      A2[i] = P[2 * tord[i]];
+      B2[i] = P[2 * tord[i] + 1];
+    }
+    L.swap(L2);
+    A.swap(A2);
+    B.swap(B2);
+    k = nk;
+  }
+
+  // stable sort by l ascending (the generic path's two stable list
+  // sorts — l desc, then (n, l) asc with n constant — compose to this)
+  std::vector<int64_t> ord(k);
+  for (int64_t i = 0; i < k; ++i) ord[i] = i;
+  std::stable_sort(ord.begin(), ord.end(),
+                   [&](int64_t x, int64_t y) { return L[x] < L[y]; });
+
+  auto seq_of = [&](int64_t p) -> int64_t {
+    int64_t lo = 0, hi = nseq;  // last seq_start <= p
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (seq_starts[mid] <= p) lo = mid + 1;
+      else hi = mid;
+    }
+    return lo - 1;
+  };
+
+  // target pair = sequence pair of the last (max-l) mum
+  const int64_t last = ord[k - 1];
+  const int64_t ta = seq_sids[seq_of(A[last])];
+  const int64_t tb = seq_sids[seq_of(B[last])];
+
+  std::vector<int64_t> fl, fa, fb, foa, fob;
+  fl.reserve(k);
+  fa.reserve(k);
+  fb.reserve(k);
+  foa.reserve(k);
+  fob.reserve(k);
+  for (int64_t i = 0; i < k; ++i) {
+    const int64_t m = ord[i];
+    const int64_t sa_ = seq_of(A[m]);
+    const int64_t sb_ = seq_of(B[m]);
+    if (seq_sids[sa_] != ta || seq_sids[sb_] != tb) continue;
+    fl.push_back(L[m]);
+    fa.push_back(A[m]);
+    fb.push_back(B[m]);
+    foa.push_back(A[m] - seq_starts[sa_]);
+    fob.push_back(B[m] - seq_starts[sb_]);
+  }
+  int64_t n = (int64_t)fl.size();
+  if (n == 0) return 1;
+
+  if (ta < 0 || ta >= nsid || tb < 0 || tb >= nsid) return 2;
+  const int64_t la_ = left_off[ta];
+  const int64_t lb_ = left_off[tb];
+  const int64_t ra_ = right_off[ta];
+  const int64_t rb_ = right_off[tb];
+  if (la_ == MISSING || lb_ == MISSING || ra_ == MISSING ||
+      rb_ == MISSING) {
+    return 2;
+  }
+
+  int64_t split_i;  // index into fl/fa/fb
+  if (n == 1) {
+    split_i = 0;
+  } else {
+    if (n > maxmums) {
+      const int64_t off = n - maxmums;
+      fl.erase(fl.begin(), fl.begin() + off);
+      fa.erase(fa.begin(), fa.begin() + off);
+      fb.erase(fb.begin(), fb.begin() + off);
+      foa.erase(foa.begin(), foa.begin() + off);
+      fob.erase(fob.begin(), fob.begin() + off);
+      n = maxmums;
+    }
+    // chain candidates: mums + right, stable-sorted by the ref offset
+    std::vector<int64_t> co(n + 1);
+    for (int64_t i = 0; i <= n; ++i) co[i] = i;
+    std::vector<int64_t> roff(n + 1);
+    for (int64_t i = 0; i < n; ++i) roff[i] = foa[i];
+    roff[n] = ra_;
+    std::stable_sort(co.begin(), co.end(), [&](int64_t x, int64_t y) {
+      return roff[x] < roff[y];
+    });
+    for (int64_t i = 0; i < n; ++i) {
+      if (roff[co[i]] == roff[co[i + 1]]) return 2;  // ref-start alias
+    }
+    std::vector<int64_t> starts(2 * (n + 1)), lens(n + 1), nmul(n + 1);
+    int64_t pos_r = -1;
+    for (int64_t i = 0; i <= n; ++i) {
+      const int64_t m = co[i];
+      if (m == n) {
+        starts[2 * i] = ra_;
+        starts[2 * i + 1] = rb_;
+        lens[i] = 0;
+        nmul[i] = 0;
+        pos_r = i;
+      } else {
+        starts[2 * i] = foa[m];
+        starts[2 * i + 1] = fob[m];
+        lens[i] = fl[m];
+        nmul[i] = wscore * fl[m];
+      }
+    }
+    const int64_t left_start[2] = {la_, lb_};
+    std::vector<int64_t> link(n + 1);
+    std::vector<double> scores(n + 1);
+    chain_dp(starts.data(), lens.data(), nmul.data(), n + 1, 2,
+             left_start, wpen, link.data(), scores.data());
+    for (int64_t i = 0; i <= n; ++i) {
+      if (link[i] == -2) return 2;
+    }
+    // walk from right, then reverse -> left-to-right, right excluded
+    std::vector<int64_t> path;
+    int64_t s = pos_r;
+    while (true) {
+      path.push_back(s);
+      if (link[s] < 0) break;
+      s = link[s];
+    }
+    if (path.size() <= 1) return 1;
+    std::vector<int64_t> chained(path.begin() + 1, path.end());
+    std::reverse(chained.begin(), chained.end());
+    // "largest": max l, ties -> latest in chain order
+    size_t best_j = 0;
+    for (size_t j = 1; j < chained.size(); ++j) {
+      if (lens[chained[j]] >= lens[chained[best_j]]) best_j = j;
+    }
+    const int64_t split_slot = chained[best_j];
+    split_i = co[split_slot];
+
+    if (seedsize > 0) {
+      int side = 0;  // 0 = left list, 1 = right list
+      double scoreatsplit = 0.0;
+      for (size_t j = 0; j < chained.size(); ++j) {
+        const int64_t slot = chained[j];
+        if (slot == split_slot) {
+          scoreatsplit = scores[slot];
+          side = 1;
+          continue;
+        }
+        if (lens[slot] >= seedsize) {
+          const int64_t m = co[slot];
+          int64_t& cnt = skip_counts[side];
+          int64_t* row = skip_buf + (side * skip_stride + cnt) * 3;
+          row[0] = fl[m];
+          row[1] = fa[m];
+          row[2] = fb[m];
+          skip_scores[side * skip_stride + cnt] =
+              scores[slot] - scoreatsplit;
+          ++cnt;
+        }
+      }
+    }
+  }
+
+  out->split_l = fl[split_i];
+  out->split_a = fa[split_i];
+  out->split_b = fb[split_i];
+
+  if (minlength == 0) {
+    // o is an exact integer in the reference (python int); compute it
+    // exactly, then round once to double like float(o)
+    const __int128 oi =
+        (__int128)(ra_ - la_) * (__int128)(rb_ - lb_);
+    const double o = (double)oi;
+    const double l = (double)fl[split_i];
+    double p = std::pow(0.25, l);
+    if (p > 0) p = 1.0 - std::exp(std::log(1.0 - p) * o);
+    if (p > pcutoff) {
+      out->pvalue = p;
+      return 1;
+    }
+  }
+  return 0;
+}
+
+}  // namespace
+
 // glocal synteny-chain DP (transform.py:947-1244 semantics as re-expressed
 // in transform/blocks.py glocalchain, non-heap window scan): candidates
 // 0..ncand-1 are [start dummy] + sorted blocks; for every block the
@@ -930,6 +1155,28 @@ void rtpu_build_posterior(float* post, int64_t W, const float** Ps,
 int64_t rtpu_trim_overlap(int64_t* L, int64_t* P, int64_t k, int64_t d,
                           int64_t* ord_out) {
   return trim_overlap_dp(L, P, k, d, ord_out);
+}
+
+int rtpu_pick_pairwise(const int64_t* ls, const int64_t* aa,
+                       const int64_t* bb, int64_t k,
+                       const int64_t* seq_starts, const int64_t* seq_sids,
+                       int64_t nseq, const int64_t* left_off,
+                       const int64_t* right_off, int64_t nsid, int do_trim,
+                       int64_t maxmums, int64_t wscore, double wpen,
+                       int64_t seedsize, double pcutoff, int64_t minlength,
+                       int64_t* split_out /* [l, a, b] */,
+                       double* pvalue_out, int64_t* skip_buf,
+                       int64_t* skip_counts, double* skip_scores) {
+  PickResult res;
+  int st = pick_pairwise_dp(ls, aa, bb, k, seq_starts, seq_sids, nseq,
+                            left_off, right_off, nsid, do_trim, maxmums,
+                            wscore, wpen, seedsize, pcutoff, minlength,
+                            &res, skip_buf, skip_counts, skip_scores);
+  split_out[0] = res.split_l;
+  split_out[1] = res.split_a;
+  split_out[2] = res.split_b;
+  *pvalue_out = res.pvalue;
+  return st;
 }
 
 void rtpu_chain(const int64_t* starts, const int64_t* lens,
