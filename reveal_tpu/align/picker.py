@@ -625,6 +625,72 @@ class MumPicker:
         ]
         return splitmum, skipleft, skipright
 
+    def pick_multi(self, ls, ws, flat, offs, idx, minlength=0):
+        """Native d-dim multiMUM pick (pick_multi_dp in esa.cpp) for
+        segments of fasta inputs.  Returns None to defer to the generic
+        tuple path, () to stop, or (splitmum, skipleft, skipright)."""
+        cfg = self.cfg
+        if (
+            self.fastmap is None
+            or cfg.splitchain != "largest"
+            or cfg.gcmodel != "sumofpairs"
+            or not float(cfg.wscore).is_integer()
+        ):
+            return None
+        if len(ls) == 0:
+            return ()
+        if cfg.maxdepth is not None and idx.depth > cfg.maxdepth:
+            return ()
+        if cfg.maxsize is not None and self._maxsize_stop(idx):
+            return ()
+        try:
+            from ..native import pick_multi_native
+        except Exception:
+            return None
+        starts, sids = self.fastmap
+        left_off, right_off = self._boundary_arrays(idx)
+        SO = idx.main.SO
+        res = pick_multi_native(
+            ls, ws, flat, offs, idx.nsamples, starts, sids, SO,
+            left_off, right_off, cfg.trim, cfg.maxmums,
+            int(cfg.wscore), float(cfg.wpen), cfg.seedsize or 0,
+            cfg.pcutoff, minlength,
+        )
+        if res is None:
+            return None
+        st, (sl, w, coords), pvalue, skl, skr = res
+        if st == 2:
+            return None
+        if st == 1:
+            if pvalue >= 0:
+                log.info(
+                    "P-value for anchor (n=%d l=%d) is %.4g — stop",
+                    w,
+                    sl,
+                    pvalue,
+                )
+            return ()
+        splitmum = (
+            sl,
+            w,
+            tuple((int(SO[p]), p) for p in coords),
+        )
+        skipleft = [
+            (
+                (l, wi, tuple((int(SO[p]), p) for p in cs)),
+                s,
+            )
+            for l, wi, cs, s in skl
+        ]
+        skipright = [
+            (
+                (l, wi, tuple((int(SO[p]), p) for p in cs)),
+                s,
+            )
+            for l, wi, cs, s in skr
+        ]
+        return splitmum, skipleft, skipright
+
     def _pvalue_gate(self, splitmum, left, right, minlength) -> bool:
         """p-value significance stop (schemes.py:334-345); True = keep."""
         if minlength != 0:

@@ -78,9 +78,7 @@ def graphalign(G: PanGraph, t: IntervalIndex, idx: ESAIndex, mum):
 def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig):
     """LIFO worklist replicating aligner()'s threads=0 order."""
     picker = MumPicker(G, t, cfg)
-    if root.main.nsamples == 2 and not os.environ.get(
-        "REVEAL_TPU_DISABLE_FASTPICK"
-    ):
+    if not os.environ.get("REVEAL_TPU_DISABLE_FASTPICK"):
         picker.set_fastmap(root.nodes)
     queue = [root]
     steps = 0
@@ -91,9 +89,24 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
         if len(idx.skipmums) == 0:
             precomputed = False
             if idx.main.nsamples > 2:
-                mums = idx.getmultimums(
-                    minlength=cfg.minlength, minn=cfg.minn
-                )
+                if picker.fastmap is not None:
+                    arrs = idx.getmultimums_arrays(
+                        minlength=cfg.minlength, minn=cfg.minn
+                    )
+                    if arrs is not None:
+                        pick = picker.pick_multi(
+                            *arrs, idx, minlength=cfg.minlength
+                        )
+                        if pick is None:  # defer to the generic path
+                            from ..index.mums import tuples_from_arrays
+
+                            mums = tuples_from_arrays(
+                                *arrs, idx.main.SO
+                            )
+                if pick is None and mums is None:
+                    mums = idx.getmultimums(
+                        minlength=cfg.minlength, minn=cfg.minn
+                    )
             else:
                 if picker.fastmap is not None:
                     arrs = getattr(idx, "_premums", None)
@@ -144,7 +157,10 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
             skipleft=skipleft,
             skipright=skipright,
             enum_minl=(
-                cfg.minlength if picker.fastmap is not None else None
+                cfg.minlength
+                if picker.fastmap is not None
+                and idx.main.nsamples == 2
+                else None
             ),
         )
         steps += 1

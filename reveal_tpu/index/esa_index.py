@@ -179,6 +179,43 @@ class ESAIndex:
         except Exception:
             return None
 
+    def getmultimums_arrays(self, minlength: int = 0, minn: int = 2):
+        """Ragged multiMUM arrays (ls, widths, flat_positions, offs) in
+        the exact order the tuple path emits (lexsort by (l, lb, ub)),
+        or None when the native stack walk is unavailable."""
+        try:
+            from ..native import multimums_native
+        except Exception:
+            return None
+        if self.main.SO is None or not len(self.main.SO):
+            return None
+        res = multimums_native(
+            self.main.T,
+            self.SA,
+            self.LCP,
+            self.main.SO,
+            self.main.nsamples,
+            max(minlength, 1),
+            minn,
+        )
+        if res is None:
+            return None
+        ls, lbs, ubs = res
+        if len(ls) == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e, np.zeros(1, np.int64)
+        order = np.lexsort((ubs, lbs, ls))
+        starts = lbs[order]
+        widths = (ubs - lbs + 1)[order].astype(np.int64)
+        total = int(widths.sum())
+        ends = np.cumsum(widths)
+        rel = np.arange(total) - np.repeat(ends - widths, widths)
+        flat = np.repeat(starts.astype(np.int64), widths) + rel
+        sa_f = np.asarray(self.SA, dtype=np.int64)[flat]
+        offs = np.zeros(len(widths) + 1, np.int64)
+        offs[1:] = ends
+        return ls[order].astype(np.int64), widths, sa_f, offs
+
     def getmultimums(self, minlength: int = 0, minn: int = 2):
         return mums_mod.multimums(
             self.main.T,

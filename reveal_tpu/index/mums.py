@@ -186,6 +186,19 @@ def lcp_intervals(LCP: np.ndarray, minl: int = 1):
     return uniq[:, 0], uniq[:, 1], uniq[:, 2]
 
 
+def tuples_from_arrays(ls, ws, flat, offs, SO):
+    """Materialize (l, w, ((sample, pos), ...)) multiMUM tuples from the
+    ragged arrays of getmultimums_arrays (same order)."""
+    so_f = SO[flat].tolist()
+    sa_f = flat.tolist()
+    out = []
+    o = offs.tolist()
+    for i, (li, wi) in enumerate(zip(ls.tolist(), ws.tolist())):
+        s, e = o[i], o[i + 1]
+        out.append((li, wi, tuple(zip(so_f[s:e], sa_f[s:e]))))
+    return out
+
+
 def multimums(
     T: np.ndarray,
     SA: np.ndarray,

@@ -158,6 +158,19 @@ def get_lib():
             ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.rtpu_pick_multi.restype = ctypes.c_int
+        lib.rtpu_pick_multi.argtypes = (
+            [ctypes.c_void_p] * 4
+            + [ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 3
+            + [ctypes.c_int64, ctypes.c_int]
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_double]
+            + [ctypes.c_int64, ctypes.c_double, ctypes.c_int64]
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 6
+        )
         lib.rtpu_pick_pairwise.restype = ctypes.c_int
         lib.rtpu_pick_pairwise.argtypes = (
             [ctypes.c_void_p] * 3
@@ -591,6 +604,97 @@ def pick_pairwise_native(
     return (
         int(st),
         (int(split_out[0]), int(split_out[1]), int(split_out[2])),
+        float(pvalue[0]),
+        skips[0],
+        skips[1],
+    )
+
+
+def pick_multi_native(
+    ls, ws, coords, offs, nsamples_seg, seq_starts, seq_sids, SO,
+    left_off, right_off, trim, maxmums, wscore, wpen, seedsize,
+    pcutoff, minlength,
+):
+    """d-dim multiMUM pick in one native call (pick_multi_dp).  mums
+    arrive as ragged rows: ls (k), ws (k widths), coords flat + offs
+    (k+1).  Returns (status, (l, w, coords), pvalue, skip_left,
+    skip_right) with skip entries (l, w, coords, score_delta); None if
+    the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    k = len(ls)
+    ls = np.ascontiguousarray(ls, dtype=np.int64)
+    ws = np.ascontiguousarray(ws, dtype=np.int64)
+    coords = np.ascontiguousarray(coords, dtype=np.int64)
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    seq_starts = np.ascontiguousarray(seq_starts, dtype=np.int64)
+    seq_sids = np.ascontiguousarray(seq_sids, dtype=np.int64)
+    SO = np.ascontiguousarray(SO, dtype=np.uint16)
+    left_off = np.ascontiguousarray(left_off, dtype=np.int64)
+    right_off = np.ascontiguousarray(right_off, dtype=np.int64)
+    wmax = int(ws.max()) if k else 2
+    rowlen = 1 + wmax
+    out_hdr = np.zeros(2, dtype=np.int64)
+    split_coords = np.zeros(max(wmax, 1), dtype=np.int64)
+    pvalue = np.zeros(1, dtype=np.float64)
+    nskip = max(k, 1)
+    skip_buf = np.empty((2, nskip, rowlen), dtype=np.int64)
+    skip_counts = np.zeros(2, dtype=np.int64)
+    skip_scores = np.empty((2, nskip), dtype=np.float64)
+    st = lib.rtpu_pick_multi(
+        ls.ctypes.data,
+        ws.ctypes.data,
+        coords.ctypes.data,
+        offs.ctypes.data,
+        ctypes.c_int64(k),
+        ctypes.c_int64(nsamples_seg),
+        seq_starts.ctypes.data,
+        seq_sids.ctypes.data,
+        ctypes.c_int64(len(seq_starts)),
+        SO.ctypes.data,
+        left_off.ctypes.data,
+        right_off.ctypes.data,
+        ctypes.c_int64(len(left_off)),
+        ctypes.c_int(1 if trim else 0),
+        ctypes.c_int64(maxmums),
+        ctypes.c_int64(wscore),
+        ctypes.c_double(wpen),
+        ctypes.c_int64(seedsize),
+        ctypes.c_double(pcutoff),
+        ctypes.c_int64(minlength),
+        ctypes.c_int64(rowlen),
+        out_hdr.ctypes.data,
+        split_coords.ctypes.data,
+        pvalue.ctypes.data,
+        skip_buf.ctypes.data,
+        skip_counts.ctypes.data,
+        skip_scores.ctypes.data,
+    )
+    w = int(out_hdr[1])
+    skips = []
+    for side in range(2):
+        cnt = int(skip_counts[side])
+        skips.append(
+            [
+                (
+                    int(skip_buf[side, i, 0]),
+                    w,
+                    tuple(
+                        int(skip_buf[side, i, 1 + c]) for c in range(w)
+                    ),
+                    float(skip_scores[side, i]),
+                )
+                for i in range(cnt)
+            ]
+        )
+    return (
+        int(st),
+        (
+            int(out_hdr[0]),
+            w,
+            tuple(int(split_coords[c]) for c in range(w)),
+        ),
         float(pvalue[0]),
         skips[0],
         skips[1],

@@ -881,6 +881,309 @@ int pick_pairwise_dp(const int64_t* ls_in, const int64_t* aa_in,
   return 0;
 }
 
+// d-dim generalization of the pick for multi-genome segments
+// (graphmumpicker, schemes.py:197-358): multiMUMs arrive as ragged
+// (l, width, coords...) rows in the (l, lb, ub) lexsort order the tuple
+// path uses.  Handles the nsamples width filter, the genome-subset
+// fallback (schemes.segment, :107-124), d-dim trim, arithmetic offset
+// map, target-key-set filter, maxmums cap, d-dim chain DP, largest
+// split, seed skip lists.  Defers (status 2) on: p-gate with width > 2
+// (the reference computes the search space as an exact big int), missing
+// boundary offsets, ref-start aliases.  Returns 0 ok / 1 stop / 2 defer.
+// Outputs: split row (w coords) written to split_coords (+ split_l/width
+// via out_hdr = [l, w]); skip lists as rows of (l, w coords) with scores.
+int pick_multi_dp(const int64_t* ls_in, const int64_t* ws_in,
+                  const int64_t* coords_in /* ragged, offs_in */,
+                  const int64_t* offs_in, int64_t k, int64_t nsamples_seg,
+                  const int64_t* seq_starts, const int64_t* seq_sids,
+                  int64_t nseq, const uint16_t* SO,
+                  const int64_t* left_off, const int64_t* right_off,
+                  int64_t nsid, int do_trim, int64_t maxmums,
+                  int64_t wscore, double wpen, int64_t seedsize,
+                  double pcutoff, int64_t minlength, int64_t skip_rowlen,
+                  int64_t* out_hdr, int64_t* split_coords,
+                  double* pvalue_out, int64_t* skip_buf,
+                  int64_t* skip_counts, double* skip_scores) {
+  const int64_t MISSING = INT64_MIN;
+  skip_counts[0] = skip_counts[1] = 0;
+  *pvalue_out = -1;
+  if (k == 0) return 1;
+
+  // width filter: mums spanning all of this segment's samples
+  std::vector<int64_t> sel;
+  sel.reserve(k);
+  for (int64_t i = 0; i < k; ++i) {
+    if (ws_in[i] == nsamples_seg) sel.push_back(i);
+  }
+  if (sel.empty() && nsamples_seg > 2) {
+    // genome-subset fallback: maximize sum(l) * |subset| over the
+    // per-mum sorted sample-ordinal signature; ties keep the first-seen
+    // subset (dict insertion order in the reference)
+    std::vector<std::vector<int64_t>> keys;
+    std::vector<std::vector<int64_t>> groups;
+    std::vector<int64_t> sums;
+    for (int64_t i = 0; i < k; ++i) {
+      std::vector<int64_t> sig;
+      for (int64_t c = offs_in[i]; c < offs_in[i + 1]; ++c)
+        sig.push_back((int64_t)SO[coords_in[c]]);
+      std::sort(sig.begin(), sig.end());
+      size_t g = 0;
+      for (; g < keys.size(); ++g)
+        if (keys[g] == sig) break;
+      if (g == keys.size()) {
+        keys.push_back(sig);
+        groups.emplace_back();
+        sums.push_back(0);
+      }
+      groups[g].push_back(i);
+      sums[g] += ls_in[i];
+    }
+    int64_t best = 0;
+    int64_t bg = -1;
+    for (size_t g = 0; g < keys.size(); ++g) {
+      const int64_t z = sums[g] * (int64_t)keys[g].size();
+      if (z > best) {
+        best = z;
+        bg = (int64_t)g;
+      }
+    }
+    if (bg < 0) return 1;
+    sel = groups[bg];
+  }
+  if (sel.empty()) return 1;
+
+  // all selected mums share one width
+  const int64_t w = ws_in[sel[0]];
+  for (int64_t i : sel) {
+    if (ws_in[i] != w) return 2;  // mixed widths cannot happen; defer
+  }
+  int64_t n = (int64_t)sel.size();
+
+  std::vector<int64_t> L(n);
+  std::vector<int64_t> C(n * w);  // SA-order positions
+  for (int64_t i = 0; i < n; ++i) {
+    L[i] = ls_in[sel[i]];
+    const int64_t o = offs_in[sel[i]];
+    for (int64_t c = 0; c < w; ++c) C[i * w + c] = coords_in[o + c];
+  }
+
+  if (do_trim) {
+    std::vector<int64_t> tord(n);
+    const int64_t nk = trim_overlap_dp(L.data(), C.data(), n, w,
+                                       tord.data());
+    if (nk == 0) return 1;
+    std::vector<int64_t> L2(nk), C2(nk * w);
+    for (int64_t i = 0; i < nk; ++i) {
+      L2[i] = L[tord[i]];
+      for (int64_t c = 0; c < w; ++c)
+        C2[i * w + c] = C[tord[i] * w + c];
+    }
+    L.swap(L2);
+    C.swap(C2);
+    n = nk;
+  }
+
+  // the generic path's two stable list sorts (l desc, then (n, l) asc
+  // with n = width constant across survivors) compose to one stable
+  // ascending sort by l
+  std::vector<int64_t> ord(n);
+  for (int64_t i = 0; i < n; ++i) ord[i] = i;
+  std::stable_sort(ord.begin(), ord.end(),
+                   [&](int64_t x, int64_t y) { return L[x] < L[y]; });
+
+  auto seq_of = [&](int64_t p) -> int64_t {
+    int64_t lo = 0, hi = nseq;
+    while (lo < hi) {
+      int64_t mid = (lo + hi) / 2;
+      if (seq_starts[mid] <= p) lo = mid + 1;
+      else hi = mid;
+    }
+    return lo - 1;
+  };
+
+  // per-mum sid rows in position order; target = last mum's sid SET
+  std::vector<int64_t> sids(n * w);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t c = 0; c < w; ++c)
+      sids[i * w + c] = seq_sids[seq_of(C[i * w + c])];
+
+  const int64_t last = ord[n - 1];
+  std::vector<int64_t> target(sids.begin() + last * w,
+                              sids.begin() + (last + 1) * w);
+  std::vector<int64_t> tsorted(target);
+  std::sort(tsorted.begin(), tsorted.end());
+  if (std::unique(tsorted.begin(), tsorted.end()) != tsorted.end())
+    return 2;  // duplicate path ids within one mum: defer
+
+  std::vector<int64_t> keep;
+  keep.reserve(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t m = ord[i];
+    std::vector<int64_t> s(sids.begin() + m * w,
+                           sids.begin() + (m + 1) * w);
+    std::sort(s.begin(), s.end());
+    if (s == tsorted) keep.push_back(m);
+  }
+  n = (int64_t)keep.size();
+  if (n == 0) return 1;
+
+  // boundary offsets for the target dims (keyed by sid, so dimension
+  // order is irrelevant except for the ref dim choice below)
+  for (int64_t sid : target) {
+    if (sid < 0 || sid >= nsid || left_off[sid] == MISSING ||
+        right_off[sid] == MISSING) {
+      return 2;
+    }
+  }
+
+  // compact to filtered order with per-dim offsets keyed by sid
+  std::vector<int64_t> fl(n), fc(n * w);
+  std::vector<int64_t> foff(n * w);  // offset in dim order of each mum
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t m = keep[i];
+    fl[i] = L[m];
+    for (int64_t c = 0; c < w; ++c) {
+      const int64_t p = C[m * w + c];
+      fc[i * w + c] = p;
+      foff[i * w + c] = p - seq_starts[seq_of(p)];
+    }
+  }
+
+  int64_t split_i;
+  if (n == 1) {
+    split_i = 0;
+  } else {
+    if (n > maxmums) {
+      const int64_t off = n - maxmums;
+      fl.erase(fl.begin(), fl.begin() + off);
+      fc.erase(fc.begin(), fc.begin() + off * w);
+      foff.erase(foff.begin(), foff.begin() + off * w);
+      // sids rows follow keep/ord; re-derive below as needed
+      n = maxmums;
+    }
+    // ref dim = first coordinate's sid of the first filtered mum
+    const int64_t ref_sid = seq_sids[seq_of(fc[0])];
+    // canonical dim order for the DP: the first mum's sid order (any
+    // fixed order works — sumofpairs is dim-symmetric; only ref matters)
+    std::vector<int64_t> dims(w);
+    for (int64_t c = 0; c < w; ++c)
+      dims[c] = seq_sids[seq_of(fc[c])];
+    std::vector<int64_t> dimpos(nsid, -1);
+    for (int64_t c = 0; c < w; ++c) dimpos[dims[c]] = c;
+    int64_t refdim = dimpos[ref_sid];
+
+    // per-mum offsets arranged in the canonical dim order
+    std::vector<int64_t> starts((n + 1) * w);
+    std::vector<int64_t> lens(n + 1), nmul(n + 1);
+    for (int64_t i = 0; i < n; ++i) {
+      for (int64_t c = 0; c < w; ++c) {
+        const int64_t sid = seq_sids[seq_of(fc[i * w + c])];
+        starts[i * w + dimpos[sid]] = foff[i * w + c];
+      }
+      lens[i] = fl[i];
+      nmul[i] = wscore * fl[i] * ((w * (w - 1)) / 2);
+    }
+    for (int64_t c = 0; c < w; ++c)
+      starts[n * w + c] = right_off[dims[c]];
+    lens[n] = 0;
+    nmul[n] = 0;
+
+    // stable sort by the ref dim, right (index n) appended last
+    std::vector<int64_t> co(n + 1);
+    for (int64_t i = 0; i <= n; ++i) co[i] = i;
+    std::stable_sort(co.begin(), co.end(), [&](int64_t x, int64_t y) {
+      return starts[x * w + refdim] < starts[y * w + refdim];
+    });
+    for (int64_t i = 0; i < n; ++i) {
+      if (starts[co[i] * w + refdim] == starts[co[i + 1] * w + refdim])
+        return 2;  // ref-start alias: defer
+    }
+    std::vector<int64_t> sstarts((n + 1) * w), slens(n + 1),
+        snmul(n + 1);
+    int64_t pos_r = -1;
+    for (int64_t i = 0; i <= n; ++i) {
+      const int64_t m = co[i];
+      for (int64_t c = 0; c < w; ++c)
+        sstarts[i * w + c] = starts[m * w + c];
+      slens[i] = lens[m];
+      snmul[i] = nmul[m];
+      if (m == n) pos_r = i;
+    }
+    std::vector<int64_t> left_start(w);
+    for (int64_t c = 0; c < w; ++c) left_start[c] = left_off[dims[c]];
+    std::vector<int64_t> link(n + 1);
+    std::vector<double> scores(n + 1);
+    chain_dp(sstarts.data(), slens.data(), snmul.data(), n + 1, w,
+             left_start.data(), wpen, link.data(), scores.data());
+    for (int64_t i = 0; i <= n; ++i) {
+      if (link[i] == -2) return 2;
+    }
+    std::vector<int64_t> path;
+    int64_t s = pos_r;
+    while (true) {
+      path.push_back(s);
+      if (link[s] < 0) break;
+      s = link[s];
+    }
+    if (path.size() <= 1) return 1;
+    std::vector<int64_t> chained(path.begin() + 1, path.end());
+    std::reverse(chained.begin(), chained.end());
+    size_t best_j = 0;
+    for (size_t j = 1; j < chained.size(); ++j) {
+      if (slens[chained[j]] >= slens[chained[best_j]]) best_j = j;
+    }
+    const int64_t split_slot = chained[best_j];
+    split_i = co[split_slot];
+
+    if (seedsize > 0) {
+      const int64_t stride = k;  // caller allocates (2, k_orig, rowlen)
+      int side = 0;
+      double scoreatsplit = 0.0;
+      for (size_t j = 0; j < chained.size(); ++j) {
+        const int64_t slot = chained[j];
+        if (slot == split_slot) {
+          scoreatsplit = scores[slot];
+          side = 1;
+          continue;
+        }
+        if (slens[slot] >= seedsize) {
+          const int64_t m = co[slot];
+          int64_t& cnt = skip_counts[side];
+          int64_t* row =
+              skip_buf + (side * stride + cnt) * skip_rowlen;
+          row[0] = fl[m];
+          for (int64_t c = 0; c < w; ++c) row[1 + c] = fc[m * w + c];
+          skip_scores[side * stride + cnt] =
+              scores[slot] - scoreatsplit;
+          ++cnt;
+        }
+      }
+    }
+  }
+
+  out_hdr[0] = fl[split_i];
+  out_hdr[1] = w;
+  for (int64_t c = 0; c < w; ++c)
+    split_coords[c] = fc[split_i * w + c];
+
+  if (minlength == 0) {
+    if (w > 2) return 2;  // exact big-int search space: defer
+    const int64_t ta = seq_sids[seq_of(split_coords[0])];
+    const int64_t tb = seq_sids[seq_of(split_coords[1])];
+    const __int128 oi = (__int128)(right_off[ta] - left_off[ta]) *
+                        (__int128)(right_off[tb] - left_off[tb]);
+    const double o = (double)oi;
+    const double l = (double)fl[split_i];
+    double p = std::pow(std::pow(0.25, (double)(w - 1)), l);
+    if (p > 0) p = 1.0 - std::exp(std::log(1.0 - p) * o);
+    if (p > pcutoff) {
+      *pvalue_out = p;
+      return 1;
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 // glocal synteny-chain DP (transform.py:947-1244 semantics as re-expressed
@@ -1155,6 +1458,25 @@ void rtpu_build_posterior(float* post, int64_t W, const float** Ps,
 int64_t rtpu_trim_overlap(int64_t* L, int64_t* P, int64_t k, int64_t d,
                           int64_t* ord_out) {
   return trim_overlap_dp(L, P, k, d, ord_out);
+}
+
+int rtpu_pick_multi(const int64_t* ls, const int64_t* ws,
+                    const int64_t* coords, const int64_t* offs, int64_t k,
+                    int64_t nsamples_seg, const int64_t* seq_starts,
+                    const int64_t* seq_sids, int64_t nseq,
+                    const uint16_t* SO, const int64_t* left_off,
+                    const int64_t* right_off, int64_t nsid, int do_trim,
+                    int64_t maxmums, int64_t wscore, double wpen,
+                    int64_t seedsize, double pcutoff, int64_t minlength,
+                    int64_t skip_rowlen, int64_t* out_hdr,
+                    int64_t* split_coords, double* pvalue_out,
+                    int64_t* skip_buf, int64_t* skip_counts,
+                    double* skip_scores) {
+  return pick_multi_dp(ls, ws, coords, offs, k, nsamples_seg, seq_starts,
+                       seq_sids, nseq, SO, left_off, right_off, nsid,
+                       do_trim, maxmums, wscore, wpen, seedsize, pcutoff,
+                       minlength, skip_rowlen, out_hdr, split_coords,
+                       pvalue_out, skip_buf, skip_counts, skip_scores);
 }
 
 int rtpu_pick_pairwise(const int64_t* ls, const int64_t* aa,

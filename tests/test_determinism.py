@@ -221,3 +221,49 @@ def test_trim_overlap_native_matches_python():
             for i in range(len(Lt))
         ]
         assert got == ref
+
+
+def test_multi_fast_pick_agrees(tmp_path, monkeypatch):
+    """The native d-dim multiMUM pick must write a byte-identical GFA to
+    the generic tuple path on a multi-genome run."""
+    import reveal_tpu.native as nat
+
+    if nat.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    from reveal_tpu.cli import main
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(37)
+    base = "".join(rng.choice(list("ACGT"), size=12000))
+    names = []
+    for gi in range(4):
+        mut = list(base)
+        for _ in range(140):
+            i = int(rng.integers(0, len(mut)))
+            r = rng.random()
+            if r < 0.5:
+                mut[i] = "ACGT"[int(rng.integers(0, 4))]
+            elif r < 0.75:
+                mut.insert(i, "ACGT"[int(rng.integers(0, 4))])
+            else:
+                del mut[i]
+        nm = "g%d" % gi
+        fasta_writer(nm + ".fa", [(nm, "".join(mut))])
+        names.append(nm + ".fa")
+
+    main(["rem"] + names + ["-o", "fast.gfa", "-m", "15"])
+    monkeypatch.setenv("REVEAL_TPU_DISABLE_FASTPICK", "1")
+    main(["rem"] + names + ["-o", "gen.gfa", "-m", "15"])
+    assert open("fast.gfa").read() == open("gen.gfa").read()
+
+    monkeypatch.delenv("REVEAL_TPU_DISABLE_FASTPICK")
+    main(["rem"] + names + ["-o", "fast_s.gfa", "-m", "15",
+          "--seedsize", "150"])
+    monkeypatch.setenv("REVEAL_TPU_DISABLE_FASTPICK", "1")
+    main(["rem"] + names + ["-o", "gen_s.gfa", "-m", "15",
+          "--seedsize", "150"])
+    assert open("fast_s.gfa").read() == open("gen_s.gfa").read()
