@@ -75,6 +75,62 @@ def graphalign(G: PanGraph, t: IntervalIndex, idx: ESAIndex, mum):
     return leading, trailing, matching, rest, mn, newleftnode, newrightnode
 
 
+def _enum_pick(picker: MumPicker, idx: ESAIndex, cfg: PickerConfig):
+    """Enumerate + pick for one segment: the read-only half of the LIFO
+    body (reveal.c:809-837 enumeration + the mumpicker callback).  Safe
+    to run concurrently for disjoint segments: only reads the shared
+    T/SA/LCP/SO arrays and stable graph boundary nodes."""
+    mums = None
+    pick = None
+    if len(idx.skipmums) == 0:
+        precomputed = False
+        if idx.main.nsamples > 2:
+            if picker.fastmap is not None:
+                arrs = idx.getmultimums_arrays(
+                    minlength=cfg.minlength, minn=cfg.minn
+                )
+                if arrs is not None:
+                    pick = picker.pick_multi(
+                        *arrs, idx, minlength=cfg.minlength
+                    )
+                    if pick is None:  # defer to the generic path
+                        from ..index.mums import tuples_from_arrays
+
+                        mums = tuples_from_arrays(*arrs, idx.main.SO)
+            if pick is None and mums is None:
+                mums = idx.getmultimums(
+                    minlength=cfg.minlength, minn=cfg.minn
+                )
+        else:
+            if picker.fastmap is not None:
+                arrs = getattr(idx, "_premums", None)
+                if arrs is None:
+                    arrs = idx.getmums_rem_arrays(cfg.minlength)
+                if arrs is not None:
+                    pick = picker.pick_pairwise(
+                        *arrs, idx, minlength=cfg.minlength
+                    )
+                    if pick is None:  # defer to the generic path
+                        ls, aas, bbs = arrs
+                        mums = [
+                            (li, 2, ((0, ai), (1, bi)))
+                            for li, ai, bi in zip(
+                                ls.tolist(), aas.tolist(), bbs.tolist()
+                            )
+                        ]
+            if pick is None and mums is None:
+                mums = idx.getmums_rem(cfg.minlength)
+    else:
+        precomputed = True
+        mums = idx.skipmums
+
+    if pick is None:
+        pick = picker(
+            mums, idx, precomputed=precomputed, minlength=cfg.minlength
+        )
+    return pick
+
+
 def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig):
     """LIFO worklist replicating aligner()'s threads=0 order."""
     picker = MumPicker(G, t, cfg)
@@ -84,58 +140,7 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
     steps = 0
     while queue:
         idx = queue.pop()  # LIFO (reveal.c:21-27)
-        mums = None
-        pick = None
-        if len(idx.skipmums) == 0:
-            precomputed = False
-            if idx.main.nsamples > 2:
-                if picker.fastmap is not None:
-                    arrs = idx.getmultimums_arrays(
-                        minlength=cfg.minlength, minn=cfg.minn
-                    )
-                    if arrs is not None:
-                        pick = picker.pick_multi(
-                            *arrs, idx, minlength=cfg.minlength
-                        )
-                        if pick is None:  # defer to the generic path
-                            from ..index.mums import tuples_from_arrays
-
-                            mums = tuples_from_arrays(
-                                *arrs, idx.main.SO
-                            )
-                if pick is None and mums is None:
-                    mums = idx.getmultimums(
-                        minlength=cfg.minlength, minn=cfg.minn
-                    )
-            else:
-                if picker.fastmap is not None:
-                    arrs = getattr(idx, "_premums", None)
-                    if arrs is None:
-                        arrs = idx.getmums_rem_arrays(cfg.minlength)
-                    if arrs is not None:
-                        pick = picker.pick_pairwise(
-                            *arrs, idx, minlength=cfg.minlength
-                        )
-                        if pick is None:  # defer to the generic path
-                            ls, aas, bbs = arrs
-                            mums = [
-                                (li, 2, ((0, ai), (1, bi)))
-                                for li, ai, bi in zip(
-                                    ls.tolist(),
-                                    aas.tolist(),
-                                    bbs.tolist(),
-                                )
-                            ]
-                if pick is None and mums is None:
-                    mums = idx.getmums_rem(cfg.minlength)
-        else:
-            precomputed = True
-            mums = idx.skipmums
-
-        if pick is None:
-            pick = picker(
-                mums, idx, precomputed=precomputed, minlength=cfg.minlength
-            )
+        pick = _enum_pick(picker, idx, cfg)
         if not pick:
             continue
         splitmum, skipleft, skipright = pick
@@ -172,6 +177,135 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
         if trail_idx is not None:
             queue.append(trail_idx)
     log.debug("alignment finished after %d anchor steps", steps)
+    return steps
+
+
+def _align_loop_levels(
+    G: PanGraph,
+    t: IntervalIndex,
+    root: ESAIndex,
+    cfg: PickerConfig,
+    threads: int,
+):
+    """Host level-synchronous parallel recursion (the reference's
+    `rem -t/--threads`, reveal.py:76 / interface.c:338-359 — but
+    deterministic: its pthread pool races on queue order, so node ids
+    vary run to run; here the output is independent of thread count).
+
+    Each level runs three phases, exactly the device frontier's
+    semantics (_align_loop_frontier):
+
+    1. enumerate + pick for every segment — parallel, read-only (the
+       native scans and pick DPs release the GIL);
+    2. graph surgery per picked segment — serial, in level order;
+    3. 3-way split + matched-text lowercase + boundary repair —
+       parallel: each job mutates only its own SA/LCP slices, its own
+       suffixes' SAi entries and its own matched text intervals, all
+       disjoint across same-level segments.
+
+    Phase 1 runs before any phase-3 lowercase of the same level, so
+    every segment's enumeration sees the text state of the previous
+    level boundary — the property the frontier equivalence tests pin
+    down (tests/test_frontier.py).
+
+    Throughput note: the per-segment native kernels scale ~3x across 4
+    threads in isolation, but each carries Python marshalling that
+    serializes on the GIL, and the level layout forgoes the serial
+    loop's fused cache-hot child enumeration (split3_repair_enum) — on
+    the 4-vCPU image this nets out to roughly break-even with the
+    serial LIFO loop.  The flag exists for reference CLI parity and for
+    wider hosts where the native fraction amortizes the glue."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    picker = MumPicker(G, t, cfg)
+    if not os.environ.get("REVEAL_TPU_DISABLE_FASTPICK"):
+        picker.set_fastmap(root.nodes)
+        if picker.fastmap is not None:
+            # warm the picker's lazy caches (_nsid/_id2end_arr) before
+            # concurrent picking starts
+            picker._boundary_arrays(root)
+
+    def do_split(job):
+        idx, splitmum, result, skipleft, skipright = job
+        leading, trailing, matching, rest, merged, newleft, newright = result
+        l, n, spd = splitmum
+        sp_positions = [p for gid, p in spd]
+        return idx.split_segments(
+            leading,
+            trailing,
+            matching,
+            rest,
+            sp_positions,
+            l,
+            newleft,
+            newright,
+            skipleft=skipleft,
+            skipright=skipright,
+        )
+
+    def run_sliced(ex, fn, items, nworkers):
+        """Apply fn to items in order, splitting the level into at most
+        nworkers contiguous slices (one future per slice: per-item
+        futures cost more in scheduling than the native work saves).
+        Narrow levels run inline."""
+        n = len(items)
+        out = [None] * n
+        if n < 2 * nworkers:
+            for i, it in enumerate(items):
+                out[i] = fn(it)
+            return out
+        step = (n + nworkers - 1) // nworkers
+
+        def run_slice(lo):
+            hi = min(lo + step, n)
+            for i in range(lo, hi):
+                out[i] = fn(items[i])
+
+        futs = [
+            ex.submit(run_slice, lo) for lo in range(0, n, step)
+        ]
+        for f in futs:
+            f.result()
+        return out
+
+    level = [root]
+    steps = 0
+    levels = 0
+    with ThreadPoolExecutor(max_workers=max(threads, 1)) as ex:
+        while level:
+            levels += 1
+            picks = run_sliced(
+                ex,
+                lambda idx: _enum_pick(picker, idx, cfg),
+                level,
+                threads,
+            )
+            jobs = []
+            for idx, pick in zip(level, picks):
+                if not pick:
+                    continue
+                splitmum, skipleft, skipright = pick
+                result = graphalign(G, t, idx, splitmum)
+                jobs.append((idx, splitmum, result, skipleft, skipright))
+                steps += 1
+            level = []
+            for lead_idx, trail_idx, par_idx in run_sliced(
+                ex, do_split, jobs, threads
+            ):
+                # child order mirrors the push order parallel, leading,
+                # trailing (reveal.c:1295-1324)
+                if par_idx is not None:
+                    level.append(par_idx)
+                if lead_idx is not None:
+                    level.append(lead_idx)
+                if trail_idx is not None:
+                    level.append(trail_idx)
+    log.debug(
+        "threaded alignment: %d anchor steps in %d levels (threads=%d)",
+        steps,
+        levels,
+        threads,
+    )
     return steps
 
 
@@ -403,6 +537,7 @@ def align_seqs(
     maxsize: Optional[int] = None,
     trim: bool = True,
     backend: str = "auto",
+    threads: int = 0,
 ):
     """In-memory multi-alignment of (name, seq) tuples -> (G, idx).
 
@@ -449,7 +584,10 @@ def align_seqs(
         maxsize=maxsize,
         trim=trim,
     )
-    _align_loop(G, t, idx, cfg)
+    if threads and threads > 0:
+        _align_loop_levels(G, t, idx, cfg, threads)
+    else:
+        _align_loop(G, t, idx, cfg)
 
     prune_nodes(G, T=idx.main.T)
 
@@ -469,6 +607,7 @@ def align_genomes(
     multi: bool = False,
     frontier: bool = False,
     mesh=None,
+    threads: int = 0,
     **cfgkw,
 ):
     """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
@@ -509,6 +648,8 @@ def align_genomes(
     cfg = PickerConfig(**cfgkw)
     if frontier or mesh is not None:
         _align_loop_frontier(G, t, idx, cfg, mesh=mesh)
+    elif threads and threads > 0:
+        _align_loop_levels(G, t, idx, cfg, threads)
     else:
         _align_loop(G, t, idx, cfg)
     return G, idx

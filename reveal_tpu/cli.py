@@ -74,6 +74,7 @@ def rem_cmd(args):
         cache=args.cache,
         multi=args.multi,
         frontier=args.frontier,
+        threads=args.threads,
         minlength=args.minlength,
         minn=args.minn,
         maxmums=args.maxmums,
@@ -1050,6 +1051,13 @@ def main(argv=None):
                    help="Level-synchronous recursion: each level's MUM "
                         "enumeration runs as one batched device dispatch "
                         "over all pending segments.")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="Worker threads for the alignment (reveal "
+                        "rem -t, reveal.py:76).  0 = single-threaded "
+                        "LIFO recursion; >0 = level-synchronous host "
+                        "parallelism over segments (deterministic: "
+                        "output is independent of the thread count, "
+                        "unlike the reference's pthread pool).")
     p.set_defaults(func=rem_cmd)
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")
