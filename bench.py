@@ -97,22 +97,29 @@ def cpu_proxy_rem(files, timeout=1800):
 def bench_pairhmm(B=128, L=512, iters=5):
     """Returns (device_kernel_cps, e2e_production_cps).
 
-    device kernel = the Pallas posterior batch alone (block_until_ready,
-    nothing fetched); e2e = the production entry hmm.msa.batch_posteriors
-    including the sparse device->host posterior transfer the refine
-    pipeline actually pays for."""
-    import jax
-
+    device kernel = the Pallas posterior batches streamed back to back
+    (distinct inputs per dispatch, one drain of the per-pair totals at
+    the end — the refine stage keeps many batches in flight, and a
+    per-batch scalar fetch would charge the tunnel round-trip ~30-50ms
+    to every batch; fetch-free block_until_ready timing is NOT used
+    because the axon tunnel returns before the dispatch completes and
+    reads ~100x high); e2e = the production entry
+    hmm.msa.batch_posteriors including the sparse device->host
+    posterior transfer the refine pipeline actually pays for."""
     from reveal_tpu.hmm.msa import batch_posteriors
 
     rng = np.random.default_rng(0)
-    pairs = [
-        (
-            "".join(rng.choice(list("ACGT"), size=L - 10)),
-            "".join(rng.choice(list("ACGT"), size=L - 5)),
-        )
-        for _ in range(B)
-    ]
+
+    def mkpairs(r):
+        return [
+            (
+                "".join(r.choice(list("ACGT"), size=L - 10)),
+                "".join(r.choice(list("ACGT"), size=L - 5)),
+            )
+            for _ in range(B)
+        ]
+
+    pairs = mkpairs(rng)
     cells = float(sum(len(a) * len(b) for a, b in pairs))
 
     dev_cps = None
@@ -126,17 +133,29 @@ def bench_pairhmm(B=128, L=512, iters=5):
         posterior_batch = _get_pallas_kernels()
         L1p = L + 1
         L2p = _round_up(L + 1, 128)
-        xb = np.stack([_pad_with_dummy(a.encode(), L1p - 1) for a, b in pairs])
-        yb = np.stack([_pad_with_dummy(b.encode(), L2p - 1) for a, b in pairs])
-        lx = np.array([len(a) for a, b in pairs], dtype=np.int32)
-        ly = np.array([len(b) for a, b in pairs], dtype=np.int32)
-        out = posterior_batch(xb, yb, lx, ly)
-        jax.block_until_ready(out)
+
+        def pack(p):
+            xb = np.stack(
+                [_pad_with_dummy(a.encode(), L1p - 1) for a, b in p]
+            )
+            yb = np.stack(
+                [_pad_with_dummy(b.encode(), L2p - 1) for a, b in p]
+            )
+            lx = np.array([len(a) for a, b in p], dtype=np.int32)
+            ly = np.array([len(b) for a, b in p], dtype=np.int32)
+            return xb, yb, lx, ly
+
+        ins = [pack(mkpairs(np.random.default_rng(s))) for s in range(iters)]
+        _p, tot = posterior_batch(*ins[0])
+        np.asarray(tot)  # warm + sync
         t0 = time.time()
-        for _ in range(iters):
-            out = posterior_batch(xb, yb, lx, ly)
-            jax.block_until_ready(out)
-        dev_cps = cells / ((time.time() - t0) / iters)
+        tots = []
+        for xb, yb, lx, ly in ins:
+            _p, tot = posterior_batch(xb, yb, lx, ly)
+            tots.append(tot)
+        for tt in tots:
+            np.asarray(tt)  # drain: forces every dispatch to completion
+        dev_cps = cells * iters / (time.time() - t0)
     except Exception:
         pass
 

@@ -81,6 +81,18 @@ def _get_pallas_kernels():
         out = m + jnp.log(s)
         return jnp.where(m <= NEG / 2, NEG, out)
 
+    def lse2(x, y):
+        """2-arg lse as max + log1p(exp(-|x-y|)): one exp instead of
+        two (the 2-arg case dominates the in-row doubling scan, so this
+        cuts the kernel's transcendental count by ~a third).
+
+        No LOG_ZERO guard: when both args are ~NEG (-2e20) the exact
+        result is NEG + log2, which rounds back to NEG in f32 (eps at
+        2e20 is ~1e13), so the n-ary lse()'s where-select is a no-op
+        here and the hot doubling scan skips it."""
+        m = jnp.maximum(x, y)
+        return m + jnp.log1p(jnp.exp(jnp.minimum(x, y) - m))
+
     def shift_lane(x, k):
         """Shift right along the lane (last) axis by k, filling with NEG."""
         rolled = pltpu.roll(x, k, axis=len(x.shape) - 1)
@@ -99,7 +111,7 @@ def _get_pallas_kernels():
             rolledM = pltpu.roll(Mv, k, axis=1)
             lane = jax.lax.broadcasted_iota(jnp.int32, Mv.shape, 1)
             Ms = jnp.where(lane >= k, rolledM, 0.0)  # identity M = 0
-            Bv = lse(Bv, Bs + Mv)
+            Bv = lse2(Bv, Bs + Mv)
             Mv = Ms + Mv
             k *= 2
         return Bv
@@ -165,8 +177,8 @@ def _get_pallas_kernels():
         m = jnp.where(i == 0, NEG, m)
 
         # ---- Ix rows (prev row only) ----
-        ix1 = e1 + lse(prev_m + lt[0][1], prev_ix1 + lt[1][1])
-        ix2 = e1 + lse(prev_m + lt[0][3], prev_ix2 + lt[3][3])
+        ix1 = e1 + lse2(prev_m + lt[0][1], prev_ix1 + lt[1][1])
+        ix2 = e1 + lse2(prev_m + lt[0][3], prev_ix2 + lt[3][3])
         ix1 = jnp.where(jnp.logical_and(i == 1, lane == 0), li[1] + e1, ix1)
         ix2 = jnp.where(jnp.logical_and(i == 1, lane == 0), li[3] + e1, ix2)
         ix1 = jnp.where(i == 0, NEG, ix1)
@@ -181,8 +193,8 @@ def _get_pallas_kernels():
         seed2 = jnp.where(
             jnp.logical_and(i == 0, lane == 1), li[4], NEG
         )
-        a1 = lse(mshift + lt[0][2], seed1) + e2
-        a2 = lse(mshift + lt[0][4], seed2) + e2
+        a1 = lse2(mshift + lt[0][2], seed1) + e2
+        a2 = lse2(mshift + lt[0][4], seed2) + e2
         c1 = e2 + lt[2][2]
         c2 = e2 + lt[4][4]
         iy1 = linrec(a1, c1, L2)
@@ -244,8 +256,8 @@ def _get_pallas_kernels():
 
         H = e_match + shift_lane(prev_g0, 1)
 
-        gx1 = lse(lt[1][0] + H, lt[1][1] + e1 + prev_gx1)
-        gx2 = lse(lt[3][0] + H, lt[3][3] + e1 + prev_gx2)
+        gx1 = lse2(lt[1][0] + H, lt[1][1] + e1 + prev_gx1)
+        gx2 = lse2(lt[3][0] + H, lt[3][3] + e1 + prev_gx2)
         gx1 = jnp.where(
             jnp.logical_and(ip == 0, lane == 0), li[1], gx1
         )
@@ -260,8 +272,8 @@ def _get_pallas_kernels():
         seed2 = jnp.where(
             jnp.logical_and(ip == 0, lane == 0), li[4], NEG
         )
-        a1 = lse(lt[2][0] + H, seed1)
-        a2 = lse(lt[4][0] + H, seed2)
+        a1 = lse2(lt[2][0] + H, seed1)
+        a2 = lse2(lt[4][0] + H, seed2)
         a1 = jnp.where(lane == 0, seed1, a1)
         a2 = jnp.where(lane == 0, seed2, a2)
         c1 = e2 + lt[2][2]
