@@ -227,6 +227,7 @@ def _bucket_len(x: int) -> int:
 # ---------------------------------------------------------------------------
 
 _chain_cache = {}
+_chain_lock = __import__("threading").Lock()
 
 
 def _posteriors_device(pairs, L1p, L2p):
@@ -321,6 +322,18 @@ def _get_chain_fn(B, N, Lq, rounds, consgap):
     fn = _chain_cache.get(key)
     if fn is not None:
         return fn
+    # serialize construction per key: batch_stage12_device dispatches
+    # chunks from a thread pool, and two same-signature chunks racing
+    # here would compile the identical executable twice
+    with _chain_lock:
+        fn = _chain_cache.get(key)
+        if fn is not None:
+            return fn
+        return _build_chain_fn(key)
+
+
+def _build_chain_fn(key):
+    (B, N, Lq, rounds, consgap) = key
 
     import jax
     import jax.numpy as jnp
@@ -409,7 +422,15 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
     Problems whose (N, N, Lq, Lq) chain tensor exceeds the device
     footprint cap — or whose bucket fails to compile/run — are left as
     ``None`` entries: the caller falls back per problem instead of
-    losing the whole batch to one oversized bubble."""
+    losing the whole batch to one oversized bubble.
+
+    On accelerator backends the independent (bucket, chunk) jobs run
+    from a small thread pool: the tunnel's per-shape executable load
+    (~1-12s, it blocks the dispatching thread) then overlaps across
+    shapes instead of serializing — on the 6-genome refine stage this
+    is most of the wall clock of a fresh process."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .pairhmm import fetch_posteriors
 
     out = [None] * len(problems)
@@ -424,62 +445,80 @@ def batch_stage12_device(problems, consistency=2, consgap=False):
             continue  # out[pi] stays None -> per-problem fallback
         buckets.setdefault((N, Lq), []).append(pi)
 
-    for (N, Lq), idxs in sorted(buckets.items()):
+    def run_chunk(job):
+        N, Lq, part = job
         npairs = N * (N - 1) // 2
+        # pow2 batch: one chain compile per (B, N, Lq) power bucket
+        # instead of one per exact remainder size
+        B = 1 << max(0, len(part) - 1).bit_length()
+        pairs = []
+        for pi in part:
+            seqs = problems[pi]
+            for a in range(N):
+                for b in range(a + 1, N):
+                    pairs.append((seqs[a], seqs[b]))
+        try:
+            pflat = _posteriors_device(pairs, Lq, Lq)
+            if B > len(part):
+                import jax.numpy as jnp
+
+                pflat = jnp.concatenate(
+                    [
+                        pflat,
+                        jnp.zeros(
+                            ((B - len(part)) * npairs, Lq, Lq),
+                            jnp.float32,
+                        ),
+                    ],
+                    axis=0,
+                )
+            chain = _get_chain_fn(B, N, Lq, consistency, consgap)
+            Qp, scores = chain(pflat)
+            Qh, scores = fetch_posteriors(Qp, scores)
+        except Exception as e:
+            log.warning(
+                "stage12 bucket (B=%d, N=%d, Lq=%d) failed (%s); "
+                "per-problem fallback for %d problems",
+                B, N, Lq, str(e)[:200], len(part),
+            )
+            return  # those out[pi] stay None
+        Qh = Qh.reshape(B, npairs, Lq, Lq)
+        for bi_, pi in enumerate(part):
+            seqs = problems[pi]
+            Nl = len(seqs)
+            mats = {}
+            dist = np.zeros((Nl, Nl), dtype=np.float64)
+            k = 0
+            for a in range(Nl):
+                for b in range(a + 1, Nl):
+                    mats[(a, b)] = Qh[
+                        bi_, k, : len(seqs[a]) + 1, : len(seqs[b]) + 1
+                    ]
+                    dist[a, b] = dist[b, a] = float(
+                        scores[bi_, k]
+                    ) / max(1, min(len(seqs[a]), len(seqs[b])))
+                    k += 1
+            out[pi] = (mats, dist)
+
+    jobs = []
+    for (N, Lq), idxs in sorted(buckets.items()):
         maxb = max(1, (1 << 28) // max(1, N * N * Lq * Lq * 4))
         for lo in range(0, len(idxs), maxb):
-            part = idxs[lo : lo + maxb]
-            # pow2 batch: one chain compile per (B, N, Lq) power bucket
-            # instead of one per exact remainder size
-            B = 1 << max(0, len(part) - 1).bit_length()
-            pairs = []
-            for pi in part:
-                seqs = problems[pi]
-                for a in range(N):
-                    for b in range(a + 1, N):
-                        pairs.append((seqs[a], seqs[b]))
-            try:
-                pflat = _posteriors_device(pairs, Lq, Lq)
-                if B > len(part):
-                    import jax.numpy as jnp
+            jobs.append((N, Lq, idxs[lo : lo + maxb]))
 
-                    pflat = jnp.concatenate(
-                        [
-                            pflat,
-                            jnp.zeros(
-                                ((B - len(part)) * npairs, Lq, Lq),
-                                jnp.float32,
-                            ),
-                        ],
-                        axis=0,
-                    )
-                chain = _get_chain_fn(B, N, Lq, consistency, consgap)
-                Qp, scores = chain(pflat)
-                Qh, scores = fetch_posteriors(Qp, scores)
-            except Exception as e:
-                log.warning(
-                    "stage12 bucket (B=%d, N=%d, Lq=%d) failed (%s); "
-                    "per-problem fallback for %d problems",
-                    B, N, Lq, str(e)[:200], len(part),
-                )
-                continue  # those out[pi] stay None
-            Qh = Qh.reshape(B, npairs, Lq, Lq)
-            for bi_, pi in enumerate(part):
-                seqs = problems[pi]
-                Nl = len(seqs)
-                mats = {}
-                dist = np.zeros((Nl, Nl), dtype=np.float64)
-                k = 0
-                for a in range(Nl):
-                    for b in range(a + 1, Nl):
-                        mats[(a, b)] = Qh[
-                            bi_, k, : len(seqs[a]) + 1, : len(seqs[b]) + 1
-                        ]
-                        dist[a, b] = dist[b, a] = float(
-                            scores[bi_, k]
-                        ) / max(1, min(len(seqs[a]), len(seqs[b])))
-                        k += 1
-                out[pi] = (mats, dist)
+    accel = False
+    try:
+        import jax
+
+        accel = jax.default_backend() not in ("cpu",)
+    except Exception:
+        pass
+    if accel and len(jobs) > 1:
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            list(ex.map(run_chunk, jobs))
+    else:
+        for job in jobs:
+            run_chunk(job)
     return out
 
 
