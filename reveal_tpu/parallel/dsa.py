@@ -1,0 +1,241 @@
+"""Distributed suffix-array construction over an explicit device mesh.
+
+The GSPMD route (index/suffix.build_esa_sharded) hands the doubling
+build to the partitioner, which does distribute it (sharded entry,
+collective-permutes) but leans on all-gathers around the sorts — each
+device materializes full-size operands, so per-device memory stays
+O(n) and the build cannot outgrow one chip's HBM.  This module is the
+memory-scaling construction: prefix doubling written in shard_map with
+explicit collectives — the `ppermute`-based sort/merge SURVEY §2.3-P6
+and §7 step 9 call for — where every array a device touches is
+O(n/P).
+
+Per doubling round (prefix length 2^lev):
+
+1. rank2 halo shift      rank2[i] = rank[i + 2^lev]: one or two
+                         `ppermute`s move whole-shard offsets, a local
+                         concat handles the in-shard remainder; devices
+                         past the end zero-fill, which is exactly the
+                         "pad byte 0 = unique smallest" convention the
+                         single-device builder uses.
+2. distributed sort      odd-even transposition over shard-sized
+                         blocks: local lexsort, then P phases of
+                         partner exchange (`ppermute`) + merge-split
+                         (low keeper takes the lower half).  P phases
+                         suffice for P pre-sorted blocks.  Static
+                         shapes throughout — no ragged all-to-alls.
+3. dense re-rank         neighbour-equality flags with a one-element
+                         `ppermute` halo, local cumsum, shard offsets
+                         via `all_gather` of the P shard totals.
+4. scatter back          a second odd-even sort keyed on the suffix
+                         index realigns ranks to text order (a
+                         distributed scatter with static shapes).
+
+SA = the final round's sorted indices; SAi via one extra index-keyed
+sort.  LCP is computed host-side from (T, SA) with the same $/N capping
+as the rest of the stack (suffix.lcp_from_sa_np) — the O(n log n) sort
+is the part worth distributing; Kasai is O(n).
+
+Replaces: divsufsort (reveal/divsufsort/divsufsort.c:332) at multi-chip
+scale; the reference has no distributed analog (reveal parallelism is
+pthreads on one host, SURVEY §2.3).
+
+Odd-even transposition is the P-phase choice for single-digit meshes
+(v5e-8, the CPU test mesh); a pod-scale build would swap stage 2 for a
+log^2(P) bitonic schedule — the surrounding machinery is unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_fn_cache = {}
+
+
+def _partners(P: int, phase: int):
+    """Partner table for odd-even transposition phase; self at borders."""
+    out = list(range(P))
+    for a in range(phase % 2, P - 1, 2):
+        out[a], out[a + 1] = a + 1, a
+    return out
+
+
+def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
+    """Cached jitted shard_map builder for (mesh, shard size, levels)."""
+    key = (id(mesh), sh, nlev, use64)
+    fn = _fn_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    idt = jnp.int64 if use64 else jnp.int32
+
+    def from_ahead(x, q):
+        """Local block of the shard q places ahead (zero-fill past end)."""
+        if q == 0:
+            return x
+        if q >= P:
+            return jnp.zeros_like(x)
+        return jax.lax.ppermute(
+            x, axis, [(j, j - q) for j in range(q, P)]
+        )
+
+    def shift_left(x, s):
+        """Global left shift by s: out[i] = global_x[i + s], 0 past end."""
+        q, o = divmod(s, sh)
+        a = from_ahead(x, q)
+        if o == 0:
+            return a
+        b = from_ahead(x, q + 1)
+        return jnp.concatenate([a[o:], b[:o]])
+
+    def local_sort(arrs, nkeys):
+        order = jnp.lexsort(tuple(reversed(arrs[:nkeys])))
+        return tuple(a[order] for a in arrs)
+
+    def oe_sort(arrs, nkeys):
+        """Global sort of shard-blocked arrays by the first nkeys
+        (lexicographic); remaining arrays are carried values."""
+        me = jax.lax.axis_index(axis)
+        arrs = local_sort(arrs, nkeys)
+        for phase in range(P):
+            part = _partners(P, phase)
+            partner = jnp.asarray(np.array(part, np.int32))[me]
+            perm = [(j, part[j]) for j in range(P)]
+            recv = tuple(jax.lax.ppermute(a, axis, perm) for a in arrs)
+            is_low = me < partner
+            is_self = me == partner
+            # canonical concat order (lower-indexed block first): both
+            # partners must sort the SAME sequence, or stable-sort ties
+            # resolve differently on each side and an element can be
+            # kept by both or neither
+            cat = tuple(
+                jnp.concatenate(
+                    [
+                        jnp.where(is_low, a, r),
+                        jnp.where(is_low, r, a),
+                    ]
+                )
+                for a, r in zip(arrs, recv)
+            )
+            merged = local_sort(cat, nkeys)
+            kept = tuple(
+                jnp.where(is_low, m[:sh], m[sh:]) for m in merged
+            )
+            arrs = tuple(
+                jnp.where(is_self, a, k) for a, k in zip(arrs, kept)
+            )
+        return arrs
+
+    def prev_halo(x):
+        """Last element of the previous shard (zero-fill on shard 0)."""
+        return jax.lax.ppermute(
+            x[-1:], axis, [(j, j + 1) for j in range(P - 1)]
+        )
+
+    def shard_fn(T_local):
+        me = jax.lax.axis_index(axis)
+        iar_g = (me.astype(idt) * sh + jnp.arange(sh, dtype=idt))
+        rank = T_local.astype(idt)
+
+        sa = iar_g
+        for lev in range(nlev - 1):
+            key2 = shift_left(rank, 1 << lev)
+            k1, k2, sa = oe_sort((rank, key2, iar_g), nkeys=2)
+            # dense re-rank: global inclusive cumsum of neq flags
+            p1 = jnp.concatenate([prev_halo(k1), k1[:-1]])
+            p2 = jnp.concatenate([prev_halo(k2), k2[:-1]])
+            neq = ((k1 != p1) | (k2 != p2)).astype(idt)
+            neq = jnp.where(
+                (me == 0) & (jnp.arange(sh) == 0), idt(0), neq
+            )
+            loc = jnp.cumsum(neq)
+            tots = jax.lax.all_gather(loc[-1:], axis, tiled=True)
+            offset = jnp.sum(
+                jnp.where(jnp.arange(P) < me, tots, idt(0))
+            )
+            rankval = loc + offset
+            # distributed scatter: realign ranks to text order
+            _, rank = oe_sort((sa, rankval), nkeys=1)
+        # SAi: positions of text order in SA order, same scatter trick
+        _, sai = oe_sort((sa, me.astype(idt) * sh + jnp.arange(sh, dtype=idt)), nkeys=1)
+        return sa, sai
+
+    inner = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(Pspec(axis),),
+        out_specs=(Pspec(axis), Pspec(axis)),
+    )
+    fn = jax.jit(inner)
+    _fn_cache[key] = fn
+    return fn
+
+
+def build_esa_distributed(T_np: np.ndarray, mesh, force64: bool = False):
+    """(SA, LCP, SAi) with the suffix sort running distributed over the
+    mesh via explicit shard_map collectives (see module docstring).
+
+    Same API/stripping semantics as suffix.build_esa_sharded.  Real text
+    bytes must be nonzero (ASCII here) — byte 0 is the pad sentinel.
+    LCP is host-side Kasai with $/N capping.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    from ..index.suffix import lcp_from_sa_np
+
+    n = int(len(T_np))
+    if n == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    if T_np.min() == 0:
+        raise ValueError("text contains byte 0 (reserved pad sentinel)")
+    P = int(mesh.devices.size)
+    npad = 1 << max(1, int(math.ceil(math.log2(max(n, P)))))
+    npad = ((npad + P - 1) // P) * P  # non-pow2 mesh sizes
+    sh = npad // P
+    T_padded = np.zeros(npad, dtype=np.uint8)
+    T_padded[:n] = T_np
+    nlev = int(math.ceil(math.log2(npad))) + 1
+    use64 = force64 or npad >= 2**31
+
+    axis = mesh.axis_names[0]
+    Td = jax.device_put(
+        jnp.asarray(T_padded), NamedSharding(mesh, Pspec(axis))
+    )
+    if use64:
+        prev = bool(jax.config.jax_enable_x64)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            sa, sai = _get_dsa_fn(mesh, sh, nlev, True)(Td)
+        finally:
+            jax.config.update("jax_enable_x64", prev)
+    else:
+        sa, sai = _get_dsa_fn(mesh, sh, nlev, False)(Td)
+    sa = np.asarray(jax.device_get(sa), dtype=np.int64)
+    sai = np.asarray(jax.device_get(sai), dtype=np.int64)
+    off = npad - n
+    if off:
+        sa = sa[off:]
+        sai = sai[:n] - off
+    lcp = lcp_from_sa_np(np.asarray(T_np, dtype=np.uint8), sa).astype(
+        np.int64
+    )
+    return sa, lcp, sai

@@ -49,6 +49,28 @@ WORKER = textwrap.dedent(
     # total = sum over both hosts' shards
     want = sum(range(4)) + 4 * 10 + sum(range(4)) + 4 * 20
     assert int(total) == want, (int(total), want)
+
+    # distributed SA build over the 2-host mesh (parallel/dsa.py): each
+    # process feeds its local text shard, checks its local SA shard
+    from reveal_tpu.parallel.dsa import _get_dsa_fn
+    from reveal_tpu.index.suffix import suffix_array_np
+
+    rng = np.random.default_rng(5)
+    T = np.concatenate([
+        rng.choice(list(b"ACGT"), size=63).astype(np.uint8),
+        np.frombuffer(b"$", dtype=np.uint8),
+    ])  # n = 64 = npad: no padding, SA comparable directly
+    sh = 32
+    me = jax.process_index()
+    Tg = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis)), T[me * sh : (me + 1) * sh], (64,)
+    )
+    sa, sai = _get_dsa_fn(mesh, sh=sh, nlev=7, use64=False)(Tg)
+    local_sa = np.asarray(sa.addressable_shards[0].data)
+    sa_ref = suffix_array_np(T)
+    assert np.array_equal(local_sa, sa_ref[me * sh : (me + 1) * sh]), (
+        "distributed SA shard mismatch on process %%d" %% me
+    )
     print("OK process", jax.process_index())
     """
 )

@@ -1,0 +1,72 @@
+"""Distributed suffix-array construction (parallel/dsa.py) on the
+8-virtual-device CPU mesh: oracle equality, plus proof that the
+compiled module really communicates (collective-permute / all-gather
+in the HLO) and — unlike the GSPMD route, which all-gathers full-size
+sort operands — keeps every per-device array O(n/P)."""
+
+import numpy as np
+import pytest
+
+from reveal_tpu.index.suffix import lcp_from_sa_np, suffix_array_np
+from reveal_tpu.parallel.dsa import build_esa_distributed
+from reveal_tpu.parallel.mesh import make_mesh
+
+
+def _mktext(rng, n, nseq=2):
+    """Concatenated samples with $ sentinels, reveal text conventions."""
+    parts = []
+    per = max(1, n // nseq - 1)
+    for _ in range(nseq):
+        parts.append(rng.choice(list(b"ACGT"), size=per).astype(np.uint8))
+        parts.append(np.frombuffer(b"$", dtype=np.uint8))
+    return np.concatenate(parts)
+
+
+@pytest.mark.parametrize("n,nseq", [(64, 1), (1000, 2), (4096, 3), (5000, 4)])
+def test_dsa_matches_oracle(n, nseq):
+    rng = np.random.default_rng(n)
+    T = _mktext(rng, n, nseq)
+    mesh = make_mesh(8)
+    sa, lcp, sai = build_esa_distributed(T, mesh)
+    sa_ref = suffix_array_np(T)
+    np.testing.assert_array_equal(sa, sa_ref)
+    np.testing.assert_array_equal(lcp, lcp_from_sa_np(T, sa_ref))
+    np.testing.assert_array_equal(sai[sa], np.arange(len(T)))
+
+
+def test_dsa_with_n_runs():
+    rng = np.random.default_rng(7)
+    T = _mktext(rng, 900, 2)
+    T[100:140] = ord("N")
+    mesh = make_mesh(8)
+    sa, lcp, sai = build_esa_distributed(T, mesh)
+    np.testing.assert_array_equal(sa, suffix_array_np(T))
+    np.testing.assert_array_equal(lcp, lcp_from_sa_np(T, sa))
+
+
+def test_dsa_rejects_zero_bytes():
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        build_esa_distributed(np.zeros(16, np.uint8), mesh)
+
+
+def test_dsa_hlo_is_actually_distributed():
+    """The module must contain real collectives — guards against the
+    GSPMD failure mode where the 'sharded' build compiles replicated."""
+    import jax
+    import jax.numpy as jnp
+
+    from reveal_tpu.parallel.dsa import _get_dsa_fn
+
+    mesh = make_mesh(8)
+    fn = _get_dsa_fn(mesh, sh=128, nlev=11, use64=False)
+    txt = (
+        fn.lower(jnp.zeros(1024, jnp.uint8))
+        .compile()
+        .as_text()
+    )
+    assert txt.count("collective-permute") > 0
+    assert txt.count("all-gather") > 0
+    # memory scaling: no device ever touches a full-size (1024,) array —
+    # shards are 128 wide, merge buffers 256
+    assert "s32[1024]" not in txt and "u8[1024]" not in txt
