@@ -1117,8 +1117,10 @@ def main(argv=None):
         p.add_argument("--nproc", type=int, default=0,
                        help="Worker threads for the per-bubble MSA phase "
                             "(reference refine.py:459-525 used an mp "
-                            "pool); 0 = cpu count.  The native MEA DP "
-                            "releases the GIL, so threads scale it.")
+                            "pool); default serial — on small hosts the "
+                            "pool convoys on the GIL around the native "
+                            "DP calls and is measurably slower; opt in "
+                            "on many-core hosts.")
         p.add_argument("--method", default="reveal_probcons",
                        choices=["reveal_probcons", "reveal_rem", "muscle",
                                 "probcons", "msaprobs", "pecan"],

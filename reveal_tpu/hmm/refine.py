@@ -697,7 +697,13 @@ def refine_all(
         )
         return res
 
-    nproc = int(kwargs.pop("nproc", 0) or os.cpu_count() or 1)
+    # default SERIAL: on small hosts the thread pool convoys on the GIL
+    # between the (GIL-releasing) native DP calls and makes the MSA
+    # phase ~40% slower (measured 43-50s serial vs 61-78s at nproc=4 on
+    # a 4-cpu host, same 554-bubble workload, byte-identical output);
+    # --nproc N opts in for many-core hosts where the native fraction
+    # can actually scale
+    nproc = int(kwargs.pop("nproc", 0) or 1)
     # bubbles without precomputed stage-1/2 data compute posteriors on
     # the device inside refine_bubble — keep those serial (one device
     # client at a time); everything else is pure host work
