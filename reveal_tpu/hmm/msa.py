@@ -84,10 +84,10 @@ log = logging.getLogger(__name__)
 POSTERIOR_CUTOFF = 0.01
 
 # Single-problem footprint cap for the device stage-1+2 chain: the
-# relaxation einsum materializes a few (N, N, Lq, Lq) float32 tensors, so
-# a problem past ~1 GB risks HBM OOM (v5e: 16 GB) or a remote-compiler
-# failure; such problems take the per-bubble host path instead.
-CHAIN_BYTES_CAP = 1 << 30
+# relaxation einsum materializes a few (N, N, Lq, Lq) float32 tensors
+# (~3-4 copies live), so cap one problem at 2 GB against v5e's 16 GB
+# HBM; larger problems take the per-bubble host path instead.
+CHAIN_BYTES_CAP = 1 << 31
 
 
 def _sparsify(p: np.ndarray) -> np.ndarray:
@@ -214,10 +214,17 @@ def batch_consistency(problems, consistency=2, consgap=False):
 
 
 def _bucket_len(x: int) -> int:
+    """Pow2 tiers up to 2048, then multiples of 512: above 2k the pow2
+    jump (e.g. 4.7k -> 8192) inflates the (N, N, Lq, Lq) chain tensor
+    ~3x and pushes real bubbles past CHAIN_BYTES_CAP onto the slow
+    host path; big bubbles are rare, so the extra shape signatures
+    don't multiply executable loads in practice."""
     b = 32
-    while b < x:
+    while b < x and b < 2048:
         b *= 2
-    return b
+    if b >= x:
+        return b
+    return ((x + 511) // 512) * 512
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,15 @@ from ..graph.pangraph import PanGraph
 
 log = logging.getLogger(__name__)
 
+# (run_closure, jobs) installed right before a fork-based refine pool
+# spawns; workers inherit it copy-on-write and receive only job indices
+_mp_state = None
+
+
+def _mp_run_job(i):
+    run, jobs = _mp_state
+    return run(jobs[i])
+
 
 def _external_msa(aobjs, method: str, parameters: str = ""):
     """Run an external multiple-sequence aligner from $PATH and return
@@ -718,16 +727,45 @@ def refine_all(
         if i not in par_set:
             results[i] = _run(jobs[i])
     if parallel_ix:
+        ran = False
         if nproc > 1 and len(parallel_ix) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            # PROCESS pool over fork (like the reference's mp pool,
+            # refine.py:459-525): a thread pool convoys on the GIL
+            # around the native DP calls (measured slower than serial).
+            # fork shares jobs/posteriors copy-on-write, so only the
+            # job index goes out and the (picklable) per-bubble result
+            # comes back; children run pure host numpy+native — the
+            # inherited device client is never touched.
+            import multiprocessing as _mp
 
-            with ThreadPoolExecutor(max_workers=nproc) as ex:
-                for i, res in zip(
-                    parallel_ix,
-                    ex.map(_run, (jobs[i] for i in parallel_ix)),
-                ):
-                    results[i] = res
-        else:
+            try:
+                ctx = _mp.get_context("fork")
+            except ValueError:
+                ctx = None
+            if ctx is not None:
+                global _mp_state
+                _mp_state = (_run, jobs)
+                try:
+                    with ctx.Pool(processes=nproc) as pool:
+                        for i, res in zip(
+                            parallel_ix,
+                            pool.map(
+                                _mp_run_job,
+                                parallel_ix,
+                                chunksize=max(
+                                    1, len(parallel_ix) // (nproc * 8)
+                                ),
+                            ),
+                        ):
+                            results[i] = res
+                    ran = True
+                except Exception as e:
+                    log.warning(
+                        "refine process pool failed (%s); serial", e
+                    )
+                finally:
+                    _mp_state = None
+        if not ran:
             for i in parallel_ix:
                 results[i] = _run(jobs[i])
 
