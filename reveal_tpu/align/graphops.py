@@ -15,7 +15,6 @@ node intervals instead of an interval tree.
 
 from __future__ import annotations
 
-from bisect import bisect_right
 from collections import deque
 from typing import List, Set, Tuple
 

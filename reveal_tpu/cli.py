@@ -100,8 +100,6 @@ def rem_cmd(args):
     seq2node(G, T)
 
     # identity stats (rem.align_cmd, rem.py:470-490)
-    import numpy as np
-
     totbases = (
         idx.main.nT
         - int((T == ord("$")).sum())

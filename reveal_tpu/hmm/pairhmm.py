@@ -22,7 +22,6 @@ bit-parity of refined graphs requires it.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import numpy as np

@@ -38,7 +38,7 @@ import os
 import uuid
 from dataclasses import dataclass
 from math import log as _ln
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from ..core.encoding import rc_str
 from ..core.io_fasta import fasta_reader, fasta_writer
