@@ -40,8 +40,10 @@ def _global_parser():
         "--backend",
         dest="backend",
         default="auto",
-        choices=["auto", "jax", "np"],
-        help="Index-construction backend (device vs host).",
+        choices=["auto", "native", "jax", "jax-dist", "np"],
+        help="Index-construction backend: auto/native (host C++), "
+        "jax (single device), jax-dist (distributed suffix sort over "
+        "all local devices), np (numpy oracle).",
     )
     p.add_argument(
         "--profile",

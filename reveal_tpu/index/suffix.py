@@ -383,13 +383,20 @@ def build_esa_jax(T_np: np.ndarray, force64: bool = False):
 
 
 def build_esa(T_np: np.ndarray, backend: str = "auto"):
-    """(SA, LCP, SAi) with backend in {'auto','jax','np'}.
+    """(SA, LCP, SAi) with backend in {'auto','jax','jax-dist','np'}.
 
     Backends: 'native' = C++ SA-IS + capped Kasai (fastest host path,
     1.9s at 3.1 Mbp); 'jax' = on-device prefix doubling (the multi-chip
-    path; 5.2s warm at 3.1 Mbp incl. transfers); 'np' = pure-numpy oracle.
-    'auto' prefers native, then numpy.
+    path; 5.2s warm at 3.1 Mbp incl. transfers); 'jax-dist' = explicit
+    shard_map prefix doubling over a mesh of all local devices with
+    O(n/P) per-device memory (parallel/dsa.py); 'np' = pure-numpy
+    oracle.  'auto' prefers native, then numpy.
     """
+    if backend == "jax-dist":
+        from ..parallel.dsa import build_esa_distributed
+        from ..parallel.mesh import make_mesh
+
+        return build_esa_distributed(T_np, make_mesh())
     if backend == "auto":
         try:
             from ..native import build_esa_native

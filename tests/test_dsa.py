@@ -44,6 +44,37 @@ def test_dsa_with_n_runs():
     np.testing.assert_array_equal(lcp, lcp_from_sa_np(T, sa))
 
 
+def test_rem_with_jax_dist_backend(tmp_path):
+    """End-to-end: `rem --backend jax-dist` builds its ESA with the
+    distributed suffix sort and produces the same graph as numpy."""
+    from reveal_tpu.align.rem import align_genomes
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    rng = np.random.default_rng(21)
+    base = "".join(rng.choice(list("ACGT"), size=800))
+    mut = list(base)
+    for _ in range(8):
+        mut[int(rng.integers(0, len(mut)))] = "ACGT"[
+            int(rng.integers(0, 4))
+        ]
+    fa1 = str(tmp_path / "a.fa")
+    fa2 = str(tmp_path / "b.fa")
+    fasta_writer(fa1, [("a", base)])
+    fasta_writer(fa2, [("b", "".join(mut))])
+    G1, idx1 = align_genomes([fa1, fa2], backend="np")
+    G2, idx2 = align_genomes([fa1, fa2], backend="jax-dist")
+
+    def state(G):
+        return sorted(
+            (n, tuple(sorted(G.nodes[n]["offsets"].items())))
+            for n in G.nodes
+            if isinstance(n, tuple)
+        )
+
+    assert state(G1) == state(G2)
+    assert np.array_equal(idx1.main.T, idx2.main.T)
+
+
 def test_dsa_rejects_zero_bytes():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
