@@ -75,6 +75,19 @@ def test_rem_with_jax_dist_backend(tmp_path):
     assert np.array_equal(idx1.main.T, idx2.main.T)
 
 
+def test_dsa_force64_matches_32():
+    """int64 twin of the distributed build (the path texts >= 2^31
+    take), exercised at reduced scale like the single-device use64."""
+    rng = np.random.default_rng(13)
+    T = _mktext(rng, 700, 2)
+    mesh = make_mesh(8)
+    sa32, lcp32, sai32 = build_esa_distributed(T, mesh)
+    sa64, lcp64, sai64 = build_esa_distributed(T, mesh, force64=True)
+    np.testing.assert_array_equal(sa32, sa64)
+    np.testing.assert_array_equal(lcp32, lcp64)
+    np.testing.assert_array_equal(sai32, sai64)
+
+
 def test_dsa_rejects_zero_bytes():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
