@@ -37,33 +37,47 @@ def mutate(
     ids: int64 ancestral base ids (-1 for inserted material).
     """
     n = len(seq)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     # substitutions: change base, KEEP id (homology preserved like the
-    # reference's `mut` which tracks ids through substitutions)
+    # reference's `mut` which tracks ids through substitutions);
+    # vectorized uniform pick among the 3 other bases
     nsub = rng.poisson(subrate * n)
     pos = rng.integers(0, n, size=nsub)
-    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     seq = seq.copy()
-    for p in pos:
-        cur = seq[p]
-        choices = bases[bases != cur]
-        seq[p] = choices[rng.integers(0, len(choices))]
+    cur_idx = np.searchsorted(bases, seq[pos])
+    new_idx = (cur_idx + 1 + rng.integers(0, 3, size=nsub)) % 4
+    seq[pos] = bases[new_idx]
 
-    # indels
+    # indels: one left-to-right pass over sorted event positions (a
+    # per-event np.concatenate is O(n) each — terabytes of memcpy at
+    # tens of Mbp), single concatenate at the end
     nind = rng.poisson(indelrate * n)
+    epos = np.sort(rng.integers(0, n, size=nind))
+    elen = np.minimum(rng.zipf(zipf_a, size=nind), maxindel).astype(int)
+    edel = rng.random(size=nind) < 0.5
+    pieces_seq = []
+    pieces_ids = []
     ids = seq_ids
-    for _ in range(nind):
-        l = int(min(rng.zipf(zipf_a), maxindel))
-        p = int(rng.integers(0, len(seq)))
-        if rng.random() < 0.5 and len(seq) > l + 1:  # deletion
-            seq = np.concatenate([seq[:p], seq[p + l :]])
-            ids = np.concatenate([ids[:p], ids[p + l :]])
-        else:  # insertion of random sequence, ids = -1
-            ins = bases[rng.integers(0, 4, size=l)]
-            seq = np.concatenate([seq[:p], ins, seq[p:]])
-            ids = np.concatenate(
-                [ids[:p], np.full(l, -1, dtype=np.int64), ids[p:]]
-            )
-    return ids, seq
+    cur = 0
+    for p, l, isdel in zip(epos, elen, edel):
+        p = int(max(p, cur))
+        if p > n:
+            break
+        pieces_seq.append(seq[cur:p])
+        pieces_ids.append(ids[cur:p])
+        if isdel:
+            cur = min(p + int(l), n)
+        else:
+            ins = bases[rng.integers(0, 4, size=int(l))]
+            pieces_seq.append(ins)
+            pieces_ids.append(np.full(int(l), -1, dtype=np.int64))
+            cur = p
+    pieces_seq.append(seq[cur:])
+    pieces_ids.append(ids[cur:])
+    return (
+        np.concatenate(pieces_ids),
+        np.concatenate(pieces_seq),
+    )
 
 
 def simulate_population(
