@@ -937,21 +937,29 @@ def align_cmd(args):
             else:
                 chunks = [graphs[i * n : i * n + n] for i in range(k)]
                 graphs = graphs[-m:] if m != 0 else []
+            # chunk jobs within one level are independent; --parallel
+            # backgrounds them with a wait barrier per level (the
+            # reference README's "can be run in parallel on a compute
+            # cluster", README.md:45, expressed in the emitted script)
+            par = getattr(args, "parallel", False) and len(chunks) > 1
             for chunk in chunks:
+                amp = " &" if par else ""
                 if len(chunks) == 1 and graphs == []:
                     out.write(
-                        "%s rem %s -o %s.gfa\n"
-                        % (prog, " ".join(chunk), args.output)
+                        "%s rem %s -o %s.gfa%s\n"
+                        % (prog, " ".join(chunk), args.output, amp)
                     )
                     graphs.append(args.output + ".gfa")
                 else:
                     tmp = uuidmod.uuid4().hex
                     out.write(
-                        "%s rem %s -o %s.gfa\n"
-                        % (prog, " ".join(chunk), tmp)
+                        "%s rem %s -o %s.gfa%s\n"
+                        % (prog, " ".join(chunk), tmp, amp)
                     )
                     graphs.append(tmp + ".gfa")
                     tmpfiles.append(tmp + ".gfa")
+            if par:
+                out.write("wait\n")
             level += 1
     else:  # simultaneous
         out.write(
@@ -1190,6 +1198,10 @@ def main(argv=None):
     p.add_argument("--order", default="simultaneous",
                    choices=["simultaneous", "sequential"])
     p.add_argument("--chunksize", type=int, default=2)
+    p.add_argument("--parallel", action="store_true",
+                   help="Background the independent chunk jobs of each "
+                        "sequential level with a wait barrier between "
+                        "levels (reference README.md:45).")
     p.add_argument("-m", "--minlength", type=int, default=20)
     p.add_argument("--minconf", type=int, default=0)
     p.add_argument("--nounzip", action="store_true")

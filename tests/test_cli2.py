@@ -136,6 +136,51 @@ def test_align_script_sequential(data, capsys):
         ), line
 
 
+def test_align_script_parallel(data, capsys, tmp_path, monkeypatch):
+    """--parallel backgrounds each level's independent chunk jobs with a
+    wait barrier, and the executed script produces the same graph as
+    the serial emission."""
+    import subprocess
+    import sys as _sys
+
+    d, seqs = data
+    gd = list(seqs["ga"])
+    rngl = np.random.default_rng(4)
+    for _ in range(10):
+        gd[int(rngl.integers(0, len(gd)))] = "ACGT"[
+            int(rngl.integers(0, 4))
+        ]
+    fasta_writer(str(d / "gd.fa"), [("gd", "".join(gd))])
+    scripts = {}
+    for flag in ([], ["--parallel"]):
+        run(["align", d / "ga.fa", d / "gb.fa", d / "gc.fa", d / "gd.fa",
+             "--order", "sequential", "--chunksize", "2", "-o", "prg",
+             "--norefine", "--nounzip", "--novariants"] + flag)
+        scripts[bool(flag)] = capsys.readouterr().out
+    assert " &" not in scripts[False] and "wait" not in scripts[False]
+    par = scripts[True]
+    assert par.count(" &") == 2 and par.count("\nwait\n") == 1
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    outs = {}
+    for key, script in scripts.items():
+        wd = tmp_path / ("par" if key else "ser")
+        wd.mkdir()
+        (wd / "run.sh").write_text(script.replace(
+            "python -m", "%s -m" % _sys.executable))
+        r = subprocess.run(
+            ["bash", "run.sh"], cwd=wd, env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+        outs[key] = (wd / "prg.gfa").read_bytes()
+    assert outs[True] == outs[False]
+
+
 def test_align_script_simultaneous(data, capsys):
     d, seqs = data
     run(["align", d / "ga.fa", d / "gb.fa", "--order", "simultaneous",
