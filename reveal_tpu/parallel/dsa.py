@@ -18,11 +18,16 @@ Per doubling round (prefix length 2^lev):
                          past the end zero-fill, which is exactly the
                          "pad byte 0 = unique smallest" convention the
                          single-device builder uses.
-2. distributed sort      odd-even transposition over shard-sized
-                         blocks: local lexsort, then P phases of
-                         partner exchange (`ppermute`) + merge-split
-                         (low keeper takes the lower half).  P phases
-                         suffice for P pre-sorted blocks.  Static
+2. distributed sort      a comparator network over shard-sized blocks:
+                         local lexsort, then one partner exchange
+                         (`ppermute`) + merge-split per network layer
+                         (the "keep low" side takes the lower half).
+                         Any sorting network lifts to sorted blocks
+                         this way (0-1 principle; Knuth TAOCP 5.3.4
+                         ex. 38): power-of-two meshes run the bitonic
+                         network — log2(P)·(log2(P)+1)/2 layers, the
+                         pod-scale schedule — others fall back to
+                         P-phase odd-even transposition.  Static
                          shapes throughout — no ragged all-to-alls.
 3. dense re-rank         neighbour-equality flags with a one-element
                          `ppermute` halo, local cumsum, shard offsets
@@ -40,9 +45,6 @@ Replaces: divsufsort (reveal/divsufsort/divsufsort.c:332) at multi-chip
 scale; the reference has no distributed analog (reveal parallelism is
 pthreads on one host, SURVEY §2.3).
 
-Odd-even transposition is the P-phase choice for single-digit meshes
-(v5e-8, the CPU test mesh); a pod-scale build would swap stage 2 for a
-log^2(P) bitonic schedule — the surrounding machinery is unchanged.
 """
 
 from __future__ import annotations
@@ -63,6 +65,45 @@ def _partners(P: int, phase: int):
     for a in range(phase % 2, P - 1, 2):
         out[a], out[a + 1] = a + 1, a
     return out
+
+
+def _network_layers(P: int):
+    """Comparator layers of the block-sort network as
+    ``(partner[P], keep_low[P])`` tuples (partner == self means idle).
+
+    Power-of-two P: the bitonic network, log2(P)(log2(P)+1)/2 layers —
+    the schedule that scales to pod meshes (36 layers at P=256 vs 256
+    odd-even phases).  Other P: odd-even transposition, P layers.
+    Either network sorts all 0-1 inputs, so replacing every
+    compare-exchange with a merge-split of two sorted shard blocks
+    sorts the blocked array (Knuth TAOCP 5.3.4 ex. 38); a descending
+    comparator is simply a merge-split that keeps the high half on the
+    lower-indexed side.
+    """
+    layers = []
+    if P > 1 and (P & (P - 1)) == 0:
+        k = 2
+        while k <= P:
+            j = k >> 1
+            while j >= 1:
+                part = list(range(P))
+                keep_low = [True] * P
+                for i in range(P):
+                    p = i ^ j
+                    if p > i:
+                        asc = (i & k) == 0
+                        part[i], part[p] = p, i
+                        keep_low[i] = asc
+                        keep_low[p] = not asc
+                layers.append((part, keep_low))
+                j >>= 1
+            k <<= 1
+    else:
+        for phase in range(P):
+            part = _partners(P, phase)
+            keep_low = [i <= part[i] for i in range(P)]
+            layers.append((part, keep_low))
+    return layers
 
 
 def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
@@ -108,17 +149,21 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
         order = jnp.lexsort(tuple(reversed(arrs[:nkeys])))
         return tuple(a[order] for a in arrs)
 
+    layers = _network_layers(P)
+
     def oe_sort(arrs, nkeys):
         """Global sort of shard-blocked arrays by the first nkeys
-        (lexicographic); remaining arrays are carried values."""
+        (lexicographic); remaining arrays are carried values.  One
+        merge-split exchange per layer of the comparator network
+        (bitonic for power-of-two P, odd-even otherwise)."""
         me = jax.lax.axis_index(axis)
         arrs = local_sort(arrs, nkeys)
-        for phase in range(P):
-            part = _partners(P, phase)
+        for part, keep_low in layers:
             partner = jnp.asarray(np.array(part, np.int32))[me]
+            keep_lo = jnp.asarray(np.array(keep_low, np.bool_))[me]
             perm = [(j, part[j]) for j in range(P)]
             recv = tuple(jax.lax.ppermute(a, axis, perm) for a in arrs)
-            is_low = me < partner
+            is_first = me < partner
             is_self = me == partner
             # canonical concat order (lower-indexed block first): both
             # partners must sort the SAME sequence, or stable-sort ties
@@ -127,15 +172,15 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             cat = tuple(
                 jnp.concatenate(
                     [
-                        jnp.where(is_low, a, r),
-                        jnp.where(is_low, r, a),
+                        jnp.where(is_first, a, r),
+                        jnp.where(is_first, r, a),
                     ]
                 )
                 for a, r in zip(arrs, recv)
             )
             merged = local_sort(cat, nkeys)
             kept = tuple(
-                jnp.where(is_low, m[:sh], m[sh:]) for m in merged
+                jnp.where(keep_lo, m[:sh], m[sh:]) for m in merged
             )
             arrs = tuple(
                 jnp.where(is_self, a, k) for a, k in zip(arrs, kept)

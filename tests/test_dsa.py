@@ -34,6 +34,33 @@ def test_dsa_matches_oracle(n, nseq):
     np.testing.assert_array_equal(sai[sa], np.arange(len(T)))
 
 
+def test_network_layers_shapes():
+    """Bitonic depth for power-of-two meshes, odd-even otherwise."""
+    from reveal_tpu.parallel.dsa import _network_layers
+
+    assert len(_network_layers(8)) == 6       # log2(8)*(log2(8)+1)/2
+    assert len(_network_layers(256)) == 36    # pod scale: 36 vs 256
+    assert len(_network_layers(6)) == 6       # odd-even fallback
+    # every layer is an involution partnered consistently
+    for part, keep_low in _network_layers(8):
+        for i, p in enumerate(part):
+            assert part[p] == i
+            if p != i:
+                assert keep_low[i] != keep_low[p]
+
+
+@pytest.mark.parametrize("P", [4, 6])
+def test_dsa_submesh_sizes(P):
+    """Both network branches on real meshes: P=4 bitonic, P=6 odd-even."""
+    rng = np.random.default_rng(100 + P)
+    T = _mktext(rng, 777, 2)
+    mesh = make_mesh(P)
+    sa, lcp, sai = build_esa_distributed(T, mesh)
+    np.testing.assert_array_equal(sa, suffix_array_np(T))
+    np.testing.assert_array_equal(lcp, lcp_from_sa_np(T, sa))
+    np.testing.assert_array_equal(sai[sa], np.arange(len(T)))
+
+
 def test_dsa_with_n_runs():
     rng = np.random.default_rng(7)
     T = _mktext(rng, 900, 2)
