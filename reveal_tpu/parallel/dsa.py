@@ -37,9 +37,24 @@ Per doubling round (prefix length 2^lev):
                          distributed scatter with static shapes).
 
 SA = the final round's sorted indices; SAi via one extra index-keyed
-sort.  LCP is computed host-side from (T, SA) with the same $/N capping
-as the rest of the stack (suffix.lcp_from_sa_np) — the O(n log n) sort
-is the part worth distributing; Kasai is O(n).
+sort.
+
+LCP also runs distributed (``host_lcp=True`` falls back to host Kasai):
+the rank arrays of every doubling level are kept on-mesh (O(n/P·log n)
+per device — the memory/time trade; re-running rounds on demand would
+drop the log n factor at O(log^2 n) sort cost) and the plain LCP of
+each SA-adjacent pair descends the levels exactly like the
+single-device builder (suffix._lcp_from_levels_np): at level k, pairs
+whose length-k prefixes still agree advance by k.  The per-level
+random-access reads rank_k[a+h] become a **sort-based distributed
+gather**: concat (position, value) entries with (query, qid) entries,
+network-sort by (key, entry-tag) so every query lands right after the
+value entry for its key, forward-propagate values locally + one
+all_gather for the cross-shard carry, network-sort back by qid, and
+ppermute halves to restore canonical blocking — O(n/P) static shapes
+throughout.  The $/N cap uses a distributed reverse min-scan for stop
+distances and one index-keyed sort to realign them to SA order
+(matching interface.c:97-114 semantics).
 
 Replaces: divsufsort (reveal/divsufsort/divsufsort.c:332) at multi-chip
 scale; the reference has no distributed analog (reveal parallelism is
@@ -53,6 +68,8 @@ import logging
 import math
 
 import numpy as np
+
+from ..core.encoding import N_BYTE, SENTINEL
 
 log = logging.getLogger(__name__)
 
@@ -151,41 +168,53 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
 
     layers = _network_layers(P)
 
-    def oe_sort(arrs, nkeys):
-        """Global sort of shard-blocked arrays by the first nkeys
-        (lexicographic); remaining arrays are carried values.  One
-        merge-split exchange per layer of the comparator network
-        (bitonic for power-of-two P, odd-even otherwise)."""
-        me = jax.lax.axis_index(axis)
-        arrs = local_sort(arrs, nkeys)
-        for part, keep_low in layers:
-            partner = jnp.asarray(np.array(part, np.int32))[me]
-            keep_lo = jnp.asarray(np.array(keep_low, np.bool_))[me]
-            perm = [(j, part[j]) for j in range(P)]
-            recv = tuple(jax.lax.ppermute(a, axis, perm) for a in arrs)
-            is_first = me < partner
-            is_self = me == partner
-            # canonical concat order (lower-indexed block first): both
-            # partners must sort the SAME sequence, or stable-sort ties
-            # resolve differently on each side and an element can be
-            # kept by both or neither
-            cat = tuple(
-                jnp.concatenate(
-                    [
-                        jnp.where(is_first, a, r),
-                        jnp.where(is_first, r, a),
-                    ]
+    def _make_net_sort(width):
+        """Global sort of width-`width` shard-blocked arrays by the
+        first nkeys (lexicographic); remaining arrays are carried
+        values.  One merge-split exchange per layer of the comparator
+        network (bitonic for power-of-two P, odd-even otherwise)."""
+
+        def net_sort(arrs, nkeys):
+            me = jax.lax.axis_index(axis)
+            arrs = local_sort(arrs, nkeys)
+            for part, keep_low in layers:
+                partner = jnp.asarray(np.array(part, np.int32))[me]
+                keep_lo = jnp.asarray(np.array(keep_low, np.bool_))[me]
+                perm = [(j, part[j]) for j in range(P)]
+                recv = tuple(
+                    jax.lax.ppermute(a, axis, perm) for a in arrs
                 )
-                for a, r in zip(arrs, recv)
-            )
-            merged = local_sort(cat, nkeys)
-            kept = tuple(
-                jnp.where(keep_lo, m[:sh], m[sh:]) for m in merged
-            )
-            arrs = tuple(
-                jnp.where(is_self, a, k) for a, k in zip(arrs, kept)
-            )
-        return arrs
+                is_first = me < partner
+                is_self = me == partner
+                # canonical concat order (lower-indexed block first):
+                # both partners must sort the SAME sequence, or
+                # stable-sort ties resolve differently on each side and
+                # an element can be kept by both or neither
+                cat = tuple(
+                    jnp.concatenate(
+                        [
+                            jnp.where(is_first, a, r),
+                            jnp.where(is_first, r, a),
+                        ]
+                    )
+                    for a, r in zip(arrs, recv)
+                )
+                merged = local_sort(cat, nkeys)
+                kept = tuple(
+                    jnp.where(keep_lo, m[:width], m[width:])
+                    for m in merged
+                )
+                arrs = tuple(
+                    jnp.where(is_self, a, k)
+                    for a, k in zip(arrs, kept)
+                )
+            return arrs
+
+        return net_sort
+
+    oe_sort = _make_net_sort(sh)
+    oe_sort2 = _make_net_sort(2 * sh)
+    npad_c = sh * P
 
     def prev_halo(x):
         """Last element of the previous shard (zero-fill on shard 0)."""
@@ -193,10 +222,60 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             x[-1:], axis, [(j, j + 1) for j in range(P - 1)]
         )
 
+    def dist_gather(val, q, iar_g, me):
+        """ans[j] = val_global[q[j]] for arbitrary q in [0, npad).
+
+        Sort-based distributed gather (module docstring): value entries
+        (key=position, payload=value) and query entries (key=q,
+        payload=qid) network-sort together by (key, tag) — every
+        position exists as a value entry, so each query's nearest
+        preceding entry in the sorted order is exactly its answer.
+        Forward-propagate values (local max-scan + one all_gather for
+        the cross-shard carry), sort back by qid, and ppermute shard
+        halves to restore the canonical sh-wide blocking.
+        """
+        key = jnp.concatenate([iar_g, q])
+        tag = jnp.concatenate(
+            [jnp.zeros(sh, idt), jnp.ones(sh, idt)]
+        )
+        pay = jnp.concatenate([val, iar_g])
+        k_s, t_s, p_s = oe_sort2((key, tag, pay), nkeys=2)
+        isval = t_s == 0
+        pos = jnp.arange(2 * sh)
+        idxv = jnp.where(isval, pos, -1)
+        lastidx = jax.lax.associative_scan(jnp.maximum, idxv)
+        li = lastidx[-1]
+        shard_last = p_s[jnp.maximum(li, 0)]
+        has = (li >= 0).astype(idt)
+        lasts = jax.lax.all_gather(shard_last[None], axis, tiled=True)
+        hass = jax.lax.all_gather(has[None], axis, tiled=True)
+        pidx = jnp.arange(P)
+        score = jnp.where((hass > 0) & (pidx < me), pidx, -1)
+        j = jnp.argmax(score)
+        carry = jnp.where(jnp.max(score) >= 0, lasts[j], idt(0))
+        localval = jnp.where(
+            lastidx >= 0, p_s[jnp.maximum(lastidx, 0)], carry
+        )
+        # answers back to qid order; value slots sort past every qid
+        backkey = jnp.where(isval, idt(npad_c) + k_s, p_s)
+        _, ansq = oe_sort2((backkey, localval), nkeys=1)
+        low, high = ansq[:sh], ansq[sh:]
+        recv_low = jax.lax.ppermute(
+            low, axis, [(s, 2 * s) for s in range(P) if 2 * s < P]
+        )
+        recv_high = jax.lax.ppermute(
+            high,
+            axis,
+            [(s, 2 * s + 1) for s in range(P) if 2 * s + 1 < P],
+        )
+        return jnp.where(me % 2 == 0, recv_low, recv_high)
+
     def shard_fn(T_local):
         me = jax.lax.axis_index(axis)
-        iar_g = (me.astype(idt) * sh + jnp.arange(sh, dtype=idt))
+        iar_l = jnp.arange(sh, dtype=idt)
+        iar_g = me.astype(idt) * sh + iar_l
         rank = T_local.astype(idt)
+        ranks_hist = [rank]
 
         sa = iar_g
         for lev in range(nlev - 1):
@@ -217,28 +296,83 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             rankval = loc + offset
             # distributed scatter: realign ranks to text order
             _, rank = oe_sort((sa, rankval), nkeys=1)
+            ranks_hist.append(rank)
         # SAi: positions of text order in SA order, same scatter trick
-        _, sai = oe_sort((sa, me.astype(idt) * sh + jnp.arange(sh, dtype=idt)), nkeys=1)
-        return sa, sai
+        _, sai = oe_sort((sa, iar_g), nkeys=1)
+
+        # ---- distributed LCP: rank descent over the stored levels ----
+        # mirrors suffix._lcp_from_levels_np with dist_gather replacing
+        # the random-access reads; O(n/P * log n) per device
+        ranks_all = jnp.stack(ranks_hist)
+        npc = idt(npad_c)
+        a0 = jnp.concatenate([prev_halo(sa), sa[:-1]])
+        b0 = sa
+
+        def lcp_body(carry, lev_rev):
+            a, b, h = carry
+            lev = nlev - 1 - lev_rev
+            k = (idt(1) << lev).astype(idt)
+            rk = ranks_all[lev]
+            ok = (a + k <= npc) & (b + k <= npc)
+            qa = dist_gather(
+                rk, jnp.minimum(a, npc - 1), iar_g, me
+            )
+            qb = dist_gather(
+                rk, jnp.minimum(b, npc - 1), iar_g, me
+            )
+            eq = ok & (qa == qb)
+            h = jnp.where(eq, h + k, h)
+            a = jnp.where(eq, a + k, a)
+            b = jnp.where(eq, b + k, b)
+            return (a, b, h), None
+
+        h0 = iar_g * idt(0)  # zeros, but shard-varying for the scan vma
+        (_, _, plain), _ = jax.lax.scan(
+            lcp_body, (a0, b0, h0), jnp.arange(nlev)
+        )
+        # $/N cap: distributed reverse min-scan for stop distances,
+        # realigned to SA order with one index-keyed sort
+        stop = jnp.where(
+            (T_local == SENTINEL) | (T_local == N_BYTE), iar_g, npc
+        )
+        sufmin = jax.lax.associative_scan(
+            jnp.minimum, stop, reverse=True
+        )
+        mins = jax.lax.all_gather(sufmin[:1], axis, tiled=True)
+        carry_in = jnp.min(jnp.where(jnp.arange(P) > me, mins, npc))
+        d_loc = jnp.minimum(sufmin, carry_in) - iar_g
+        _, d_sa = oe_sort((sai, d_loc), nkeys=1)
+        d_prev = jnp.concatenate([prev_halo(d_sa), d_sa[:-1]])
+        lcp = jnp.minimum(plain, jnp.minimum(d_prev, d_sa))
+        lcp = jnp.where((me == 0) & (iar_l == 0), idt(0), lcp)
+        return sa, sai, lcp
 
     inner = shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(Pspec(axis),),
-        out_specs=(Pspec(axis), Pspec(axis)),
+        out_specs=(Pspec(axis), Pspec(axis), Pspec(axis)),
     )
     fn = jax.jit(inner)
     _fn_cache[key] = fn
     return fn
 
 
-def build_esa_distributed(T_np: np.ndarray, mesh, force64: bool = False):
-    """(SA, LCP, SAi) with the suffix sort running distributed over the
-    mesh via explicit shard_map collectives (see module docstring).
+def build_esa_distributed(
+    T_np: np.ndarray,
+    mesh,
+    force64: bool = False,
+    host_lcp: bool = False,
+):
+    """(SA, LCP, SAi) with the suffix sort AND the LCP rank-descent
+    running distributed over the mesh via explicit shard_map
+    collectives (see module docstring).
 
     Same API/stripping semantics as suffix.build_esa_sharded.  Real text
     bytes must be nonzero (ASCII here) — byte 0 is the pad sentinel.
-    LCP is host-side Kasai with $/N capping.
+    ``host_lcp=True`` recomputes LCP on the host with Kasai-style
+    rank descent instead (suffix.lcp_from_sa_np) — the cross-check
+    path.
     """
     import jax
     import jax.numpy as jnp
@@ -259,7 +393,9 @@ def build_esa_distributed(T_np: np.ndarray, mesh, force64: bool = False):
     T_padded = np.zeros(npad, dtype=np.uint8)
     T_padded[:n] = T_np
     nlev = int(math.ceil(math.log2(npad))) + 1
-    use64 = force64 or npad >= 2**31
+    # 2**30: the gather's sort-back key is npad + position, so int32
+    # needs 2*npad < 2**31
+    use64 = force64 or npad >= 2**30
 
     axis = mesh.axis_names[0]
     Td = jax.device_put(
@@ -269,18 +405,22 @@ def build_esa_distributed(T_np: np.ndarray, mesh, force64: bool = False):
         prev = bool(jax.config.jax_enable_x64)
         jax.config.update("jax_enable_x64", True)
         try:
-            sa, sai = _get_dsa_fn(mesh, sh, nlev, True)(Td)
+            sa, sai, lcp = _get_dsa_fn(mesh, sh, nlev, True)(Td)
         finally:
             jax.config.update("jax_enable_x64", prev)
     else:
-        sa, sai = _get_dsa_fn(mesh, sh, nlev, False)(Td)
+        sa, sai, lcp = _get_dsa_fn(mesh, sh, nlev, False)(Td)
     sa = np.asarray(jax.device_get(sa), dtype=np.int64)
     sai = np.asarray(jax.device_get(sai), dtype=np.int64)
+    lcp = np.asarray(jax.device_get(lcp), dtype=np.int64)
     off = npad - n
     if off:
         sa = sa[off:]
         sai = sai[:n] - off
-    lcp = lcp_from_sa_np(np.asarray(T_np, dtype=np.uint8), sa).astype(
-        np.int64
-    )
+        lcp = lcp[off:].copy()
+        lcp[0] = 0  # pad-vs-real boundary pair
+    if host_lcp:
+        lcp = lcp_from_sa_np(
+            np.asarray(T_np, dtype=np.uint8), sa
+        ).astype(np.int64)
     return sa, lcp, sai

@@ -53,7 +53,7 @@ WORKER = textwrap.dedent(
     # distributed SA build over the 2-host mesh (parallel/dsa.py): each
     # process feeds its local text shard, checks its local SA shard
     from reveal_tpu.parallel.dsa import _get_dsa_fn
-    from reveal_tpu.index.suffix import suffix_array_np
+    from reveal_tpu.index.suffix import lcp_from_sa_np, suffix_array_np
 
     rng = np.random.default_rng(5)
     T = np.concatenate([
@@ -65,11 +65,16 @@ WORKER = textwrap.dedent(
     Tg = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P(axis)), T[me * sh : (me + 1) * sh], (64,)
     )
-    sa, sai = _get_dsa_fn(mesh, sh=sh, nlev=7, use64=False)(Tg)
+    sa, sai, lcp = _get_dsa_fn(mesh, sh=sh, nlev=7, use64=False)(Tg)
     local_sa = np.asarray(sa.addressable_shards[0].data)
+    local_lcp = np.asarray(lcp.addressable_shards[0].data)
     sa_ref = suffix_array_np(T)
+    lcp_ref = lcp_from_sa_np(T, sa_ref)
     assert np.array_equal(local_sa, sa_ref[me * sh : (me + 1) * sh]), (
         "distributed SA shard mismatch on process %%d" %% me
+    )
+    assert np.array_equal(local_lcp, lcp_ref[me * sh : (me + 1) * sh]), (
+        "distributed LCP shard mismatch on process %%d" %% me
     )
     print("OK process", jax.process_index())
     """
