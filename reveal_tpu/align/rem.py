@@ -131,16 +131,38 @@ def _enum_pick(picker: MumPicker, idx: ESAIndex, cfg: PickerConfig):
     return pick
 
 
-def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig):
-    """LIFO worklist replicating aligner()'s threads=0 order."""
+def _align_loop(
+    G: PanGraph,
+    t: IntervalIndex,
+    root: ESAIndex,
+    cfg: PickerConfig,
+    anchor_log=None,
+):
+    """LIFO worklist replicating aligner()'s threads=0 order.
+
+    ``anchor_log`` (align/anchorlog.py) enables checkpoint/resume: the
+    deterministic pop order means replaying the logged picks — graph
+    surgery + SA split only, no enumeration, no pick DP — rebuilds the
+    exact state, after which live picking continues and keeps logging.
+    """
     picker = MumPicker(G, t, cfg)
     if not os.environ.get("REVEAL_TPU_DISABLE_FASTPICK"):
         picker.set_fastmap(root.nodes)
+    replay = anchor_log.replay if anchor_log is not None else []
     queue = [root]
     steps = 0
+    popcount = 0  # one log record per popped segment, incl. stops
     while queue:
         idx = queue.pop()  # LIFO (reveal.c:21-27)
-        pick = _enum_pick(picker, idx, cfg)
+        if popcount < len(replay):
+            replaying = True
+            pick = replay[popcount]
+        else:
+            replaying = False
+            pick = _enum_pick(picker, idx, cfg)
+            if anchor_log is not None:
+                anchor_log.append(pick)
+        popcount += 1
         if not pick:
             continue
         splitmum, skipleft, skipright = pick
@@ -162,7 +184,9 @@ def _align_loop(G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
             skipleft=skipleft,
             skipright=skipright,
             enum_minl=(
-                cfg.minlength
+                None
+                if replaying
+                else cfg.minlength
                 if picker.fastmap is not None
                 and idx.main.nsamples == 2
                 else None
@@ -608,6 +632,7 @@ def align_genomes(
     frontier: bool = False,
     mesh=None,
     threads: int = 0,
+    checkpoint: Optional[str] = None,
     **cfgkw,
 ):
     """File-based alignment (fasta inputs; gfa inputs arrive with the gfa
@@ -646,7 +671,20 @@ def align_genomes(
     idx.nodes = root_nodes
 
     cfg = PickerConfig(**cfgkw)
-    if frontier or mesh is not None:
+    if checkpoint:
+        if frontier or mesh is not None or (threads and threads > 0):
+            raise ValueError(
+                "checkpoint/resume requires the serial LIFO driver "
+                "(drop --frontier/--threads)"
+            )
+        from .anchorlog import AnchorLog, text_fingerprint
+
+        alog = AnchorLog(checkpoint, text_fingerprint(idx.main.T), cfg)
+        try:
+            _align_loop(G, t, idx, cfg, anchor_log=alog)
+        finally:
+            alog.close()
+    elif frontier or mesh is not None:
         _align_loop_frontier(G, t, idx, cfg, mesh=mesh)
     elif threads and threads > 0:
         _align_loop_levels(G, t, idx, cfg, threads)

@@ -77,6 +77,7 @@ def rem_cmd(args):
         multi=args.multi,
         frontier=args.frontier,
         threads=args.threads,
+        checkpoint=args.checkpoint,
         minlength=args.minlength,
         minn=args.minn,
         maxmums=args.maxmums,
@@ -1066,6 +1067,14 @@ def main(argv=None):
                         "parallelism over segments (deterministic: "
                         "output is independent of the thread count, "
                         "unlike the reference's pthread pool).")
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="Anchor-decision log for checkpoint/resume: "
+                        "every pick is appended as it happens; if FILE "
+                        "already holds records for these inputs, the "
+                        "run resumes by replaying them (graph surgery "
+                        "+ SA split only, no re-enumeration).  The "
+                        "reference has no partial-alignment resume "
+                        "(SURVEY §5.3); preemptible-host runs here do.")
     p.set_defaults(func=rem_cmd)
 
     p = sub.add_parser("bubbles", parents=[gp], help="List bubbles in a gfa graph.")
