@@ -103,6 +103,23 @@ def test_checkpoint_multigenome_resume(tmp_path):
     assert _gfa_bytes(tmp_path, G2, i2, "res3.gfa") == want
 
 
+def test_checkpoint_generic_picker_path(tmp_path, monkeypatch):
+    """With the native fast pick disabled the picker takes the generic
+    tuple path (trim/maptooffsets/chain in Python); its picks must
+    round-trip the log identically too."""
+    monkeypatch.setenv("REVEAL_TPU_DISABLE_FASTPICK", "1")
+    files = _mkpair(tmp_path, seed=17)
+    ck = str(tmp_path / "anchors.jsonl")
+    G1, i1 = align_genomes(files, minlength=8, checkpoint=ck)
+    want = _gfa_bytes(tmp_path, G1, i1, "g.gfa")
+    with open(ck) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    with open(ck, "w") as f:
+        f.write("\n".join(lines[: 1 + (len(lines) - 1) // 2]) + "\n")
+    G2, i2 = align_genomes(files, minlength=8, checkpoint=ck)
+    assert _gfa_bytes(tmp_path, G2, i2, "gr.gfa") == want
+
+
 def test_checkpoint_header_mismatch_refuses(tmp_path):
     files = _mkpair(tmp_path, seed=5)
     ck = str(tmp_path / "anchors.jsonl")
