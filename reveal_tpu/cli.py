@@ -222,8 +222,16 @@ def refine_cmd(args):
         from .hmm.msa import set_logadd_compat
 
         set_logadd_compat(True)
+    ck_meta = None
+    if args.checkpoint:
+        import hashlib
+
+        with open(args.graph[0], "rb") as f:
+            ck_meta = {"gfa_sha1": hashlib.sha1(f.read()).hexdigest()}
     G = refine_all(
         G,
+        checkpoint=args.checkpoint,
+        checkpoint_meta=ck_meta,
         minlength=args.minlength,
         minsize=args.minsize,
         mindiff=args.mindiff,
@@ -1146,6 +1154,14 @@ def main(argv=None):
                             "external tool from $PATH.")
         p.add_argument("--params", dest="parameters", default="",
                        help="Extra parameters for external MSA tools.")
+        p.add_argument("--checkpoint", default=None, metavar="FILE",
+                       help="Per-bubble result log for checkpoint/"
+                            "resume: each bubble's realignment is "
+                            "appended as it completes; re-running with "
+                            "the same FILE skips finished bubbles "
+                            "(their pairs never join the device batch) "
+                            "and splices the stored results — "
+                            "byte-identical output.")
         p.add_argument("--wp", dest="wpen", type=int, default=1,
                        help="Chaining penalty weight (reveal_rem).")
         p.add_argument("--ws", dest="wscore", type=int, default=1,

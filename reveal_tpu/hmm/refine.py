@@ -504,11 +504,51 @@ def refine_all(
     complex_only: bool = False,
     simple_only: bool = False,
     nogaps: bool = False,
+    checkpoint: Optional[str] = None,
+    checkpoint_meta: Optional[dict] = None,
     **kwargs,
 ):
-    """refine.py:377-525 (sequential path; device batching inside MSA)."""
+    """refine.py:377-525 (sequential path; device batching inside MSA).
+
+    ``checkpoint`` logs every bubble's result as it completes
+    (hmm/refinelog.py); a resumed run skips the logged bubbles' device
+    and MSA work entirely and splices their stored results in the
+    original order — byte-identical output.  ``checkpoint_meta`` is
+    folded into the log header (callers pin the input file hash)."""
     if minsize is None:
         minsize = minlength
+
+    ck = None
+    if checkpoint:
+        from .refinelog import RefineLog
+
+        meta = dict(checkpoint_meta or {})
+        meta.update(
+            minlength=minlength,
+            minsize=minsize,
+            mindiff=mindiff,
+            maxdiff=maxdiff,
+            maxsize=maxsize,
+            maxcumsize=maxcumsize,
+            mincumsize=mincumsize,
+            complex_only=complex_only,
+            simple_only=simple_only,
+            nogaps=nogaps,
+        )
+        for k in (
+            "minconf",
+            "constrans",
+            "consgap",
+            "nrefinements",
+            "uniqueonly",
+            "method",
+            "parameters",
+            "wpen",
+            "wscore",
+        ):
+            if k in kwargs:
+                meta[k] = kwargs[k]
+        ck = RefineLog(checkpoint, meta)
 
     realignbubbles = []
     for b in bubbles(G):
@@ -553,13 +593,20 @@ def refine_all(
 
     # phase 1: extract every bubble's alleles, collect all posterior pairs
     # so the pair-HMM runs as a few large device batches instead of one
-    # round-trip per bubble
+    # round-trip per bubble.  Checkpointed bubbles skip extraction and
+    # never join the batch; their stored results fill their slot.
     work = []
     all_pairs = []
     pair_slices = []
+    slots = []  # splice order: ("stored", res) | ("job", work index)
     for bubble in distinct:
         G.nodes[bubble.source]["aligned"] = 1
         G.nodes[bubble.sink]["aligned"] = 1
+        if ck is not None:
+            stored = ck.done.get((bubble.source, bubble.sink))
+            if stored is not None:
+                slots.append(("stored", stored))
+                continue
         bnodes = list(set(bubble.nodes) - {bubble.source, bubble.sink})
         sg = G.subgraph(bnodes)
         offsets = {
@@ -581,6 +628,7 @@ def refine_all(
             for b in range(a + 1, len(seqs)):
                 all_pairs.append((seqs[a], seqs[b]))
         pair_slices.append((start, len(all_pairs)))
+        slots.append(("job", len(work)))
         work.append((bubble, sg, offsets, paths, aobjs))
 
     from .msa import (
@@ -722,10 +770,17 @@ def refine_all(
         if pm is not None or posteriors
     ]
     results = [None] * len(jobs)
+
+    def _record(i, res):
+        results[i] = res
+        if ck is not None and res is not None:
+            b = work[i][0]
+            ck.append((b.source, b.sink), res)
+
     par_set = set(parallel_ix)
     for i in range(len(jobs)):
         if i not in par_set:
-            results[i] = _run(jobs[i])
+            _record(i, _run(jobs[i]))
     if parallel_ix:
         ran = False
         if nproc > 1 and len(parallel_ix) > 1:
@@ -747,9 +802,12 @@ def refine_all(
                 _mp_state = (_run, jobs)
                 try:
                     with ctx.Pool(processes=nproc) as pool:
+                        # imap streams results back as chunks finish, so
+                        # the checkpoint log fills during the run, not
+                        # only at pool teardown
                         for i, res in zip(
                             parallel_ix,
-                            pool.map(
+                            pool.imap(
                                 _mp_run_job,
                                 parallel_ix,
                                 chunksize=max(
@@ -757,7 +815,7 @@ def refine_all(
                                 ),
                             ),
                         ):
-                            results[i] = res
+                            _record(i, res)
                     ran = True
                 except Exception as e:
                     log.warning(
@@ -767,11 +825,16 @@ def refine_all(
                     _mp_state = None
         if not ran:
             for i in parallel_ix:
-                results[i] = _run(jobs[i])
+                _record(i, _run(jobs[i]))
 
-    for res in results:
+    # splice in the original bubble order (stored results interleave at
+    # their positions), identical to an uninterrupted sequential run
+    for kind, payload in slots:
+        res = payload if kind == "stored" else results[payload]
         if res is None:
             continue
         bubble, ng, path2start, path2end = res
         G, nn = replace_bubble(G, bubble, ng, path2start, path2end, nn)
+    if ck is not None:
+        ck.close()
     return G
