@@ -951,36 +951,58 @@ def align_cmd(args):
             # reference README's "can be run in parallel on a compute
             # cluster", README.md:45, expressed in the emitted script)
             par = getattr(args, "parallel", False) and len(chunks) > 1
+            ckpts = getattr(args, "checkpoints", False)
             for chunk in chunks:
                 amp = " &" if par else ""
                 if len(chunks) == 1 and graphs == []:
+                    ck = (
+                        " --checkpoint %s.anchors" % args.output
+                        if ckpts
+                        else ""
+                    )
                     out.write(
-                        "%s rem %s -o %s.gfa%s\n"
-                        % (prog, " ".join(chunk), args.output, amp)
+                        "%s rem %s -o %s.gfa%s%s\n"
+                        % (prog, " ".join(chunk), args.output, ck, amp)
                     )
                     graphs.append(args.output + ".gfa")
+                    if ckpts:
+                        tmpfiles.append(args.output + ".anchors")
                 else:
                     tmp = uuidmod.uuid4().hex
+                    ck = " --checkpoint %s.anchors" % tmp if ckpts else ""
                     out.write(
-                        "%s rem %s -o %s.gfa%s\n"
-                        % (prog, " ".join(chunk), tmp, amp)
+                        "%s rem %s -o %s.gfa%s%s\n"
+                        % (prog, " ".join(chunk), tmp, ck, amp)
                     )
                     graphs.append(tmp + ".gfa")
                     tmpfiles.append(tmp + ".gfa")
+                    if ckpts:
+                        tmpfiles.append(tmp + ".anchors")
             if par:
                 out.write("wait\n")
             level += 1
     else:  # simultaneous
-        out.write(
-            "%s rem %s -m%d -o %s.gfa\n"
-            % (prog, " ".join(graphs), args.minlength, args.output)
+        ck = (
+            " --checkpoint %s.anchors" % args.output
+            if getattr(args, "checkpoints", False)
+            else ""
         )
+        out.write(
+            "%s rem %s -m%d -o %s.gfa%s\n"
+            % (prog, " ".join(graphs), args.minlength, args.output, ck)
+        )
+        if getattr(args, "checkpoints", False):
+            tmpfiles.append(args.output + ".anchors")
 
-    if tmpfiles:
+    # with --checkpoints the cleanup moves to the end of the script: a
+    # crash in a later stage must not delete the checkpoint/tempfiles a
+    # re-run of the same script would resume from
+    if tmpfiles and not getattr(args, "checkpoints", False):
         step += 1
         out.write("#(%d) Cleanup tempfiles\n" % step)
         for tmp in tmpfiles:
-            out.write("rm %s\n" % tmp)
+            out.write("rm -f %s\n" % tmp)
+        tmpfiles = []
 
     if not args.nounzip:
         step += 1
@@ -993,10 +1015,15 @@ def align_cmd(args):
             "#(%d) Refine all bubbles in the graph using the pair-HMM "
             "MSA\n" % step
         )
+        ck = (
+            " --checkpoint %s.bubbles" % args.output
+            if getattr(args, "checkpoints", False)
+            else ""
+        )
         out.write(
             "%s refine %s.unzipped.gfa --all --maxsize=10000 --minsize=2 "
-            "--mindiff=0 --minconf=%d -o %s.unzipped.realigned.gfa\n"
-            % (prog, args.output, args.minconf, args.output)
+            "--mindiff=0 --minconf=%d%s -o %s.unzipped.realigned.gfa\n"
+            % (prog, args.output, args.minconf, ck, args.output)
         )
 
     if not args.novariants:
@@ -1016,6 +1043,14 @@ def align_cmd(args):
                 "%s variants %s.unzipped.realigned.gfa --vcf > "
                 "%s.refined.vcf\n" % (prog, args.output, args.output)
             )
+
+    if tmpfiles:
+        if getattr(args, "checkpoints", False):
+            tmpfiles.append(args.output + ".bubbles")
+        step += 1
+        out.write("#(%d) Cleanup tempfiles and checkpoints\n" % step)
+        for tmp in tmpfiles:
+            out.write("rm -f %s\n" % tmp)
 
 
 # ---------------------------------------------------------------------------
@@ -1227,6 +1262,13 @@ def main(argv=None):
                    help="Background the independent chunk jobs of each "
                         "sequential level with a wait barrier between "
                         "levels (reference README.md:45).")
+    p.add_argument("--checkpoints", action="store_true",
+                   help="Give every rem job and the refine stage a "
+                        "--checkpoint file so re-running the SAME "
+                        "emitted script after a crash or preemption "
+                        "resumes each stage instead of recomputing it; "
+                        "chunk checkpoint files are removed with their "
+                        "tempfiles.")
     p.add_argument("-m", "--minlength", type=int, default=20)
     p.add_argument("--minconf", type=int, default=0)
     p.add_argument("--nounzip", action="store_true")

@@ -181,6 +181,71 @@ def test_align_script_parallel(data, capsys, tmp_path, monkeypatch):
     assert outs[True] == outs[False]
 
 
+def test_align_script_checkpoints(data, capsys, tmp_path):
+    """--checkpoints gives every rem job and the refine stage a
+    --checkpoint file, defers cleanup to the script end, and a partial
+    run (one chunk job done) resumes through the same script to the
+    same graph as a checkpoint-free run."""
+    import subprocess
+    import sys as _sys
+
+    d, seqs = data
+    base = ["align", d / "ga.fa", d / "gb.fa", d / "gc.fa",
+            "--order", "sequential", "--chunksize", "2", "-o", "prg",
+            "--norefine", "--nounzip", "--novariants"]
+    run(base)
+    plain = capsys.readouterr().out
+    assert "--checkpoint" not in plain
+    run(base + ["--checkpoints"])
+    ck = capsys.readouterr().out
+    rems = [ln for ln in ck.splitlines() if " rem " in ln]
+    assert rems and all("--checkpoint" in ln for ln in rems)
+    # cleanup (incl. .anchors) is the LAST step of the script
+    lines = [ln for ln in ck.splitlines() if ln and not ln.startswith("#")]
+    assert lines[-1].startswith("rm -f")
+    assert any(".anchors" in ln for ln in lines)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    script = ck.replace("python -m", "%s -m" % _sys.executable)
+    wd = tmp_path / "ckrun"
+    wd.mkdir()
+    (wd / "run.sh").write_text(script)
+    # simulate a preempted run: execute only the first rem chunk job
+    first_rem = next(
+        ln for ln in script.splitlines() if " rem " in ln
+    ).rstrip("& ")
+    r = subprocess.run(
+        ["bash", "-c", first_rem], cwd=wd, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert list(wd.glob("*.anchors")), "chunk checkpoint missing"
+    # now the full script: the finished chunk replays from its log
+    r = subprocess.run(
+        ["bash", "run.sh"], cwd=wd, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert not list(wd.glob("*.anchors")), "cleanup left checkpoints"
+
+    wd2 = tmp_path / "plainrun"
+    wd2.mkdir()
+    (wd2 / "run.sh").write_text(
+        plain.replace("python -m", "%s -m" % _sys.executable)
+    )
+    r = subprocess.run(
+        ["bash", "run.sh"], cwd=wd2, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert (wd / "prg.gfa").read_bytes() == (wd2 / "prg.gfa").read_bytes()
+
+
 def test_align_script_simultaneous(data, capsys):
     d, seqs = data
     run(["align", d / "ga.fa", d / "gb.fa", "--order", "simultaneous",
