@@ -929,14 +929,16 @@ def probcons_align(
     aln = process(tree)
 
     # ---- stage 5: iterative refinement ----
+    # the bipartition stream is drawn up front (identical rng call
+    # sequence to the per-round draw) so the whole stage can run in one
+    # native call: project + BuildPosterior + MEA + re-merge per round,
+    # CSR posteriors, no per-round Python (DoIterativeRefinement,
+    # Probcons.cc:1467-1490)
     rng = np.random.default_rng(seed)
-    for _ in range(refinement):
-        mask = rng.integers(0, 2, size=N)
-        g1 = [k for k in range(N) if mask[k]]
-        g2 = [k for k in range(N) if not mask[k]]
-        if not g1 or not g2:
-            continue
-        aln = _refine_once(aln, g1, g2, mats)
+    masks = np.stack(
+        [rng.integers(0, 2, size=N) for _ in range(refinement)]
+    ).astype(np.uint8) if refinement else np.zeros((0, N), np.uint8)
+    aln = _refine_stage(aln, masks, mats, N)
 
     # ---- stage 6: column confidence ----
     conf = _annotation(aln, mats)
@@ -966,6 +968,43 @@ def _refine_once(aln: _Aln, g1, g2, mats) -> _Aln:
     a2 = _project(aln, g2)
     merged, _ = _align_alignments(a1, a2, mats)
     return merged
+
+
+def _refine_stage(aln: _Aln, masks: np.ndarray, mats, N: int) -> _Aln:
+    """Run all refinement rounds: one native call when available
+    (native.refine_rounds_native, bit-identical differential test in
+    tests/test_msa.py), else the per-round Python loop."""
+    if aln.labels == list(range(N)):
+        try:
+            from ..native import refine_rounds_native
+
+            rows = np.stack(
+                [
+                    np.frombuffer(r.encode("latin1"), dtype=np.uint8)
+                    for r in aln.rows
+                ]
+            ) if aln.length else np.zeros((N, 0), np.uint8)
+            mats_list = [
+                mats[(a, b)] for a in range(N) for b in range(a + 1, N)
+            ]
+            res = refine_rounds_native(rows, mats_list, masks)
+            if res is not None:
+                return _Aln(
+                    list(range(N)),
+                    [
+                        res[k].tobytes().decode("latin1")
+                        for k in range(N)
+                    ],
+                )
+        except Exception:  # pragma: no cover
+            pass
+    for mask in masks:
+        g1 = [k for k in range(N) if mask[k]]
+        g2 = [k for k in range(N) if not mask[k]]
+        if not g1 or not g2:
+            continue
+        aln = _refine_once(aln, g1, g2, mats)
+    return aln
 
 
 def _annotation(aln: _Aln, mats) -> List[int]:

@@ -226,6 +226,12 @@ def get_lib():
             + [ctypes.c_void_p] * 10
             + [ctypes.c_int64]
         )
+        lib.rtpu_refine_rounds.restype = ctypes.c_int64
+        lib.rtpu_refine_rounds.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+            + [ctypes.c_void_p] * 4
+            + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+        )
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -904,3 +910,53 @@ def build_posterior_native(L1, W, pair_jobs, m1s, m2s):
         ctypes.c_int64(n),
     )
     return post
+
+
+def refine_rounds_native(rows, mats_list, masks):
+    """All iterative-refinement rounds of one MSA problem in one call
+    (DoIterativeRefinement, Probcons.cc:1467-1490): project / scatter-add
+    posteriors / MEA DP / re-merge, natively per round.
+
+    rows: (N, L0) uint8 alignment matrix with row k = label k, '-' = gap.
+    mats_list: dense float32 (la+1, lb+1) posterior matrices in (a < b)
+    lexicographic pair order.  masks: (nrounds, N) uint8 bipartitions.
+    Returns the refined (N, L) uint8 matrix, or None if the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    N, L0 = rows.shape
+    masks = np.ascontiguousarray(masks, dtype=np.uint8)
+    nrounds = masks.shape[0]
+    n = len(mats_list)
+    assert n == N * (N - 1) // 2
+    ptrs = (ctypes.c_void_p * max(n, 1))()
+    mrows = np.empty(max(n, 1), dtype=np.int64)
+    mcols = np.empty(max(n, 1), dtype=np.int64)
+    keep = []
+    for k, P in enumerate(mats_list):
+        Pc = np.ascontiguousarray(P, dtype=np.float32)
+        keep.append(Pc)
+        ptrs[k] = Pc.ctypes.data
+        mrows[k] = Pc.shape[0]
+        mcols[k] = Pc.shape[1]
+    # merged columns always hold >=1 residue, so the total residue count
+    # bounds every intermediate alignment length
+    Lcap = max(int(L0), int(np.count_nonzero(rows != ord("-")))) + 1
+    out = np.empty((N, Lcap), dtype=np.uint8)
+    L = lib.rtpu_refine_rounds(
+        rows.ctypes.data,
+        ctypes.c_int64(N),
+        ctypes.c_int64(L0),
+        ctypes.cast(ptrs, ctypes.c_void_p),
+        mrows.ctypes.data,
+        mcols.ctypes.data,
+        masks.ctypes.data,
+        ctypes.c_int64(nrounds),
+        out.ctypes.data,
+        ctypes.c_int64(Lcap),
+    )
+    if L < 0:  # pragma: no cover
+        return None
+    return np.ascontiguousarray(out[:, :L])

@@ -1427,6 +1427,247 @@ void build_posterior_sum(float* post, int64_t W, const float** Ps,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Whole iterative-refinement stage in one call (DoIterativeRefinement,
+// Probcons.cc:1467-1490): per round, project the alignment onto the two
+// bipartition groups (MultiSequence::Project, MultiSequence.h:653-700),
+// scatter the pairwise posteriors into alignment-column coordinates
+// (BuildPosterior), run the MEA DP, re-merge with gaps, stable-sort by
+// label.  Float32 arithmetic, accumulation order, and ChooseBestOfThree
+// tie order match hmm/msa.probcons_align stage 5 bit-for-bit
+// (differential test tests/test_msa.py); the posterior mats are
+// CSR-ified once so every round touches only nonzero entries instead of
+// re-scanning the dense matrices.
+// ---------------------------------------------------------------------------
+
+constexpr uint8_t GAP = '-';
+
+struct CsrMat {
+  std::vector<int64_t> rowptr;  // nrows + 1
+  std::vector<int32_t> col;
+  std::vector<float> val;
+  int64_t nrows = 0;
+};
+
+// mea_dp twin that reuses a caller-held traceback arena (one refinement
+// call runs ~100 DPs; the arena skips ~100 large zero-init allocations).
+// Identical cell values / tie choices to mea_dp above.
+int64_t mea_dp_arena(const float* post, int64_t L1, int64_t L2,
+                     uint8_t* edit_out, std::vector<float>& rowbuf,
+                     std::vector<uint8_t>& tbbuf) {
+  const int64_t W = L2 + 1;
+  rowbuf.resize(2 * W);
+  float* oldrow = rowbuf.data();
+  float* newrow = rowbuf.data() + W;
+  for (int64_t j = 0; j <= L2; ++j) oldrow[j] = 0.0f;
+  if ((int64_t)tbbuf.size() < (L1 + 1) * W) tbbuf.resize((L1 + 1) * W);
+  uint8_t* tb = tbbuf.data();
+  for (int64_t j = 0; j <= L2; ++j) tb[j] = 1;  // 'L'
+  for (int64_t i = 1; i <= L1; ++i) {
+    tb[i * W] = 2;  // 'U'
+    newrow[0] = 0.0f;
+    const float* prow = post + i * W;
+    uint8_t* trow = tb + i * W;
+    for (int64_t j = 1; j <= L2; ++j) {
+      float dv = prow[j] + oldrow[j - 1];
+      float uv = oldrow[j];
+      float lv = newrow[j - 1];
+      if (dv >= lv) {
+        if (dv >= uv) {
+          newrow[j] = dv;
+          trow[j] = 0;
+        } else {
+          newrow[j] = uv;
+          trow[j] = 2;
+        }
+      } else if (lv >= uv) {
+        newrow[j] = lv;
+        trow[j] = 1;
+      } else {
+        newrow[j] = uv;
+        trow[j] = 2;
+      }
+    }
+    std::swap(oldrow, newrow);
+  }
+  int64_t r = L1, c = L2, k = 0;
+  while (r != 0 || c != 0) {
+    uint8_t ch = tb[r * W + c];
+    if (ch == 1) {
+      --c;
+      edit_out[k++] = 1;  // 'Y'
+    } else if (ch == 2) {
+      --r;
+      edit_out[k++] = 2;  // 'X'
+    } else {
+      --r;
+      --c;
+      edit_out[k++] = 0;  // 'B'
+    }
+  }
+  std::reverse(edit_out, edit_out + k);
+  return k;
+}
+
+// CSR scatter-accumulate, same traversal (and f32 summation) order as
+// posterior_accum over the dense matrix: row-major, ascending column.
+void csr_accum(float* post, int64_t W, const CsrMat& M, const int64_t* m1,
+               const int64_t* m2, int transpose) {
+  if (!transpose) {
+    for (int64_t ii = 0; ii < M.nrows; ++ii) {
+      float* pr = post + m1[ii] * W;
+      for (int64_t t = M.rowptr[ii]; t < M.rowptr[ii + 1]; ++t) {
+        pr[m2[M.col[t]]] += M.val[t];
+      }
+    }
+  } else {
+    // logical P_t[ii, jj] = P[jj, ii]: CSR rows are the second group's
+    // residues, columns the first's
+    for (int64_t jj = 0; jj < M.nrows; ++jj) {
+      int64_t mj = m2[jj];
+      for (int64_t t = M.rowptr[jj]; t < M.rowptr[jj + 1]; ++t) {
+        post[m1[M.col[t]] * W + mj] += M.val[t];
+      }
+    }
+  }
+}
+
+// rows0: (N, L0) row-major alignment matrix, row k = label k, '-' = gap.
+// mats[p]: dense float32 (la+1, lb+1) posterior for pair p in a<b
+// lexicographic order (p = a*N - a*(a+1)/2 + b - a - 1).
+// masks: (nrounds, N) bipartition indicators (group 1 where nonzero).
+// out_rows: (N, Lcap) caller buffer; returns the final alignment length,
+// or -1 if an intermediate alignment exceeds Lcap (cannot happen when
+// Lcap >= total residue count, since merged columns always hold >=1
+// residue).
+int64_t refine_rounds(const uint8_t* rows0, int64_t N, int64_t L0,
+                      const float** mats, const int64_t* mrows,
+                      const int64_t* mcols, const uint8_t* masks,
+                      int64_t nrounds, uint8_t* out_rows, int64_t Lcap) {
+  if (L0 > Lcap) return -1;
+  const int64_t npairs = N * (N - 1) / 2;
+  std::vector<CsrMat> csr(npairs);
+  for (int64_t p = 0; p < npairs; ++p) {
+    CsrMat& M = csr[p];
+    M.nrows = mrows[p];
+    M.rowptr.resize(M.nrows + 1);
+    const float* D = mats[p];
+    int64_t w = mcols[p];
+    M.rowptr[0] = 0;
+    for (int64_t i = 0; i < M.nrows; ++i) {
+      const float* row = D + i * w;
+      for (int64_t j = 0; j < w; ++j) {
+        if (row[j] != 0.0f) {
+          M.col.push_back((int32_t)j);
+          M.val.push_back(row[j]);
+        }
+      }
+      M.rowptr[i + 1] = (int64_t)M.col.size();
+    }
+  }
+
+  auto pidx = [N](int64_t a, int64_t b) {
+    return a * N - a * (a + 1) / 2 + b - a - 1;
+  };
+
+  // double-buffered alignment state, stride Lcap
+  std::vector<uint8_t> buf(2 * N * Lcap);
+  uint8_t* cur = buf.data();
+  uint8_t* nxt = buf.data() + N * Lcap;
+  for (int64_t k = 0; k < N; ++k)
+    std::copy(rows0 + k * L0, rows0 + (k + 1) * L0, cur + k * Lcap);
+  int64_t L = L0;
+
+  std::vector<int64_t> g1, g2, kept1, kept2;
+  std::vector<std::vector<int64_t>> maps(N);  // per-label residue->column
+  std::vector<float> post;
+  std::vector<float> mea_rows;
+  std::vector<uint8_t> mea_tb;
+  std::vector<uint8_t> edit;
+
+  for (int64_t r = 0; r < nrounds; ++r) {
+    const uint8_t* mask = masks + r * N;
+    g1.clear();
+    g2.clear();
+    for (int64_t k = 0; k < N; ++k) (mask[k] ? g1 : g2).push_back(k);
+    if (g1.empty() || g2.empty()) continue;
+
+    // ---- project both groups: kept columns + per-row mappings ----
+    auto project = [&](const std::vector<int64_t>& g,
+                       std::vector<int64_t>& kept) {
+      kept.clear();
+      for (int64_t k : g) {
+        maps[k].clear();
+        maps[k].push_back(0);
+      }
+      for (int64_t c = 0; c < L; ++c) {
+        bool any = false;
+        for (int64_t k : g) {
+          if (cur[k * Lcap + c] != GAP) {
+            any = true;
+            break;
+          }
+        }
+        if (!any) continue;
+        kept.push_back(c);
+        int64_t pc = (int64_t)kept.size();  // 1-based projected column
+        for (int64_t k : g) {
+          if (cur[k * Lcap + c] != GAP) maps[k].push_back(pc);
+        }
+      }
+    };
+    project(g1, kept1);
+    project(g2, kept2);
+    const int64_t L1 = (int64_t)kept1.size();
+    const int64_t L2 = (int64_t)kept2.size();
+    const int64_t W = L2 + 1;
+
+    // ---- BuildPosterior over cross-group pairs, job order = Python's
+    // (ascending a1 label x ascending a2 label) ----
+    post.assign((L1 + 1) * W, 0.0f);
+    for (int64_t a : g1) {
+      for (int64_t b : g2) {
+        if (a < b) {
+          csr_accum(post.data(), W, csr[pidx(a, b)], maps[a].data(),
+                    maps[b].data(), 0);
+        } else {
+          csr_accum(post.data(), W, csr[pidx(b, a)], maps[a].data(),
+                    maps[b].data(), 1);
+        }
+      }
+    }
+
+    // ---- MEA DP + traceback ----
+    edit.resize(L1 + L2 + 1);
+    int64_t elen =
+        mea_dp_arena(post.data(), L1, L2, edit.data(), mea_rows, mea_tb);
+    if (elen > Lcap) return -1;
+
+    // ---- AddGaps + merge; labels stay sorted (row k = label k) ----
+    for (int64_t k = 0; k < N; ++k) {
+      bool in1 = mask[k] != 0;
+      const std::vector<int64_t>& kept = in1 ? kept1 : kept2;
+      uint8_t keep_op = in1 ? 2 : 1;  // 'X' advances g1, 'Y' advances g2
+      const uint8_t* src = cur + k * Lcap;
+      uint8_t* dst = nxt + k * Lcap;
+      int64_t c = 0;
+      for (int64_t t = 0; t < elen; ++t) {
+        if (edit[t] == 0 || edit[t] == keep_op) {
+          dst[t] = src[kept[c++]];
+        } else {
+          dst[t] = GAP;
+        }
+      }
+    }
+    std::swap(cur, nxt);
+    L = elen;
+  }
+
+  for (int64_t k = 0; k < N; ++k)
+    std::copy(cur + k * Lcap, cur + k * Lcap + L, out_rows + k * Lcap);
+  return L;
+}
+
 }  // namespace
 
 }  // namespace
@@ -1453,6 +1694,15 @@ void rtpu_build_posterior(float* post, int64_t W, const float** Ps,
                           int64_t npairs) {
   build_posterior_sum(post, W, Ps, pl1, pl2, pw, tflags, m1_idx, m2_idx,
                       m1_cat, m1_off, m2_cat, m2_off, npairs);
+}
+
+int64_t rtpu_refine_rounds(const uint8_t* rows0, int64_t N, int64_t L0,
+                           const float** mats, const int64_t* mrows,
+                           const int64_t* mcols, const uint8_t* masks,
+                           int64_t nrounds, uint8_t* out_rows,
+                           int64_t Lcap) {
+  return refine_rounds(rows0, N, L0, mats, mrows, mcols, masks, nrounds,
+                       out_rows, Lcap);
 }
 
 int64_t rtpu_trim_overlap(int64_t* L, int64_t* P, int64_t k, int64_t d,

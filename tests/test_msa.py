@@ -116,3 +116,69 @@ def test_posterior_accum_native_matches_numpy():
         ok = posterior_accum_native(out, Pin, m1, m2, transpose=transpose)
         if ok:
             np.testing.assert_allclose(out, ref, atol=0)
+
+def test_refine_rounds_native_matches_python_loop():
+    """The one-call native refinement stage must reproduce the per-round
+    Python loop byte-for-byte: same projections, same f32 scatter-add
+    order, same MEA tie choices, same merge order."""
+    from reveal_tpu.hmm import msa as m
+    from reveal_tpu.native import refine_rounds_native
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        N = int(rng.integers(2, 6))
+        lens = [int(rng.integers(2, 25)) for _ in range(N)]
+        seqs = [
+            "".join(rng.choice(list("ACGT"), size=l)) for l in lens
+        ]
+        # random sparsified posterior mats in pair order
+        mats = {}
+        for a in range(N):
+            for b in range(a + 1, N):
+                P = rng.random(
+                    (lens[a] + 1, lens[b] + 1), dtype=np.float32
+                )
+                P[P < 0.55] = 0
+                P[0, :] = 0
+                P[:, 0] = 0
+                mats[(a, b)] = P
+        # a trivially valid starting alignment: block-diagonal layout
+        L0 = sum(lens)
+        rows = []
+        off = 0
+        for k in range(N):
+            rows.append(
+                "-" * off + seqs[k] + "-" * (L0 - off - lens[k])
+            )
+            off += lens[k]
+        aln0 = m._Aln(list(range(N)), rows)
+        masks = rng.integers(0, 2, size=(40, N)).astype(np.uint8)
+        # include degenerate all-ones / all-zeros rounds
+        masks[3, :] = 1
+        masks[7, :] = 0
+
+        # python reference loop
+        aln = aln0
+        for mask in masks:
+            g1 = [k for k in range(N) if mask[k]]
+            g2 = [k for k in range(N) if not mask[k]]
+            if not g1 or not g2:
+                continue
+            aln = m._refine_once(aln, g1, g2, mats)
+
+        rows0 = np.stack(
+            [
+                np.frombuffer(r.encode("latin1"), dtype=np.uint8)
+                for r in aln0.rows
+            ]
+        )
+        mats_list = [
+            mats[(a, b)] for a in range(N) for b in range(a + 1, N)
+        ]
+        res = refine_rounds_native(rows0, mats_list, masks)
+        if res is None:
+            pytest.skip("native kernels unavailable")
+        got = [res[k].tobytes().decode("latin1") for k in range(N)]
+        assert got == aln.rows, "trial %d" % trial
+        for k in range(N):
+            assert got[k].replace("-", "") == seqs[k]
