@@ -143,6 +143,21 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
     P = int(mesh.devices.size)
     idt = jnp.int64 if use64 else jnp.int32
 
+    def after(x, dep):
+        """Make x's consumers depend on dep (opaque, survives XLA opt).
+
+        Every collective in shard_fn is threaded into ONE dependency
+        chain with this: the gloo CPU transport matches messages on a
+        channel by posting order, and independent collective chains may
+        be posted in different orders by different processes (observed:
+        a cached/AOT-loaded executable interleaves independent chains
+        differently than the freshly jitted one — two emulated hosts
+        then pair a 3*sh-wide merge-split against an sh-wide one and
+        crash in gloo; with equal widths it would silently miswire).
+        A real data dependency forces every executor to one order."""
+        x, _ = jax.lax.optimization_barrier((x, dep))
+        return x
+
     def from_ahead(x, q):
         """Local block of the shard q places ahead (zero-fill past end)."""
         if q == 0:
@@ -159,7 +174,7 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
         a = from_ahead(x, q)
         if o == 0:
             return a
-        b = from_ahead(x, q + 1)
+        b = from_ahead(after(x, a), q + 1)  # after: see `after`
         return jnp.concatenate([a[o:], b[:o]])
 
     def local_sort(arrs, nkeys):
@@ -181,9 +196,11 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
                 partner = jnp.asarray(np.array(part, np.int32))[me]
                 keep_lo = jnp.asarray(np.array(keep_low, np.bool_))[me]
                 perm = [(j, part[j]) for j in range(P)]
-                recv = tuple(
-                    jax.lax.ppermute(a, axis, perm) for a in arrs
-                )
+                # ONE packed ppermute per layer: per-array ppermutes
+                # would be mutually independent collectives on the same
+                # channel (see `after`)
+                recv_st = jax.lax.ppermute(jnp.stack(arrs), axis, perm)
+                recv = tuple(recv_st[t] for t in range(len(arrs)))
                 is_first = me < partner
                 is_self = me == partner
                 # canonical concat order (lower-indexed block first):
@@ -214,6 +231,7 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
 
     oe_sort = _make_net_sort(sh)
     oe_sort2 = _make_net_sort(2 * sh)
+    oe_sort3 = _make_net_sort(3 * sh)
     npad_c = sh * P
 
     def prev_halo(x):
@@ -222,33 +240,52 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             x[-1:], axis, [(j, j + 1) for j in range(P - 1)]
         )
 
-    def dist_gather(val, q, iar_g, me):
-        """ans[j] = val_global[q[j]] for arbitrary q in [0, npad).
+    def dist_gather2(val, qa, qb, iar_g, me):
+        """(val_global[qa[j]], val_global[qb[j]]) in ONE sort pass.
 
-        Sort-based distributed gather (module docstring): value entries
-        (key=position, payload=value) and query entries (key=q,
+        Sort-based distributed gather (module docstring), batched for
+        the LCP descent's paired a/b rank queries: sh value entries
+        (key=position, payload=value) and 2*sh query entries (key=q,
         payload=qid) network-sort together by (key, tag) — every
         position exists as a value entry, so each query's nearest
         preceding entry in the sorted order is exactly its answer.
         Forward-propagate values (local max-scan + one all_gather for
-        the cross-shard carry), sort back by qid, and ppermute shard
-        halves to restore the canonical sh-wide blocking.
-        """
-        key = jnp.concatenate([iar_g, q])
+        the cross-shard carry), then sort back.  One 3*sh-wide pass
+        replaces two 2*sh-wide single-query gathers — half the
+        per-level sort count (2 sorts of 1.5x width vs 4).
+
+        The back-sort key IS the destination slot: a-answer for global
+        qid g goes to slot 3*(g//sh)*sh + g%sh, the b-answer sh later,
+        and value entries (original position pos) fill their shard's
+        third block at 3*(pos//sh)*sh + 2*sh + pos%sh — together the
+        keys cover [0, 3*npad) exactly once, so after the sort every
+        shard reads its a/b answers from its first two local blocks
+        with NO redistribute.  (An earlier six-ppermute 2-of-3 block
+        redistribute was rejected: the a/b ppermute chains were
+        mutually independent, and per-process XLA thunk schedules may
+        order independent collectives differently — gloo then pairs
+        mismatched messages across processes; the single dependent
+        chain here leaves the scheduler no such freedom.)"""
+        key = jnp.concatenate([iar_g, qa, qb])
         tag = jnp.concatenate(
-            [jnp.zeros(sh, idt), jnp.ones(sh, idt)]
+            [jnp.zeros(sh, idt), jnp.ones(2 * sh, idt)]
         )
-        pay = jnp.concatenate([val, iar_g])
-        k_s, t_s, p_s = oe_sort2((key, tag, pay), nkeys=2)
+        pay = jnp.concatenate([val, iar_g, idt(npad_c) + iar_g])
+        k_s, t_s, p_s = oe_sort3((key, tag, pay), nkeys=2)
         isval = t_s == 0
-        pos = jnp.arange(2 * sh)
+        pos = jnp.arange(3 * sh)
         idxv = jnp.where(isval, pos, -1)
         lastidx = jax.lax.associative_scan(jnp.maximum, idxv)
         li = lastidx[-1]
         shard_last = p_s[jnp.maximum(li, 0)]
         has = (li >= 0).astype(idt)
-        lasts = jax.lax.all_gather(shard_last[None], axis, tiled=True)
-        hass = jax.lax.all_gather(has[None], axis, tiled=True)
+        # one fused all_gather for (carry value, has-value flag): the two
+        # vectors ride one collective, both for bandwidth and to avoid
+        # independent same-channel sends (see docstring)
+        both = jnp.stack([shard_last, has])
+        gathered = jax.lax.all_gather(both, axis)  # (P, 2)
+        lasts = gathered[:, 0]
+        hass = gathered[:, 1]
         pidx = jnp.arange(P)
         score = jnp.where((hass > 0) & (pidx < me), pidx, -1)
         j = jnp.argmax(score)
@@ -256,19 +293,19 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
         localval = jnp.where(
             lastidx >= 0, p_s[jnp.maximum(lastidx, 0)], carry
         )
-        # answers back to qid order; value slots sort past every qid
-        backkey = jnp.where(isval, idt(npad_c) + k_s, p_s)
-        _, ansq = oe_sort2((backkey, localval), nkeys=1)
-        low, high = ansq[:sh], ansq[sh:]
-        recv_low = jax.lax.ppermute(
-            low, axis, [(s, 2 * s) for s in range(P) if 2 * s < P]
+        # destination-keyed back-sort (see docstring)
+        g = jnp.where(
+            isval, k_s, jnp.where(p_s >= npad_c, p_s - npad_c, p_s)
         )
-        recv_high = jax.lax.ppermute(
-            high,
-            axis,
-            [(s, 2 * s + 1) for s in range(P) if 2 * s + 1 < P],
+        block = (g // idt(sh)).astype(idt)
+        offs = jnp.where(
+            isval,
+            idt(2 * sh),
+            jnp.where(p_s >= npad_c, idt(sh), idt(0)),
         )
-        return jnp.where(me % 2 == 0, recv_low, recv_high)
+        backkey = g + idt(2) * block * idt(sh) + offs
+        _, ansq = oe_sort3((backkey, localval), nkeys=1)
+        return ansq[:sh], ansq[sh : 2 * sh]
 
     def shard_fn(T_local):
         me = jax.lax.axis_index(axis)
@@ -282,8 +319,10 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             key2 = shift_left(rank, 1 << lev)
             k1, k2, sa = oe_sort((rank, key2, iar_g), nkeys=2)
             # dense re-rank: global inclusive cumsum of neq flags
-            p1 = jnp.concatenate([prev_halo(k1), k1[:-1]])
-            p2 = jnp.concatenate([prev_halo(k2), k2[:-1]])
+            # (k1/k2 halos packed into one ppermute, see `after`)
+            halos = prev_halo(jnp.stack([k1, k2], axis=1))
+            p1 = jnp.concatenate([halos[:, 0], k1[:-1]])
+            p2 = jnp.concatenate([halos[:, 1], k2[:-1]])
             neq = ((k1 != p1) | (k2 != p2)).astype(idt)
             neq = jnp.where(
                 (me == 0) & (jnp.arange(sh) == 0), idt(0), neq
@@ -298,14 +337,15 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             _, rank = oe_sort((sa, rankval), nkeys=1)
             ranks_hist.append(rank)
         # SAi: positions of text order in SA order, same scatter trick
-        _, sai = oe_sort((sa, iar_g), nkeys=1)
+        # (`after` chains: sa predates the last level's scatter sort)
+        _, sai = oe_sort((after(sa, rank), iar_g), nkeys=1)
 
         # ---- distributed LCP: rank descent over the stored levels ----
-        # mirrors suffix._lcp_from_levels_np with dist_gather replacing
+        # mirrors suffix._lcp_from_levels_np with dist_gather2 replacing
         # the random-access reads; O(n/P * log n) per device
         ranks_all = jnp.stack(ranks_hist)
         npc = idt(npad_c)
-        a0 = jnp.concatenate([prev_halo(sa), sa[:-1]])
+        a0 = jnp.concatenate([prev_halo(after(sa, sai)), sa[:-1]])
         b0 = sa
 
         def lcp_body(carry, lev_rev):
@@ -314,11 +354,12 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             k = (idt(1) << lev).astype(idt)
             rk = ranks_all[lev]
             ok = (a + k <= npc) & (b + k <= npc)
-            qa = dist_gather(
-                rk, jnp.minimum(a, npc - 1), iar_g, me
-            )
-            qb = dist_gather(
-                rk, jnp.minimum(b, npc - 1), iar_g, me
+            qa, qb = dist_gather2(
+                rk,
+                jnp.minimum(a, npc - 1),
+                jnp.minimum(b, npc - 1),
+                iar_g,
+                me,
             )
             eq = ok & (qa == qb)
             h = jnp.where(eq, h + k, h)
@@ -332,9 +373,11 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
         )
         # $/N cap: distributed reverse min-scan for stop distances,
         # realigned to SA order with one index-keyed sort
+        # (`after` chains this block's collectives behind the scan's)
         stop = jnp.where(
             (T_local == SENTINEL) | (T_local == N_BYTE), iar_g, npc
         )
+        stop = after(stop, plain)
         sufmin = jax.lax.associative_scan(
             jnp.minimum, stop, reverse=True
         )
@@ -393,9 +436,9 @@ def build_esa_distributed(
     T_padded = np.zeros(npad, dtype=np.uint8)
     T_padded[:n] = T_np
     nlev = int(math.ceil(math.log2(npad))) + 1
-    # 2**30: the gather's sort-back key is npad + position, so int32
-    # needs 2*npad < 2**31
-    use64 = force64 or npad >= 2**30
+    # 2**29: the batched gather's sort-back key is 2*npad + position,
+    # so int32 needs 3*npad < 2**31
+    use64 = force64 or npad >= 2**29
 
     axis = mesh.axis_names[0]
     Td = jax.device_put(
