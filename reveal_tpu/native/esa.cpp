@@ -1327,17 +1327,26 @@ void glocal_dp(const int64_t* S1, const int64_t* E1, const int64_t* S2,
 // ---------------------------------------------------------------------------
 namespace {
 
-int64_t mea_dp(const float* post, int64_t L1, int64_t L2, uint8_t* edit_out,
-               double* total_out) {
+// Single DP core, caller-held arenas (refine_rounds runs ~100 DPs per
+// bubble; reusing the buffers skips ~100 large zero-init allocations).
+// total_out may be null when the MEA score is not needed.
+int64_t mea_dp_arena(const float* post, int64_t L1, int64_t L2,
+                     uint8_t* edit_out, std::vector<float>& rowbuf,
+                     std::vector<uint8_t>& tbbuf,
+                     double* total_out = nullptr) {
   const int64_t W = L2 + 1;
-  std::vector<float> oldrow(W, 0.0f), newrow(W, 0.0f);
-  std::vector<uint8_t> tb((L1 + 1) * W);
+  rowbuf.resize(2 * W);
+  float* oldrow = rowbuf.data();
+  float* newrow = rowbuf.data() + W;
+  for (int64_t j = 0; j <= L2; ++j) oldrow[j] = 0.0f;
+  if ((int64_t)tbbuf.size() < (L1 + 1) * W) tbbuf.resize((L1 + 1) * W);
+  uint8_t* tb = tbbuf.data();
   for (int64_t j = 0; j <= L2; ++j) tb[j] = 1;  // 'L'
   for (int64_t i = 1; i <= L1; ++i) {
     tb[i * W] = 2;  // 'U'
     newrow[0] = 0.0f;
     const float* prow = post + i * W;
-    uint8_t* trow = tb.data() + i * W;
+    uint8_t* trow = tb + i * W;
     for (int64_t j = 1; j <= L2; ++j) {
       float dv = prow[j] + oldrow[j - 1];
       float uv = oldrow[j];
@@ -1358,9 +1367,9 @@ int64_t mea_dp(const float* post, int64_t L1, int64_t L2, uint8_t* edit_out,
         trow[j] = 2;
       }
     }
-    oldrow.swap(newrow);
+    std::swap(oldrow, newrow);
   }
-  *total_out = (double)oldrow[L2];
+  if (total_out) *total_out = (double)oldrow[L2];
   int64_t r = L1, c = L2, k = 0;
   while (r != 0 || c != 0) {
     uint8_t ch = tb[r * W + c];
@@ -1378,6 +1387,13 @@ int64_t mea_dp(const float* post, int64_t L1, int64_t L2, uint8_t* edit_out,
   }
   std::reverse(edit_out, edit_out + k);
   return k;
+}
+
+int64_t mea_dp(const float* post, int64_t L1, int64_t L2, uint8_t* edit_out,
+               double* total_out) {
+  std::vector<float> rowbuf;
+  std::vector<uint8_t> tbbuf;
+  return mea_dp_arena(post, L1, L2, edit_out, rowbuf, tbbuf, total_out);
 }
 
 // Scatter-accumulate one pairwise posterior into alignment-column
@@ -1448,66 +1464,6 @@ struct CsrMat {
   std::vector<float> val;
   int64_t nrows = 0;
 };
-
-// mea_dp twin that reuses a caller-held traceback arena (one refinement
-// call runs ~100 DPs; the arena skips ~100 large zero-init allocations).
-// Identical cell values / tie choices to mea_dp above.
-int64_t mea_dp_arena(const float* post, int64_t L1, int64_t L2,
-                     uint8_t* edit_out, std::vector<float>& rowbuf,
-                     std::vector<uint8_t>& tbbuf) {
-  const int64_t W = L2 + 1;
-  rowbuf.resize(2 * W);
-  float* oldrow = rowbuf.data();
-  float* newrow = rowbuf.data() + W;
-  for (int64_t j = 0; j <= L2; ++j) oldrow[j] = 0.0f;
-  if ((int64_t)tbbuf.size() < (L1 + 1) * W) tbbuf.resize((L1 + 1) * W);
-  uint8_t* tb = tbbuf.data();
-  for (int64_t j = 0; j <= L2; ++j) tb[j] = 1;  // 'L'
-  for (int64_t i = 1; i <= L1; ++i) {
-    tb[i * W] = 2;  // 'U'
-    newrow[0] = 0.0f;
-    const float* prow = post + i * W;
-    uint8_t* trow = tb + i * W;
-    for (int64_t j = 1; j <= L2; ++j) {
-      float dv = prow[j] + oldrow[j - 1];
-      float uv = oldrow[j];
-      float lv = newrow[j - 1];
-      if (dv >= lv) {
-        if (dv >= uv) {
-          newrow[j] = dv;
-          trow[j] = 0;
-        } else {
-          newrow[j] = uv;
-          trow[j] = 2;
-        }
-      } else if (lv >= uv) {
-        newrow[j] = lv;
-        trow[j] = 1;
-      } else {
-        newrow[j] = uv;
-        trow[j] = 2;
-      }
-    }
-    std::swap(oldrow, newrow);
-  }
-  int64_t r = L1, c = L2, k = 0;
-  while (r != 0 || c != 0) {
-    uint8_t ch = tb[r * W + c];
-    if (ch == 1) {
-      --c;
-      edit_out[k++] = 1;  // 'Y'
-    } else if (ch == 2) {
-      --r;
-      edit_out[k++] = 2;  // 'X'
-    } else {
-      --r;
-      --c;
-      edit_out[k++] = 0;  // 'B'
-    }
-  }
-  std::reverse(edit_out, edit_out + k);
-  return k;
-}
 
 // CSR scatter-accumulate, same traversal (and f32 summation) order as
 // posterior_accum over the dense matrix: row-major, ascending column.

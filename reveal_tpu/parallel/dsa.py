@@ -47,14 +47,17 @@ each SA-adjacent pair descends the levels exactly like the
 single-device builder (suffix._lcp_from_levels_np): at level k, pairs
 whose length-k prefixes still agree advance by k.  The per-level
 random-access reads rank_k[a+h] become a **sort-based distributed
-gather**: concat (position, value) entries with (query, qid) entries,
-network-sort by (key, entry-tag) so every query lands right after the
-value entry for its key, forward-propagate values locally + one
-all_gather for the cross-shard carry, network-sort back by qid, and
-ppermute halves to restore canonical blocking — O(n/P) static shapes
-throughout.  The $/N cap uses a distributed reverse min-scan for stop
-distances and one index-keyed sort to realign them to SA order
-(matching interface.c:97-114 semantics).
+gather** (dist_gather2): the level's a AND b queries ride one
+3*sh-wide pass — concat (position, value) entries with both query
+entry sets, network-sort by (key, entry-tag) so every query lands
+right after the value entry for its key, forward-propagate values
+locally + one all_gather for the cross-shard carry, then network-sort
+back with the DESTINATION SLOT as the key, which lands each shard's
+a/b answers in its first two local blocks with no redistribute —
+O(n/P) static shapes throughout.  All collectives are threaded into
+one dependency chain (see ``after``).  The $/N cap uses a distributed
+reverse min-scan for stop distances and one index-keyed sort to
+realign them to SA order (matching interface.c:97-114 semantics).
 
 Replaces: divsufsort (reveal/divsufsort/divsufsort.c:332) at multi-chip
 scale; the reference has no distributed analog (reveal parallelism is
@@ -230,7 +233,6 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
         return net_sort
 
     oe_sort = _make_net_sort(sh)
-    oe_sort2 = _make_net_sort(2 * sh)
     oe_sort3 = _make_net_sort(3 * sh)
     npad_c = sh * P
 
