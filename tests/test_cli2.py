@@ -329,3 +329,45 @@ def test_extract_all_and_node_walk(data, capsys):
     capt = capsys.readouterr().out
     got = "".join(capt.strip().split("\n")[1:])
     assert got == nseq + rc_str(nseq)
+
+def test_align_run_inproc_matches_script(data, capsys, tmp_path, monkeypatch):
+    """align --run executes the same pipeline in-process: identical
+    output files to running the emitted script, no script printed."""
+    import subprocess
+    import sys as _sys
+
+    d, seqs = data
+    args = [d / "ga.fa", d / "gb.fa", d / "gc.fa",
+            "--order", "sequential", "--chunksize", "2", "-o", "prg"]
+
+    # script route (subprocess, like a user piping to sh)
+    run(["align"] + args)
+    script = capsys.readouterr().out
+    wd1 = tmp_path / "script"
+    wd1.mkdir()
+    (wd1 / "run.sh").write_text(
+        script.replace("python -m", "%s -m" % _sys.executable)
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    r = subprocess.run(
+        ["bash", "run.sh"], cwd=wd1, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+
+    # in-process route
+    wd2 = tmp_path / "inproc"
+    wd2.mkdir()
+    monkeypatch.chdir(wd2)
+    run(["align"] + args + ["--run"])
+    assert capsys.readouterr().out == ""  # no script printed
+
+    produced = sorted(p.name for p in wd2.iterdir())
+    assert produced == sorted(p.name for p in wd1.iterdir() if p.name != "run.sh")
+    for name in produced:
+        assert (wd2 / name).read_bytes() == (wd1 / name).read_bytes(), name
