@@ -107,3 +107,91 @@ def test_two_host_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, "process %d failed:\n%s" % (i, out)
         assert "OK process" in out
+
+
+REM_WORKER = textwrap.dedent(
+    """
+    import hashlib, os, sys, time
+    sys.path.insert(0, %(root)r)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from reveal_tpu.parallel.distributed import init_distributed, global_mesh
+    init_distributed(
+        coordinator_address=%(coord)r,
+        num_processes=2,
+        process_id=int(sys.argv[1]),
+    )
+    import numpy as np
+    from reveal_tpu.align.rem import align_genomes
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(list("ACGT"), size=1500))
+    mut = list(base)
+    for _ in range(15):
+        i = int(rng.integers(0, len(mut)))
+        mut[i] = "ACGT"[int(rng.integers(0, 4))]
+    wd = %(wd)r
+    fa1, fa2 = wd + "/a.fa", wd + "/b.fa"
+    if int(sys.argv[1]) == 0:
+        fasta_writer(fa1, [("a", base)])
+        fasta_writer(fa2, [("b", "".join(mut))])
+    while not (os.path.exists(fa1) and os.path.exists(fa2)):
+        time.sleep(0.2)
+
+    def state_hash(G):
+        state = sorted(
+            (n, tuple(sorted(G.nodes[n]["offsets"].items())),
+             G.nodes[n].get("aligned", 0))
+            for n in G.nodes if isinstance(n, tuple))
+        return hashlib.sha256(repr(state).encode()).hexdigest()
+
+    # FULL rem over the 2-process mesh: every process holds one device,
+    # the frontier state is mesh-sharded, host graph surgery runs
+    # replicated and deterministically on both processes
+    G, idx = align_genomes([fa1, fa2], mesh=global_mesh())
+    h = state_hash(G)
+    # reference: single-process host path
+    G2, _ = align_genomes([fa1, fa2], backend="np")
+    assert state_hash(G2) == h, "2-host mesh rem != single-process rem"
+    print("OK process", jax.process_index(), h[:16])
+    """
+)
+
+
+def test_two_host_full_rem(tmp_path):
+    """A full rem alignment over a 2-process jax.distributed mesh must
+    produce the same graph as the single-process host path — on every
+    process (SURVEY 2.3 P6: the distributed rem, multi-host emulation)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = "localhost:37653"
+    script = REM_WORKER % {
+        "root": root, "coord": coord, "wd": str(tmp_path)
+    }
+    fn = tmp_path / "worker_rem.py"
+    fn.write_text(script)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(fn), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=250)
+        outs.append(out)
+    hashes = set()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "process %d failed:\n%s" % (i, out)
+        for line in out.splitlines():
+            if line.startswith("OK process"):
+                hashes.add(line.split()[-1])
+    assert len(hashes) == 1, hashes  # both processes agree
