@@ -344,8 +344,14 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
 
         # ---- distributed LCP: rank descent over the stored levels ----
         # mirrors suffix._lcp_from_levels_np with dist_gather2 replacing
-        # the random-access reads; O(n/P * log n) per device
-        ranks_all = jnp.stack(ranks_hist)
+        # the random-access reads; O(n/P * log n) per device.  Rank
+        # VALUES are < npad, so in the int64 regime below 2^31 the
+        # stored levels (the dominant memory term) narrow to int32 and
+        # widen back per level on read.
+        store_dt = jnp.int32 if npad_c < 2**31 else idt
+        ranks_all = jnp.stack(
+            [r.astype(store_dt) for r in ranks_hist]
+        )
         npc = idt(npad_c)
         a0 = jnp.concatenate([prev_halo(after(sa, sai)), sa[:-1]])
         b0 = sa
@@ -354,7 +360,7 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             a, b, h = carry
             lev = nlev - 1 - lev_rev
             k = (idt(1) << lev).astype(idt)
-            rk = ranks_all[lev]
+            rk = ranks_all[lev].astype(idt)
             ok = (a + k <= npc) & (b + k <= npc)
             qa, qb = dist_gather2(
                 rk,
