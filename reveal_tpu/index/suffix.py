@@ -393,10 +393,19 @@ def build_esa(T_np: np.ndarray, backend: str = "auto"):
     oracle.  'auto' prefers native, then numpy.
     """
     if backend == "jax-dist":
+        import os
+
         from ..parallel.dsa import build_esa_distributed
         from ..parallel.mesh import make_mesh
 
-        return build_esa_distributed(T_np, make_mesh())
+        # low-HBM LCP descent knob (int or "sqrt"): regenerate rank
+        # levels from sparse checkpoints instead of storing all of them
+        stride = os.environ.get("REVEAL_TPU_DSA_LCP_STRIDE") or None
+        if stride is not None and stride != "sqrt":
+            stride = int(stride)
+        return build_esa_distributed(
+            T_np, make_mesh(), lcp_ckpt_stride=stride
+        )
     if backend == "auto":
         try:
             from ..native import build_esa_native

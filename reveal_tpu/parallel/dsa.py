@@ -41,8 +41,7 @@ sort.
 
 LCP also runs distributed (``host_lcp=True`` falls back to host Kasai):
 the rank arrays of every doubling level are kept on-mesh (O(n/P·log n)
-per device — the memory/time trade; re-running rounds on demand would
-drop the log n factor at O(log^2 n) sort cost) and the plain LCP of
+per device) and the plain LCP of
 each SA-adjacent pair descends the levels exactly like the
 single-device builder (suffix._lcp_from_levels_np): at level k, pairs
 whose length-k prefixes still agree advance by k.  The per-level
@@ -58,6 +57,16 @@ O(n/P) static shapes throughout.  All collectives are threaded into
 one dependency chain (see ``after``).  The $/N cap uses a distributed
 reverse min-scan for stop distances and one index-keyed sort to
 realign them to SA order (matching interface.c:97-114 semantics).
+
+``lcp_ckpt_stride=s`` trades the stored-levels memory for recompute
+(the pod-scale HBM knob): only every s-th rank level is kept as a
+checkpoint (O(n/P·log(n)/s)); on the descent each s-level segment is
+regenerated once from its checkpoint by re-running doubling rounds
+(O(s) live temporaries while inside the segment, ~nlev extra rounds
+total), so s = sqrt(log n) gives O(n/P·sqrt(log n)) peak memory at
+~2x the LCP-stage sort count.  Regenerated-segment collectives are
+threaded behind the descent carry (``after``) so the single collective
+chain invariant holds.
 
 Replaces: divsufsort (reveal/divsufsort/divsufsort.c:332) at multi-chip
 scale; the reference has no distributed analog (reveal parallelism is
@@ -126,9 +135,14 @@ def _network_layers(P: int):
     return layers
 
 
-def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
-    """Cached jitted shard_map builder for (mesh, shard size, levels)."""
-    key = (id(mesh), sh, nlev, use64)
+def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
+    """Cached jitted shard_map builder for (mesh, shard size, levels).
+
+    ``ckpt_stride`` selects the LCP-descent memory mode: None stores
+    every rank level (lax.scan descent); an int s stores every s-th
+    level and regenerates the in-between levels on the (unrolled)
+    descent — see module docstring."""
+    key = (id(mesh), sh, nlev, use64, ckpt_stride)
     fn = _fn_cache.get(key)
     if fn is not None:
         return fn
@@ -314,10 +328,15 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
         iar_l = jnp.arange(sh, dtype=idt)
         iar_g = me.astype(idt) * sh + iar_l
         rank = T_local.astype(idt)
-        ranks_hist = [rank]
+        # Rank VALUES are < npad, so in the int64 regime below 2^31 the
+        # stored levels/checkpoints (the dominant memory term) narrow to
+        # int32 and widen back per level on read.
+        store_dt = jnp.int32 if npad_c < 2**31 else idt
 
-        sa = iar_g
-        for lev in range(nlev - 1):
+        def doubling_round(rank, lev):
+            """One prefix-doubling round: (new text-order rank, the
+            round's SA-order suffix indices).  Deterministic in its
+            inputs — regenerated levels are bit-equal to stored ones."""
             key2 = shift_left(rank, 1 << lev)
             k1, k2, sa = oe_sort((rank, key2, iar_g), nkeys=2)
             # dense re-rank: global inclusive cumsum of neq flags
@@ -337,30 +356,32 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             rankval = loc + offset
             # distributed scatter: realign ranks to text order
             _, rank = oe_sort((sa, rankval), nkeys=1)
-            ranks_hist.append(rank)
+            return rank, sa
+
+        ranks_hist = [rank] if ckpt_stride is None else None
+        ckpts = (
+            None if ckpt_stride is None else {0: rank.astype(store_dt)}
+        )
+        sa = iar_g
+        for lev in range(nlev - 1):
+            rank, sa = doubling_round(rank, lev)
+            if ckpt_stride is None:
+                ranks_hist.append(rank)
+            elif (lev + 1) % ckpt_stride == 0:
+                ckpts[lev + 1] = rank.astype(store_dt)
         # SAi: positions of text order in SA order, same scatter trick
         # (`after` chains: sa predates the last level's scatter sort)
         _, sai = oe_sort((after(sa, rank), iar_g), nkeys=1)
 
-        # ---- distributed LCP: rank descent over the stored levels ----
+        # ---- distributed LCP: rank descent over the kept levels ----
         # mirrors suffix._lcp_from_levels_np with dist_gather2 replacing
-        # the random-access reads; O(n/P * log n) per device.  Rank
-        # VALUES are < npad, so in the int64 regime below 2^31 the
-        # stored levels (the dominant memory term) narrow to int32 and
-        # widen back per level on read.
-        store_dt = jnp.int32 if npad_c < 2**31 else idt
-        ranks_all = jnp.stack(
-            [r.astype(store_dt) for r in ranks_hist]
-        )
+        # the random-access reads; O(n/P * log n) per device stored, or
+        # O(n/P * (log n / s + s)) with ckpt_stride=s (module docstring).
         npc = idt(npad_c)
         a0 = jnp.concatenate([prev_halo(after(sa, sai)), sa[:-1]])
         b0 = sa
 
-        def lcp_body(carry, lev_rev):
-            a, b, h = carry
-            lev = nlev - 1 - lev_rev
-            k = (idt(1) << lev).astype(idt)
-            rk = ranks_all[lev].astype(idt)
+        def descend_level(a, b, h, k, rk):
             ok = (a + k <= npc) & (b + k <= npc)
             qa, qb = dist_gather2(
                 rk,
@@ -373,12 +394,48 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool):
             h = jnp.where(eq, h + k, h)
             a = jnp.where(eq, a + k, a)
             b = jnp.where(eq, b + k, b)
-            return (a, b, h), None
+            return a, b, h
 
         h0 = iar_g * idt(0)  # zeros, but shard-varying for the scan vma
-        (_, _, plain), _ = jax.lax.scan(
-            lcp_body, (a0, b0, h0), jnp.arange(nlev)
-        )
+        if ckpt_stride is None:
+            ranks_all = jnp.stack(
+                [r.astype(store_dt) for r in ranks_hist]
+            )
+
+            def lcp_body(carry, lev_rev):
+                a, b, h = carry
+                lev = nlev - 1 - lev_rev
+                k = (idt(1) << lev).astype(idt)
+                rk = ranks_all[lev].astype(idt)
+                return descend_level(a, b, h, k, rk), None
+
+            (_, _, plain), _ = jax.lax.scan(
+                lcp_body, (a0, b0, h0), jnp.arange(nlev)
+            )
+        else:
+            # unrolled descent (nlev is static); each s-level segment is
+            # regenerated ONCE from its checkpoint on first (= highest-
+            # level) use, then consumed downward and dropped.  The
+            # regeneration's first input is threaded behind the descent
+            # carry (`after`) so its collectives join the single chain.
+            a, b, h = a0, b0, h0
+            seg = {}
+            for lev in range(nlev - 1, -1, -1):
+                if lev % ckpt_stride == 0:
+                    rk = ckpts[lev].astype(idt)
+                else:
+                    base = lev - lev % ckpt_stride
+                    if lev not in seg:
+                        seg = {}
+                        r = after(ckpts[base].astype(idt), h)
+                        for j in range(base, lev):
+                            r, _ = doubling_round(r, j)
+                            seg[j + 1] = r
+                    rk = seg[lev]
+                a, b, h = descend_level(
+                    a, b, h, idt(1 << lev), rk
+                )
+            plain = h
         # $/N cap: distributed reverse min-scan for stop distances,
         # realigned to SA order with one index-keyed sort
         # (`after` chains this block's collectives behind the scan's)
@@ -414,6 +471,7 @@ def build_esa_distributed(
     mesh,
     force64: bool = False,
     host_lcp: bool = False,
+    lcp_ckpt_stride=None,
 ):
     """(SA, LCP, SAi) with the suffix sort AND the LCP rank-descent
     running distributed over the mesh via explicit shard_map
@@ -423,7 +481,10 @@ def build_esa_distributed(
     bytes must be nonzero (ASCII here) — byte 0 is the pad sentinel.
     ``host_lcp=True`` recomputes LCP on the host with Kasai-style
     rank descent instead (suffix.lcp_from_sa_np) — the cross-check
-    path.
+    path.  ``lcp_ckpt_stride``: None keeps every doubling level for the
+    LCP descent; an int s >= 1 keeps every s-th level and regenerates
+    in between (low-HBM mode, module docstring); the string "sqrt"
+    picks s = round(sqrt(#levels)), the memory-optimal stride.
     """
     import jax
     import jax.numpy as jnp
@@ -444,6 +505,10 @@ def build_esa_distributed(
     T_padded = np.zeros(npad, dtype=np.uint8)
     T_padded[:n] = T_np
     nlev = int(math.ceil(math.log2(npad))) + 1
+    if lcp_ckpt_stride == "sqrt":
+        lcp_ckpt_stride = max(1, round(math.sqrt(nlev)))
+    if lcp_ckpt_stride is not None and int(lcp_ckpt_stride) < 1:
+        raise ValueError("lcp_ckpt_stride must be >= 1")
     # 2**29: the batched gather's sort-back key is 2*npad + position,
     # so int32 needs 3*npad < 2**31
     use64 = force64 or npad >= 2**29
@@ -456,11 +521,15 @@ def build_esa_distributed(
         prev = bool(jax.config.jax_enable_x64)
         jax.config.update("jax_enable_x64", True)
         try:
-            sa, sai, lcp = _get_dsa_fn(mesh, sh, nlev, True)(Td)
+            sa, sai, lcp = _get_dsa_fn(
+                mesh, sh, nlev, True, lcp_ckpt_stride
+            )(Td)
         finally:
             jax.config.update("jax_enable_x64", prev)
     else:
-        sa, sai, lcp = _get_dsa_fn(mesh, sh, nlev, False)(Td)
+        sa, sai, lcp = _get_dsa_fn(
+            mesh, sh, nlev, False, lcp_ckpt_stride
+        )(Td)
     sa = np.asarray(jax.device_get(sa), dtype=np.int64)
     sai = np.asarray(jax.device_get(sai), dtype=np.int64)
     lcp = np.asarray(jax.device_get(lcp), dtype=np.int64)

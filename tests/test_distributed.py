@@ -76,6 +76,21 @@ WORKER = textwrap.dedent(
     assert np.array_equal(local_lcp, lcp_ref[me * sh : (me + 1) * sh]), (
         "distributed LCP shard mismatch on process %%d" %% me
     )
+
+    # low-HBM LCP mode (ckpt_stride=2, every other level regenerated on
+    # the descent): the regenerated segments add collectives mid-chain,
+    # so this is the gloo posting-order gauntlet for that path
+    sa2, sai2, lcp2 = _get_dsa_fn(
+        mesh, sh=sh, nlev=7, use64=False, ckpt_stride=2
+    )(Tg)
+    assert np.array_equal(
+        np.asarray(sa2.addressable_shards[0].data),
+        sa_ref[me * sh : (me + 1) * sh],
+    ), "ckpt-stride SA shard mismatch on process %%d" %% me
+    assert np.array_equal(
+        np.asarray(lcp2.addressable_shards[0].data),
+        lcp_ref[me * sh : (me + 1) * sh],
+    ), "ckpt-stride LCP shard mismatch on process %%d" %% me
     print("OK process", jax.process_index())
     """
 )

@@ -115,6 +115,32 @@ def test_dsa_force64_matches_32():
     np.testing.assert_array_equal(sai32, sai64)
 
 
+@pytest.mark.parametrize("stride", [1, 3, "sqrt", 100])
+def test_dsa_lcp_ckpt_stride_matches_stored(stride):
+    """Low-HBM LCP mode: checkpoint-every-s-levels + regenerate-on-
+    descent must reproduce the stored-levels LCP exactly (stride 1 =
+    checkpoint everything, 100 > nlev = regenerate everything from the
+    byte ranks, 'sqrt' = the memory-optimal stride)."""
+    rng = np.random.default_rng(31)
+    T = _mktext(rng, 1200, 3)
+    mesh = make_mesh(8)
+    sa0, lcp0, sai0 = build_esa_distributed(T, mesh)
+    sa1, lcp1, sai1 = build_esa_distributed(
+        T, mesh, lcp_ckpt_stride=stride
+    )
+    np.testing.assert_array_equal(sa0, sa1)
+    np.testing.assert_array_equal(lcp0, lcp1)
+    np.testing.assert_array_equal(sai0, sai1)
+    np.testing.assert_array_equal(lcp0, lcp_from_sa_np(T, sa0))
+
+
+def test_dsa_ckpt_stride_rejects_bad():
+    mesh = make_mesh(8)
+    T = _mktext(np.random.default_rng(1), 100, 1)
+    with pytest.raises(ValueError):
+        build_esa_distributed(T, mesh, lcp_ckpt_stride=0)
+
+
 def test_dsa_rejects_zero_bytes():
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
