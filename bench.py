@@ -65,6 +65,43 @@ def bench_rem(files, iters=1, **kw):
     return mbp / best, best
 
 
+def ref_c_baseline(fa, fb, timeout=600):
+    """The HONEST baseline: the reference engine's own C hot path,
+    compiled in place from /root/reference (refbench/refbench.c links
+    the reference's libdivsufsort and re-runs its Kasai/getmums/split/
+    bubble_sort loops with a longest-MUM picker).  Returns the refbench
+    JSON dict.  The number EXCLUDES the reference's Python-side picker
+    + networkx graph surgery (py2, unbuildable here), i.e. it is an
+    upper bound on reference speed — generous to the reference."""
+    exe = os.path.join(REPO, "refbench", "refbench")
+    if not os.path.exists(exe):
+        subprocess.run(
+            [os.path.join(REPO, "refbench", "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=timeout,
+        )
+    best = None
+    for _ in range(2):
+        out = subprocess.run(
+            [exe, fa, fb, "20"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            check=True,
+        )
+        d = json.loads(out.stdout.strip())
+        tot = (
+            d["ref_c_sa_seconds"]
+            + d["ref_c_lcp_seconds"]
+            + d["ref_c_rem_seconds"]
+        )
+        if best is None or tot < best[0]:
+            best = (tot, d)
+    best[1]["ref_c_total_seconds"] = round(best[0], 4)
+    return best[1]
+
+
 def cpu_proxy_rem(files, timeout=1800):
     """Measured reference-CPU proxy: pure-numpy engine in a subprocess
     (native kernels disabled, CPU jax platform, device never touched)."""
@@ -192,18 +229,41 @@ def main():
     r22, dt22 = bench_rem([TESTS + "/2a.fa", TESTS + "/2b.fa"], iters=2)
     extra["rem_2a2b_seconds"] = round(dt22, 2)
 
-    # measured CPU proxy on the same input
+    # primary baseline: the reference's own C engine, compiled in place
+    # and timed on the same bytes (SA + LCP + full recursive MUM/split
+    # loop; excludes the reference's Python graph surgery -> generous
+    # to the reference).  vs_baseline = ref_c_seconds / our_seconds.
+    vs = None
+    try:
+        rc = ref_c_baseline(TESTS + "/2a.fa", TESTS + "/2b.fa")
+        extra["ref_c_sa_seconds"] = rc["ref_c_sa_seconds"]
+        extra["ref_c_lcp_seconds"] = rc["ref_c_lcp_seconds"]
+        extra["ref_c_rem_seconds"] = rc["ref_c_rem_seconds"]
+        extra["ref_c_total_seconds"] = rc["ref_c_total_seconds"]
+        extra["ref_c_rem_steps"] = rc["rem_steps"]
+        extra["baseline_kind"] = (
+            "reference C engine compiled from /root/reference "
+            "(divsufsort + Kasai + recursive longest-MUM split loop, "
+            "single thread, no Python overhead), same input bytes"
+        )
+        vs = rc["ref_c_total_seconds"] / dt22
+    except Exception as e:  # pragma: no cover
+        extra["ref_c_error"] = str(e)[:200]
+
+    # secondary: the repo's own pure-numpy engine (same algorithm,
+    # identical output graph) as a measured worst-case yardstick
     try:
         pr, pdt = cpu_proxy_rem([TESTS + "/2a.fa", TESTS + "/2b.fa"])
         extra["rem_2a2b_numpy_proxy_seconds"] = round(pdt, 2)
         extra["rem_2a2b_numpy_proxy_mbp_per_s"] = round(pr, 4)
-        extra["baseline_kind"] = (
-            "measured pure-numpy engine (no native, no device), same input"
-        )
-        vs = r22 / pr
+        if vs is None:
+            extra["baseline_kind"] = (
+                "measured pure-numpy engine (no native, no device), "
+                "same input"
+            )
+            vs = r22 / pr
     except Exception as e:  # pragma: no cover
         extra["proxy_error"] = str(e)[:200]
-        vs = None
 
     # ---- secondary rem configs ----------------------------------------
     # (frontier demo runs on 1a/1b: the device-resident path is

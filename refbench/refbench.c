@@ -1,0 +1,375 @@
+/* refbench — standalone timing + golden-fixture driver for the
+ * REFERENCE engine's C hot path (jasperlinthorst/reveal).
+ *
+ * Links against the reference's own libdivsufsort compiled IN PLACE
+ * from /root/reference/divsufsort (no sources copied into this repo;
+ * see build.sh).  Around that SA build this driver re-implements, with
+ * reference-identical semantics, the C hot loop of the reveal aligner:
+ *
+ *   - Kasai LCP               (reveallib/interface.c:97-111)
+ *   - pairwise MUM scan       (reveallib/reveal.c:55-131  getmums)
+ *   - longest-MUM pick        (reveallib/reveal.c:180-225 getlongestmum)
+ *   - D-mark + lowercase      (reveallib/reveal.c:1612-1617 splitindex)
+ *   - split leading/trailing  (reveallib/reveal.c:582-664  split)
+ *   - bubble_sort LCP repair  (reveallib/reveal.c:666-727  bubble_sort)
+ *
+ * and drives them through the same LIFO recursion the reference's
+ * aligner() thread runs (reveallib/reveal.c:729-1260), minus the
+ * Python graph surgery and the schemes.py picker (longest-MUM stands
+ * in — both are O(n) scans; omitting the Python side only makes the
+ * reference LOOK FASTER, so the resulting baseline is conservative).
+ *
+ * Outputs one JSON line with phase timings and, with --fixture PREFIX,
+ * golden fixtures for differential tests:
+ *   PREFIX.json      n, sa/lcp FNV-1a64 hashes, head/tail samples
+ *   PREFIX.mums.txt  one "l aStart bStart" per line (getmums order)
+ *
+ * Build/run: refbench/build.sh (gated on /root/reference existing).
+ */
+#include <ctype.h>
+#include <inttypes.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <time.h>
+
+#include "divsufsort.h"
+
+typedef int32_t saidx32_t;
+
+static double now_s(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+/* ---------- fasta ---------- */
+
+/* Append every sequence of `path` (uppercased, one '$' after each) to
+ * *T; mirrors utils.py fasta parsing (reveal/utils.py:95-110). */
+static void load_fasta(const char *path, char **T, int64_t *n, int64_t *cap) {
+    FILE *f = fopen(path, "r");
+    if (!f) { fprintf(stderr, "cannot open %s\n", path); exit(2); }
+    char line[1 << 16];
+    int insample = 0;
+    while (fgets(line, sizeof line, f)) {
+        if (line[0] == '>') {
+            if (insample) { /* close previous sequence */
+                if (*n + 1 > *cap) { *cap = 2 * *cap + 4096; *T = realloc(*T, *cap); }
+                (*T)[(*n)++] = '$';
+            }
+            insample = 1;
+            continue;
+        }
+        size_t len = strlen(line);
+        while (len && (line[len - 1] == '\n' || line[len - 1] == '\r')) len--;
+        if (*n + (int64_t)len > *cap) {
+            while (*n + (int64_t)len > *cap) *cap = 2 * *cap + 4096;
+            *T = realloc(*T, *cap);
+        }
+        for (size_t i = 0; i < len; i++) (*T)[(*n)++] = (char)toupper((unsigned char)line[i]);
+    }
+    if (insample) {
+        if (*n + 1 > *cap) { *cap = 2 * *cap + 4096; *T = realloc(*T, *cap); }
+        (*T)[(*n)++] = '$';
+    }
+    fclose(f);
+}
+
+/* ---------- LCP (Kasai; interface.c:97-111 semantics) ---------- */
+
+static void kasai_lcp(const char *T, const saidx32_t *SA, const saidx32_t *SAi,
+                      saidx32_t *LCP, int64_t n, int cap_sentinel) {
+    /* cap_sentinel=0: reference semantics (a '$' matches a '$', so LCP
+     * can run through sample boundaries — interface.c:97-111).
+     * cap_sentinel=1: the reveal_tpu convention (matches stop at '$';
+     * a cross-sentinel "common prefix" is meaningless for anchoring).
+     * Both hashes go into the fixture so the deviation stays pinned. */
+    int64_t h = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t k = SAi[i];
+        if (k == 0) { LCP[k] = 0; h = 0; continue; }
+        int64_t j = SA[k - 1];
+        while (i + h < n && j + h < n && T[i + h] == T[j + h] &&
+               !(cap_sentinel && T[i + h] == '$')) h++;
+        LCP[k] = (saidx32_t)h;
+        if (h > 0) h--;
+    }
+}
+
+/* ---------- sub-index of the recursion ---------- */
+
+typedef struct {
+    saidx32_t *SA;
+    saidx32_t *LCP;
+    int64_t n;
+    /* one live interval per sample side (pairwise, single-contig) */
+    int64_t abegin, aend, bbegin, bend;
+} SubIdx;
+
+/* global text state shared by all sub-indexes (like RevealIndex.main) */
+static char *g_T;
+static saidx32_t *g_SAi;
+static int64_t g_nsep0;
+
+/* MUM scan, getmums semantics (reveal.c:55-131): returns count; if
+ * `out` is non-NULL, writes "l aStart bStart" lines in scan order. */
+static int64_t mum_scan(const SubIdx *ix, int minl, FILE *out) {
+    int64_t cnt = 0;
+    for (int64_t i = 1; i < ix->n; i++) {
+        saidx32_t l = ix->LCP[i];
+        if (l < minl) continue;
+        if ((ix->SA[i] > g_nsep0) == (ix->SA[i - 1] > g_nsep0)) continue; /* repeat */
+        saidx32_t aStart, bStart;
+        if (ix->SA[i] < ix->SA[i - 1]) { aStart = ix->SA[i]; bStart = ix->SA[i - 1]; }
+        else { aStart = ix->SA[i - 1]; bStart = ix->SA[i]; }
+        if (aStart > 0 && bStart > 0) {
+            char c = g_T[aStart - 1];
+            if (!((c != g_T[bStart - 1]) || c == 'N' || c == '$' || islower((unsigned char)c)))
+                continue; /* not left-maximal */
+        }
+        saidx32_t lb = ix->LCP[i - 1];
+        saidx32_t la = (i == ix->n - 1) ? 0 : ix->LCP[i + 1];
+        if (lb >= l || la >= l) continue; /* not unique */
+        cnt++;
+        if (out) fprintf(out, "%d %d %d\n", (int)l, (int)aStart, (int)bStart);
+    }
+    return cnt;
+}
+
+/* longest-MUM pick, getlongestmum semantics (reveal.c:180-225) */
+static int pick_longest(const SubIdx *ix, int minl, saidx32_t *pa, saidx32_t *pb, saidx32_t *pl) {
+    saidx32_t best = 0;
+    for (int64_t i = 1; i < ix->n; i++) {
+        if (ix->LCP[i] <= best) continue;
+        if ((ix->SA[i] > g_nsep0) == (ix->SA[i - 1] > g_nsep0)) continue;
+        saidx32_t aStart, bStart;
+        if (ix->SA[i] < ix->SA[i - 1]) { aStart = ix->SA[i]; bStart = ix->SA[i - 1]; }
+        else { aStart = ix->SA[i - 1]; bStart = ix->SA[i]; }
+        if (aStart > 0 && bStart > 0) {
+            char c = g_T[aStart - 1];
+            if (!((c != g_T[bStart - 1]) || c == 'N' || c == '$' || islower((unsigned char)c)))
+                continue;
+        }
+        saidx32_t lb = ix->LCP[i - 1];
+        saidx32_t la = (i == ix->n - 1) ? 0 : ix->LCP[i + 1];
+        if (lb >= ix->LCP[i] || la >= ix->LCP[i]) continue;
+        best = ix->LCP[i]; *pa = aStart; *pb = bStart;
+    }
+    *pl = best;
+    return best >= minl && best > 0;
+}
+
+/* bubble_sort LCP repair, reference-identical (reveal.c:666-727) */
+static void bubble_repair(SubIdx *ix, const int64_t (*ivals)[2], int niv) {
+    for (int v = 0; v < niv; v++) {
+        int64_t begin = ivals[v][0];
+        for (int64_t i = 0; i < ix->n; i++) {
+            if (ix->SA[i] < begin && ix->SA[i] + ix->LCP[i] > begin) {
+                int64_t x = i;
+                saidx32_t tmpSA = ix->SA[i];
+                saidx32_t tmpLCP = ix->LCP[i];
+                while (x > 0 && ix->LCP[x] >= begin - tmpSA) {
+                    g_SAi[ix->SA[x - 1]] = (saidx32_t)x;
+                    ix->SA[x] = ix->SA[x - 1];
+                    ix->LCP[x] = ix->LCP[x - 1];
+                    x--;
+                }
+                g_SAi[tmpSA] = (saidx32_t)x;
+                ix->SA[x] = tmpSA;
+                ix->LCP[x + 1] = (saidx32_t)(begin - tmpSA);
+                if (i < ix->n - 1 && tmpLCP < ix->LCP[i + 1]) ix->LCP[i + 1] = tmpLCP;
+            } else if (i < ix->n - 1) {
+                if (ix->SA[i] < begin && ix->SA[i] + ix->LCP[i + 1] > begin &&
+                    ix->LCP[i + 1] > ix->LCP[i])
+                    ix->LCP[i + 1] = (saidx32_t)(begin - ix->SA[i]);
+            }
+        }
+    }
+}
+
+/* One recursion step: mark D from the MUM, lowercase the matched text,
+ * split into leading/trailing with running-min LCP (reveal.c:582-664),
+ * bubble-repair the leading index (reveal.c:1742).  Dropped suffixes
+ * (sentinels, matched) simply don't propagate, as in the reference. */
+static void split_step(SubIdx *ix, saidx32_t ma, saidx32_t mb, saidx32_t l,
+                       SubIdx *lead, SubIdx *trail) {
+    uint8_t *D = calloc((size_t)ix->n, 1);
+    int64_t leadingn = 0, trailingn = 0;
+    int64_t j;
+    /* leading: [abegin, ma) + [bbegin, mb); trailing: [ma+l, aend) +
+     * [mb+l, bend); matching: the two MUM intervals (lowercased) */
+    for (j = ix->abegin; j < ma; j++) { D[g_SAi[j]] = 1; leadingn++; }
+    for (j = ix->bbegin; j < mb; j++) { D[g_SAi[j]] = 1; leadingn++; }
+    for (j = ma + l; j < ix->aend; j++) { D[g_SAi[j]] = 2; trailingn++; }
+    for (j = mb + l; j < ix->bend; j++) { D[g_SAi[j]] = 2; trailingn++; }
+    for (j = ma; j < ma + l; j++) { D[g_SAi[j]] = 3; g_T[j] = (char)tolower((unsigned char)g_T[j]); }
+    for (j = mb; j < mb + l; j++) { D[g_SAi[j]] = 3; g_T[j] = (char)tolower((unsigned char)g_T[j]); }
+
+    lead->n = leadingn; trail->n = trailingn;
+    lead->SA = malloc((size_t)leadingn * sizeof(saidx32_t));
+    lead->LCP = malloc((size_t)leadingn * sizeof(saidx32_t));
+    trail->SA = malloc((size_t)trailingn * sizeof(saidx32_t));
+    trail->LCP = malloc((size_t)trailingn * sizeof(saidx32_t));
+    lead->abegin = ix->abegin; lead->aend = ma;
+    lead->bbegin = ix->bbegin; lead->bend = mb;
+    trail->abegin = ma + l; trail->aend = ix->aend;
+    trail->bbegin = mb + l; trail->bend = ix->bend;
+
+    /* split() proper: single pass, running min LCP per destination */
+    int64_t il = 0, it = 0, lastl = 0, lastt = 0;
+    saidx32_t minlcpl = 0, minlcpt = 0;
+    for (int64_t i = 0; i < ix->n; i++) {
+        if (D[i] == 1) {
+            lead->SA[il] = ix->SA[i];
+            lead->LCP[il] = (il == 0) ? 0 : minlcpl;
+            g_SAi[ix->SA[i]] = (saidx32_t)il;
+            il++; lastl = i;
+        } else if (D[i] == 2) {
+            trail->SA[it] = ix->SA[i];
+            trail->LCP[it] = (it == 0) ? 0 : minlcpt;
+            g_SAi[ix->SA[i]] = (saidx32_t)it;
+            it++; lastt = i;
+        } /* D==3 matched and D==0 sentinels: dropped */
+        if (i == ix->n - 1) break;
+        if (i == lastt) minlcpt = ix->LCP[i + 1];
+        else if (ix->LCP[i + 1] < minlcpt) minlcpt = ix->LCP[i + 1];
+        if (i == lastl) minlcpl = ix->LCP[i + 1];
+        else if (ix->LCP[i + 1] < minlcpl) minlcpl = ix->LCP[i + 1];
+    }
+    free(D);
+
+    if (leadingn > 0) {
+        int64_t ivals[2][2] = {{ma, ma + l}, {mb, mb + l}};
+        bubble_repair(lead, (const int64_t(*)[2])ivals, 2);
+    }
+}
+
+static uint64_t fnv1a64(const void *data, size_t nbytes) {
+    const uint8_t *p = data;
+    uint64_t h = 0xcbf29ce484222325ULL;
+    for (size_t i = 0; i < nbytes; i++) { h ^= p[i]; h *= 0x100000001b3ULL; }
+    return h;
+}
+
+int main(int argc, char **argv) {
+    if (argc < 3) {
+        fprintf(stderr, "usage: %s a.fa b.fa [minl] [--fixture PREFIX] [--no-rem]\n", argv[0]);
+        return 2;
+    }
+    int minl = 20;
+    const char *fixture = NULL;
+    int do_rem = 1;
+    for (int i = 3; i < argc; i++) {
+        if (!strcmp(argv[i], "--fixture") && i + 1 < argc) fixture = argv[++i];
+        else if (!strcmp(argv[i], "--no-rem")) do_rem = 0;
+        else minl = atoi(argv[i]);
+    }
+
+    char *T = NULL; int64_t n = 0, cap = 0;
+    load_fasta(argv[1], &T, &n, &cap);
+    g_nsep0 = n - 1; /* final '$' of sample A (interface.c:36-44) */
+    load_fasta(argv[2], &T, &n, &cap);
+    g_T = T;
+
+    saidx32_t *SA = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *SAi = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *LCP = malloc((size_t)n * sizeof(saidx32_t));
+
+    double t0 = now_s();
+    if (divsufsort((const sauchar_t *)T, SA, (saidx_t)n) != 0) {
+        fprintf(stderr, "divsufsort failed\n"); return 1;
+    }
+    double t_sa = now_s() - t0;
+
+    t0 = now_s();
+    for (int64_t i = 0; i < n; i++) SAi[SA[i]] = (saidx32_t)i;
+    kasai_lcp(T, SA, SAi, LCP, n, 0);
+    double t_lcp = now_s() - t0;
+    g_SAi = SAi;
+
+    uint64_t t_hash = fnv1a64(T, (size_t)n);
+    uint64_t sa_hash = fnv1a64(SA, (size_t)n * sizeof(saidx32_t));
+    uint64_t lcp_hash = fnv1a64(LCP, (size_t)n * sizeof(saidx32_t));
+    /* sentinel-capped variant for the reveal_tpu differential tests */
+    uint64_t lcpcap_hash;
+    {
+        saidx32_t *LCPc = malloc((size_t)n * sizeof(saidx32_t));
+        kasai_lcp(T, SA, SAi, LCPc, n, 1);
+        lcpcap_hash = fnv1a64(LCPc, (size_t)n * sizeof(saidx32_t));
+        free(LCPc);
+    }
+    fprintf(stderr, "t_fnv1a64=%016" PRIx64 "\n", t_hash);
+
+    FILE *mf = NULL;
+    char path[4096];
+    const char *dump = getenv("REFBENCH_DUMP_T");
+    if (dump) { FILE *tf = fopen(dump, "wb"); fwrite(T, 1, (size_t)n, tf); fclose(tf); }
+    if (fixture) {
+        snprintf(path, sizeof path, "%s.mums.txt", fixture);
+        mf = fopen(path, "w");
+    }
+    t0 = now_s();
+    SubIdx root = {SA, LCP, n, 0, g_nsep0, g_nsep0 + 1, n - 1};
+    int64_t nmums = mum_scan(&root, minl, mf);
+    double t_mum = now_s() - t0;
+    if (mf) fclose(mf);
+
+    /* recursive rem proxy: LIFO stack, longest-MUM picker */
+    double t_rem = 0; int64_t steps = 0, matched = 0;
+    if (do_rem) {
+        t0 = now_s();
+        SubIdx *stack = malloc(1024 * sizeof(SubIdx));
+        int64_t sp = 0, stackcap = 1024;
+        stack[sp++] = root;
+        int rootdone = 0;
+        while (sp > 0) {
+            SubIdx ix = stack[--sp];
+            saidx32_t ma, mb, l;
+            if (ix.n > 1 && pick_longest(&ix, minl, &ma, &mb, &l)) {
+                /* clamp to the node intervals (a match crossing the
+                 * sample boundary through equal '$' bytes; graphalign
+                 * trims to node bounds on the reference side) */
+                if (ma + (int64_t)l > ix.aend) l = (saidx32_t)(ix.aend - ma);
+                if (mb + (int64_t)l > ix.bend) l = (saidx32_t)(ix.bend - mb);
+                if (l < minl) { if (ix.SA != SA) { free(ix.SA); free(ix.LCP); } continue; }
+                SubIdx lead, trail;
+                split_step(&ix, ma, mb, l, &lead, &trail);
+                steps++; matched += 2 * (int64_t)l;
+                if (sp + 2 > stackcap) { stackcap *= 2; stack = realloc(stack, (size_t)stackcap * sizeof(SubIdx)); }
+                /* LIFO like push_index/pop_index (reveal.c:23-38) */
+                if (trail.n > 0) stack[sp++] = trail; else { free(trail.SA); free(trail.LCP); }
+                if (lead.n > 0) stack[sp++] = lead; else { free(lead.SA); free(lead.LCP); }
+            }
+            if (ix.SA != SA) { free(ix.SA); free(ix.LCP); } else rootdone = 1;
+            (void)rootdone;
+        }
+        free(stack);
+        t_rem = now_s() - t0;
+    }
+
+    if (fixture) {
+        snprintf(path, sizeof path, "%s.json", fixture);
+        FILE *jf = fopen(path, "w");
+        fprintf(jf, "{\"n\": %" PRId64 ", \"nsep0\": %" PRId64 ", \"minl\": %d,\n", n, g_nsep0, minl);
+        fprintf(jf, " \"sa_fnv1a64\": \"%016" PRIx64 "\", \"lcp_fnv1a64\": \"%016" PRIx64 "\",\n", sa_hash, lcp_hash);
+        fprintf(jf, " \"t_fnv1a64\": \"%016" PRIx64 "\", \"lcp_sentinel_capped_fnv1a64\": \"%016" PRIx64 "\",\n", t_hash, lcpcap_hash);
+        fprintf(jf, " \"sa_head\": [");
+        for (int i = 0; i < 8 && i < n; i++) fprintf(jf, "%s%d", i ? ", " : "", (int)SA[i]);
+        fprintf(jf, "], \"sa_tail\": [");
+        for (int64_t i = (n > 8 ? n - 8 : 0); i < n; i++) fprintf(jf, "%s%d", i > (n > 8 ? n - 8 : 0) ? ", " : "", (int)SA[i]);
+        saidx32_t lcp_max = 0;
+        for (int64_t i = 0; i < n; i++) if (LCP[i] > lcp_max) lcp_max = LCP[i];
+        fprintf(jf, "],\n \"n_mums\": %" PRId64 ", \"lcp_max\": %d,\n", nmums, (int)lcp_max);
+        fprintf(jf, " \"inputs\": [\"%s\", \"%s\"]}\n", argv[1], argv[2]);
+        fclose(jf);
+    }
+
+    printf("{\"n\": %" PRId64 ", \"ref_c_sa_seconds\": %.4f, \"ref_c_lcp_seconds\": %.4f, "
+           "\"ref_c_mumscan_seconds\": %.4f, \"n_mums\": %" PRId64 ", "
+           "\"ref_c_rem_seconds\": %.4f, \"rem_steps\": %" PRId64 ", \"matched_bases\": %" PRId64 ", "
+           "\"sa_fnv1a64\": \"%016" PRIx64 "\"}\n",
+           n, t_sa, t_lcp, t_mum, nmums, t_rem, steps, matched, sa_hash);
+    return 0;
+}

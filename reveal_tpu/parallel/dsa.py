@@ -427,7 +427,13 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
                     base = lev - lev % ckpt_stride
                     if lev not in seg:
                         seg = {}
-                        r = after(ckpts[base].astype(idt), h)
+                        # thread behind BOTH h and a: on the first
+                        # regeneration h is still h0 (no collective
+                        # dep) but a0 carries the chain tail via
+                        # prev_halo(after(sa, sai)) — without it the
+                        # regen rounds form an independent collective
+                        # chain (gloo posting-order hazard, see after())
+                        r = after(ckpts[base].astype(idt), (h, a))
                         for j in range(base, lev):
                             r, _ = doubling_round(r, j)
                             seg[j + 1] = r
@@ -507,8 +513,10 @@ def build_esa_distributed(
     nlev = int(math.ceil(math.log2(npad))) + 1
     if lcp_ckpt_stride == "sqrt":
         lcp_ckpt_stride = max(1, round(math.sqrt(nlev)))
-    if lcp_ckpt_stride is not None and int(lcp_ckpt_stride) < 1:
-        raise ValueError("lcp_ckpt_stride must be >= 1")
+    if lcp_ckpt_stride is not None:
+        lcp_ckpt_stride = int(lcp_ckpt_stride)
+        if lcp_ckpt_stride < 1:
+            raise ValueError("lcp_ckpt_stride must be >= 1")
     # 2**29: the batched gather's sort-back key is 2*npad + position,
     # so int32 needs 3*npad < 2**31
     use64 = force64 or npad >= 2**29

@@ -91,6 +91,25 @@ WORKER = textwrap.dedent(
         np.asarray(lcp2.addressable_shards[0].data),
         lcp_ref[me * sh : (me + 1) * sh],
     ), "ckpt-stride LCP shard mismatch on process %%d" %% me
+
+    # stride 4 with nlev=7: the TOP descend level (6) is NOT a
+    # checkpoint multiple, so the very first regeneration fires while
+    # the descent carry h is still h0 (no collective dep) — the
+    # configuration where an unchained regen forms an independent
+    # collective chain (ADVICE r2 high).  Run it twice so the second
+    # call executes the warm/cached executable (fresh JIT often passes
+    # the posting-order hazard; the cached load is what reorders).
+    fn4 = _get_dsa_fn(mesh, sh=sh, nlev=7, use64=False, ckpt_stride=4)
+    for rep in range(2):
+        sa4, sai4, lcp4 = fn4(Tg)
+        assert np.array_equal(
+            np.asarray(sa4.addressable_shards[0].data),
+            sa_ref[me * sh : (me + 1) * sh],
+        ), "stride-4 SA shard mismatch (rep %%d) on process %%d" %% (rep, me)
+        assert np.array_equal(
+            np.asarray(lcp4.addressable_shards[0].data),
+            lcp_ref[me * sh : (me + 1) * sh],
+        ), "stride-4 LCP shard mismatch (rep %%d) on process %%d" %% (rep, me)
     print("OK process", jax.process_index())
     """
 )
