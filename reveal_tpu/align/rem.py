@@ -131,6 +131,78 @@ def _enum_pick(picker: MumPicker, idx: ESAIndex, cfg: PickerConfig):
     return pick
 
 
+def _rem2_native_loop(
+    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
+):
+    """Whole-recursion native fast path for the pairwise fasta case.
+
+    The complete LIFO recursion (enumerate/pick/split) runs in ONE
+    native call (rem2_loop, native/esa.cpp) — the picker's boundary
+    offsets are pure anchor arithmetic in this case, so no graph state
+    is needed mid-recursion.  The returned anchor records are then
+    replayed through breaknode/mergenodes in pop order, reproducing the
+    per-step engine's graph mutation sequence byte-for-byte while
+    skipping its segmentgraph/BFS bookkeeping entirely (the recursion
+    already happened).  Returns the step count, or None when the case
+    is not eligible / the native pick deferred (caller runs the
+    per-step loop; T/SAi are restored from snapshots first).
+    """
+    main = root.main
+    if (
+        getattr(G, "multi", False)
+        or main.nsamples != 2
+        or os.environ.get("REVEAL_TPU_DISABLE_FASTPICK")
+        or cfg.splitchain != "largest"
+        or cfg.gcmodel != "sumofpairs"
+        or not float(cfg.wscore).is_integer()
+        or cfg.seedsize
+        or cfg.maxdepth is not None
+        or cfg.maxsize is not None
+    ):
+        return None
+    nsep0 = int(main.nsep[0])
+    n = int(root.n)
+    # fasta pairwise roots only: one whole sequence per sample
+    if root.nodes != {(0, nsep0), (nsep0 + 1, n - 1)}:
+        return None
+    pid = G.graph.get("path2id")
+    if pid is None or sorted(pid.values()) != [0, 1]:
+        return None
+    try:
+        from ..native import rem2_loop_native
+    except Exception:
+        return None
+    T = main.T
+    SAi = main.SAi
+    t_snap = T.copy()
+    sai_snap = SAi.copy()
+    anchors = rem2_loop_native(
+        T,
+        root.SA,
+        root.LCP,
+        SAi,
+        nsep0,
+        cfg.minlength,
+        cfg.trim,
+        cfg.maxmums,
+        int(cfg.wscore),
+        float(cfg.wpen),
+        cfg.pcutoff,
+    )
+    if anchors is None:
+        T[:] = t_snap
+        SAi[:] = sai_snap
+        return None
+    for ma, mb, l, a_beg, a_end, b_beg, b_end in anchors.tolist():
+        mn_a, _ = breaknode(G, t, (a_beg, a_end), ma, l)
+        mn_b, _ = breaknode(G, t, (b_beg, b_end), mb, l)
+        mergenodes(G, [mn_a, mn_b])
+    log.debug(
+        "rem2 native loop: %d anchors, graph replayed", len(anchors)
+    )
+    return len(anchors)
+
+
 def _align_loop(
     G: PanGraph,
     t: IntervalIndex,
@@ -145,6 +217,10 @@ def _align_loop(
     surgery + SA split only, no enumeration, no pick DP — rebuilds the
     exact state, after which live picking continues and keeps logging.
     """
+    if anchor_log is None:
+        steps = _rem2_native_loop(G, t, root, cfg)
+        if steps is not None:
+            return steps
     picker = MumPicker(G, t, cfg)
     if not os.environ.get("REVEAL_TPU_DISABLE_FASTPICK"):
         picker.set_fastmap(root.nodes)

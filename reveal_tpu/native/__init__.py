@@ -232,6 +232,18 @@ def get_lib():
             + [ctypes.c_void_p] * 4
             + [ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
         )
+        for nm in ("rtpu_rem2_loop", "rtpu_rem2_loop32"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = (
+                [ctypes.c_void_p] * 4
+                + [ctypes.c_int64] * 3
+                + [ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+                + [ctypes.c_double, ctypes.c_double]
+                + [ctypes.POINTER(ctypes.c_void_p)]
+            )
+        lib.rtpu_free.restype = None
+        lib.rtpu_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -503,6 +515,61 @@ def split3_repair_enum_native(
         )
     )
     return children, lead_mums, trail_mums
+
+
+def rem2_loop_native(
+    T, SA, LCP, SAi, nsep0, minlength, trim, maxmums, wscore, wpen,
+    pcutoff,
+):
+    """Whole pairwise LIFO recursion in one native call (rem2_loop in
+    esa.cpp): pop -> premums/enumerate -> pick (pick_pairwise_dp) ->
+    split3_repair_enum -> push, without returning to Python.
+
+    Returns an (n_anchors, 7) int64 array of
+    ``[ma, mb, l, aBeg, aEnd, bBeg, bEnd]`` records in pop order, or
+    None on a pick defer / missing library — T and SAi are mutated
+    (matched lowercase, child slots), so callers must snapshot and
+    restore them before falling back to the per-step loop."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(SA)
+    dt = np.int32 if SA.dtype == np.int32 else np.int64
+    if (
+        LCP.dtype != dt
+        or SAi.dtype != dt
+        or not SA.flags["C_CONTIGUOUS"]
+        or not LCP.flags["C_CONTIGUOUS"]
+        or not SAi.flags["C_CONTIGUOUS"]
+        or not T.flags["C_CONTIGUOUS"]
+    ):
+        return None
+    fn = lib.rtpu_rem2_loop32 if dt == np.int32 else lib.rtpu_rem2_loop
+    out_ptr = ctypes.c_void_p()
+    na = fn(
+        T.ctypes.data,
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        SAi.ctypes.data,
+        ctypes.c_int64(n),
+        ctypes.c_int64(nsep0),
+        ctypes.c_int64(minlength),
+        ctypes.c_int(1 if trim else 0),
+        ctypes.c_int64(maxmums),
+        ctypes.c_int64(wscore),
+        ctypes.c_double(wpen),
+        ctypes.c_double(pcutoff),
+        ctypes.byref(out_ptr),
+    )
+    if na < 0:
+        return None
+    try:
+        if na == 0:
+            return np.empty((0, 7), dtype=np.int64)
+        buf = (ctypes.c_int64 * (na * 7)).from_address(out_ptr.value)
+        return np.array(buf, dtype=np.int64).reshape(na, 7)
+    finally:
+        lib.rtpu_free(out_ptr)
 
 
 def split3_native(SA, LCP, D_sa, SAi):

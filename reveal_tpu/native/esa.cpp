@@ -13,6 +13,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -1186,6 +1187,207 @@ int pick_multi_dp(const int64_t* ls_in, const int64_t* ws_in,
 
 }  // namespace
 
+// ---- whole pairwise recursion in one native call ----------------------
+//
+// The _align_loop fast case (align/rem.py): 2 samples, one sequence
+// each, largest/sumofpairs picker, no seeding, no maxdepth/maxsize.
+// Runs the complete LIFO recursion (pop -> premums/enumerate -> pick ->
+// split3+repair+child-enum -> push trailing/leading) without returning
+// to Python, and appends one record per anchor IN POP ORDER:
+//
+//   [ma, mb, l, aBeg, aEnd, bBeg, bEnd]
+//
+// (aBeg,aEnd)/(bBeg,bEnd) are the segment's live intervals at pick
+// time, which are exactly the unaligned graph nodes the per-step path
+// would breaknode — the Python replay (align/rem._rem2_replay) applies
+// breaknode/mergenodes for these records in the same order and
+// reproduces the incremental engine's graph byte-for-byte, with no
+// segmentgraph/BFS work.  Boundary offsets for the pick are arithmetic
+// (left = anchor end offsets - 1, right = next anchor start offsets;
+// schemes.py:197-361 via align/picker.pick_pairwise semantics).
+// Mutates T (matched-text lowercase) and SAi exactly like the per-step
+// path; SA/LCP of the root are read-only.  Returns the anchor count,
+// or -1 on a pick defer (ref-start alias) — the caller restores its
+// T/SAi snapshots and falls back to the per-step loop.
+namespace {
+
+struct Rem2Block {
+  void* p;
+  int refs;
+};
+
+template <typename Index>
+struct Rem2Seg {
+  Index *sa, *lcp;       // views into blk (null blk for the root)
+  Rem2Block* blk;        // refcounted split buffer shared by siblings
+  int64_t n;
+  int64_t aBeg, aEnd, bBeg, bEnd;  // text coords of the live intervals
+  int64_t la, lb, ra, rb;          // boundary PATH offsets
+  Index *mums;           // owned (ml|ma|mb packed), null = enumerate
+  int64_t nmum;
+};
+
+template <typename Index>
+int64_t rem2_loop(uint8_t* T, const Index* SA, const Index* LCP,
+                  Index* SAi, int64_t n, int64_t nsep0, int64_t minlength,
+                  int do_trim, int64_t maxmums, int64_t wscore,
+                  double wpen, double pcutoff, int64_t** out_anchors) {
+  const int64_t lenA = nsep0;              // A = T[0, nsep0), '$' at nsep0
+  const int64_t lenB = n - nsep0 - 2;      // B = T[nsep0+1, n-1)
+  const int64_t bOff = nsep0 + 1;          // B text start
+  const int64_t seq_starts[2] = {0, bOff};
+  const int64_t seq_sids[2] = {0, 1};
+
+  std::vector<int64_t> anchors;  // flat (k, 7)
+  std::vector<Rem2Seg<Index>> stack;
+  std::vector<int64_t> l64, a64, b64;       // pick scratch (int64 view)
+  std::vector<Index> eml, ema, emb;         // enum scratch
+  int64_t skip_counts[2];
+
+  stack.push_back(Rem2Seg<Index>{nullptr, nullptr, nullptr, n, 0, lenA,
+                                 bOff, bOff + lenB, -1, -1, lenA, lenB,
+                                 nullptr, -1});
+  auto seg_free = [](Rem2Seg<Index>& s) {
+    if (s.blk && --s.blk->refs == 0) {
+      std::free(s.blk->p);
+      delete s.blk;
+    }
+    std::free(s.mums);
+  };
+  auto fail = [&]() -> int64_t {
+    for (auto& s : stack) seg_free(s);
+    return -1;
+  };
+
+  while (!stack.empty()) {
+    Rem2Seg<Index> seg = stack.back();
+    stack.pop_back();
+    const Index* ssa = seg.sa ? seg.sa : SA;
+    const Index* slcp = seg.lcp ? seg.lcp : LCP;
+
+    // candidates: parent's fused enumeration, or enumerate now (root)
+    int64_t k;
+    const Index *cl, *ca, *cb;
+    if (seg.nmum >= 0) {
+      k = seg.nmum;
+      cl = seg.mums;
+      ca = seg.mums + k;
+      cb = seg.mums + 2 * k;
+    } else {
+      if ((int64_t)eml.size() < seg.n) {
+        eml.resize(seg.n);
+        ema.resize(seg.n);
+        emb.resize(seg.n);
+      }
+      k = seg.n > 1 ? pairwise_mums(T, ssa, slcp, seg.n, nsep0, minlength,
+                                    0, (int64_t)0, eml.data(), ema.data(),
+                                    emb.data())
+                    : 0;
+      cl = eml.data();
+      ca = ema.data();
+      cb = emb.data();
+    }
+    if (k == 0) {
+      seg_free(seg);
+      continue;
+    }
+
+    l64.assign(cl, cl + k);
+    a64.assign(ca, ca + k);
+    b64.assign(cb, cb + k);
+    const int64_t left_off[2] = {seg.la, seg.lb};
+    const int64_t right_off[2] = {seg.ra, seg.rb};
+    PickResult pr;
+    const int st = pick_pairwise_dp(
+        l64.data(), a64.data(), b64.data(), k, seq_starts, seq_sids, 2,
+        left_off, right_off, 2, do_trim, maxmums, wscore, wpen,
+        /*seedsize=*/0, pcutoff, minlength, &pr, nullptr, skip_counts,
+        nullptr);
+    if (st == 2) {
+      seg_free(seg);
+      return fail();
+    }
+    if (st == 1) {
+      seg_free(seg);
+      continue;
+    }
+    const int64_t ma = pr.split_a, mb = pr.split_b, l = pr.split_l;
+    anchors.insert(anchors.end(), {ma, mb, l, seg.aBeg, seg.aEnd,
+                                   seg.bBeg, seg.bEnd});
+
+    // split: leading [aBeg,ma)+[bBeg,mb) | trailing [ma+l,aEnd)+
+    // [mb+l,bEnd) | matched (lowercased); fused child enumeration
+    const int64_t iv[6 * 3] = {
+        seg.aBeg, ma,      1, seg.bBeg, mb,      1,
+        ma + l,   seg.aEnd, 2, mb + l,   seg.bEnd, 2,
+        ma,       ma + l,   3, mb,       mb + l,   3,
+    };
+    const int64_t matches[4] = {ma, l, mb, l};
+    Index* sa_buf = (Index*)std::malloc(
+        (size_t)seg.n * 2 * sizeof(Index));
+    Index* lcp_buf = sa_buf + seg.n;
+    if ((int64_t)eml.size() < seg.n) {
+      eml.resize(seg.n);
+      ema.resize(seg.n);
+      emb.resize(seg.n);
+    }
+    int64_t out_n[5];
+    split3_repair_enum(ssa, slcp, seg.n, SAi, iv, (int64_t)6, T, matches,
+                       (int64_t)2, nsep0, minlength, 1, 1, sa_buf, lcp_buf,
+                       eml.data(), ema.data(), emb.data(), out_n);
+    const int64_t c1 = out_n[0], c2 = out_n[1];
+    const int64_t m1 = out_n[3] > 0 ? out_n[3] : 0;
+    const int64_t m2 = out_n[4] > 0 ? out_n[4] : 0;
+
+    // child boundary offsets (path coords): the matched node's offsets;
+    // children take refcounted views of the split buffer (no memcpy)
+    const int64_t offa = ma, offb = mb - bOff;
+    Rem2Block* blk = nullptr;
+    if (c1 > 0 || c2 > 0) {
+      blk = new Rem2Block{sa_buf, (c1 > 0) + (c2 > 0)};
+    } else {
+      std::free(sa_buf);
+    }
+    Rem2Seg<Index> lead{sa_buf,  lcp_buf, blk,  c1,   seg.aBeg, ma,
+                        seg.bBeg, mb,     seg.la, seg.lb, offa, offb,
+                        nullptr, m1};
+    Rem2Seg<Index> trail{sa_buf + c1,  lcp_buf + c1, blk,
+                         c2,           ma + l,       seg.aEnd,
+                         mb + l,       seg.bEnd,     offa + l - 1,
+                         offb + l - 1, seg.ra,       seg.rb,
+                         nullptr,      m2};
+    if (c1 > 0 && m1 > 0) {
+      lead.mums = (Index*)std::malloc((size_t)(3 * m1) * sizeof(Index));
+      std::memcpy(lead.mums, eml.data(), (size_t)m1 * sizeof(Index));
+      std::memcpy(lead.mums + m1, ema.data(), (size_t)m1 * sizeof(Index));
+      std::memcpy(lead.mums + 2 * m1, emb.data(),
+                  (size_t)m1 * sizeof(Index));
+    }
+    if (c2 > 0 && m2 > 0) {
+      trail.mums = (Index*)std::malloc((size_t)(3 * m2) * sizeof(Index));
+      std::memcpy(trail.mums, eml.data() + m1, (size_t)m2 * sizeof(Index));
+      std::memcpy(trail.mums + m2, ema.data() + m1,
+                  (size_t)m2 * sizeof(Index));
+      std::memcpy(trail.mums + 2 * m2, emb.data() + m1,
+                  (size_t)m2 * sizeof(Index));
+    }
+    seg_free(seg);
+    // push order: (parallel: none), leading, trailing -> trailing pops
+    // first (reveal.c:1295-1324 via align/rem._align_loop)
+    if (c1 > 0) stack.push_back(lead);
+    if (c2 > 0) stack.push_back(trail);
+  }
+
+  const int64_t na = (int64_t)anchors.size() / 7;
+  int64_t* out = (int64_t*)std::malloc(
+      (size_t)(anchors.size() ? anchors.size() : 1) * sizeof(int64_t));
+  std::memcpy(out, anchors.data(), anchors.size() * sizeof(int64_t));
+  *out_anchors = out;
+  return na;
+}
+
+}  // namespace
+
 // glocal synteny-chain DP (transform.py:947-1244 semantics as re-expressed
 // in transform/blocks.py glocalchain, non-heap window scan): candidates
 // 0..ncand-1 are [start dummy] + sorted blocks; for every block the
@@ -1810,6 +2012,26 @@ int64_t rtpu_multimums32(const uint8_t* T, const int32_t* SA,
   return multimums_scan(T, SA, LCP, SO, n, nsamples_main, minl, minn,
                         out_l, out_lb, out_ub);
 }
+
+int64_t rtpu_rem2_loop(uint8_t* T, const int64_t* SA, const int64_t* LCP,
+                       int64_t* SAi, int64_t n, int64_t nsep0,
+                       int64_t minlength, int do_trim, int64_t maxmums,
+                       int64_t wscore, double wpen, double pcutoff,
+                       int64_t** out_anchors) {
+  return rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim, maxmums,
+                   wscore, wpen, pcutoff, out_anchors);
+}
+
+int64_t rtpu_rem2_loop32(uint8_t* T, const int32_t* SA, const int32_t* LCP,
+                         int32_t* SAi, int64_t n, int64_t nsep0,
+                         int64_t minlength, int do_trim, int64_t maxmums,
+                         int64_t wscore, double wpen, double pcutoff,
+                         int64_t** out_anchors) {
+  return rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim, maxmums,
+                   wscore, wpen, pcutoff, out_anchors);
+}
+
+void rtpu_free(void* p) { std::free(p); }
 
 void rtpu_kasai64(const uint8_t* T, const int64_t* SA, int64_t* SAi,
                   int64_t* LCP, int64_t n) {
