@@ -193,14 +193,125 @@ def _rem2_native_loop(
         T[:] = t_snap
         SAi[:] = sai_snap
         return None
-    for ma, mb, l, a_beg, a_end, b_beg, b_end in anchors.tolist():
-        mn_a, _ = breaknode(G, t, (a_beg, a_end), ma, l)
-        mn_b, _ = breaknode(G, t, (b_beg, b_end), mb, l)
-        mergenodes(G, [mn_a, mn_b])
+    _rem2_replay(G, anchors)
     log.debug(
         "rem2 native loop: %d anchors, graph replayed", len(anchors)
     )
     return len(anchors)
+
+
+def _rem2_replay(G: PanGraph, anchors):
+    """Graph surgery replay for the native-loop anchors: per record, the
+    exact mutation sequence of breaknode(A) + breaknode(B) + mergenodes
+    (graphops.py:83-207), inlined for the fasta pairwise case (all
+    edges '+'/'+', so the negstrand branches vanish) and without the
+    IntervalIndex bookkeeping (the recursion already happened; nothing
+    downstream reads it).  Node/edge dict insertion order is preserved
+    operation for operation — the output graph is byte-identical to the
+    per-step engine's, GFA topological numbering included."""
+    nodes = G.nodes
+    succ = G.succ
+    pred = G.pred
+
+    def brk(node, pos, l):
+        att = nodes[node]
+        mn = (pos, pos + l)
+        if mn == node:
+            return node
+        offs = att["offsets"]
+        in_items = list(pred[node].items())
+        out_items = list(succ[node].items())
+        if in_items or out_items:
+            pospaths = set()
+            for _, d in in_items:
+                pospaths |= d["paths"]
+            for _, d in out_items:
+                pospaths |= d["paths"]
+        else:
+            pospaths = set(offs.keys())
+
+        # add mn (aligned set by the merge below, 0 until then)
+        nodes[mn] = {
+            "offsets": {s: o + (pos - node[0]) for s, o in offs.items()},
+            "aligned": 0,
+        }
+        succ[mn] = {}
+        pred[mn] = {}
+
+        if node[0] != pos:
+            pn = (node[0], pos)
+            nodes[pn] = {"offsets": dict(offs), "aligned": 0}
+            succ[pn] = {}
+            pred[pn] = {}
+            d = {"paths": set(pospaths), "ofrom": "+", "oto": "+"}
+            succ[pn][mn] = d
+            pred[mn][pn] = d
+        else:
+            pn = mn
+        if node[1] != pos + l:
+            sn = (pos + l, node[1])
+            nodes[sn] = {
+                "offsets": {
+                    s: o + (pos + l - node[0]) for s, o in offs.items()
+                },
+                "aligned": 0,
+            }
+            succ[sn] = {}
+            pred[sn] = {}
+            d = {"paths": set(pospaths), "ofrom": "+", "oto": "+"}
+            succ[mn][sn] = d
+            pred[sn][mn] = d
+        else:
+            sn = mn
+
+        # remove the original node, reattach its edges (all '+'/'+')
+        for to in succ[node]:
+            del pred[to][node]
+        for fr in pred[node]:
+            del succ[fr][node]
+        del succ[node]
+        del pred[node]
+        del nodes[node]
+        for fro, d in in_items:
+            nd = dict(d)
+            succ[fro][pn] = nd
+            pred[pn][fro] = nd
+        for to, d in out_items:
+            nd = dict(d)
+            succ[sn][to] = nd
+            pred[to][sn] = nd
+        return mn
+
+    for ma, mb, l, a_beg, a_end, b_beg, b_end in anchors.tolist():
+        mn_a = brk((a_beg, a_end), ma, l)
+        mn_b = brk((b_beg, b_end), mb, l)
+        # mergenodes([mn_a, mn_b]) (graphops.py:161-207, DiGraph branch)
+        da = nodes[mn_a]
+        newoffsets = dict(da["offsets"])
+        newoffsets.update(nodes[mn_b]["offsets"])
+        da["offsets"] = newoffsets
+        da["aligned"] = 1
+        sa_ = succ[mn_a]
+        pa_ = pred[mn_a]
+        for u, d in pred[mn_b].items():
+            if u in pa_:
+                pa_[u]["paths"] |= d["paths"]
+            else:
+                nd = dict(d)
+                succ[u][mn_a] = nd
+                pa_[u] = nd
+            del succ[u][mn_b]
+        for v, d in succ[mn_b].items():
+            if v in sa_:
+                sa_[v]["paths"] |= d["paths"]
+            else:
+                nd = dict(d)
+                sa_[v] = nd
+                pred[v][mn_a] = nd
+            del pred[v][mn_b]
+        del succ[mn_b]
+        del pred[mn_b]
+        del nodes[mn_b]
 
 
 def _align_loop(

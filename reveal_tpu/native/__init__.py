@@ -60,6 +60,7 @@ def get_lib():
                 "-shared",
                 "-fPIC",
                 "-std=c++17",
+                "-pthread",
                 _SRC,
                 "-o",
                 tmp,
@@ -239,7 +240,7 @@ def get_lib():
                 [ctypes.c_void_p] * 4
                 + [ctypes.c_int64] * 3
                 + [ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
-                + [ctypes.c_double, ctypes.c_double]
+                + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]
                 + [ctypes.POINTER(ctypes.c_void_p)]
             )
         lib.rtpu_free.restype = None
@@ -519,7 +520,7 @@ def split3_repair_enum_native(
 
 def rem2_loop_native(
     T, SA, LCP, SAi, nsep0, minlength, trim, maxmums, wscore, wpen,
-    pcutoff,
+    pcutoff, nthreads=None,
 ):
     """Whole pairwise LIFO recursion in one native call (rem2_loop in
     esa.cpp): pop -> premums/enumerate -> pick (pick_pairwise_dp) ->
@@ -545,6 +546,15 @@ def rem2_loop_native(
     ):
         return None
     fn = lib.rtpu_rem2_loop32 if dt == np.int32 else lib.rtpu_rem2_loop
+    if nthreads is None:
+        env = os.environ.get("REVEAL_TPU_REM2_THREADS")
+        if env is not None:
+            nthreads = int(env)
+        else:
+            # pure-C workers, no GIL: default to the machine width (the
+            # deterministic serial pop order is reconstructed from the
+            # recorded recursion tree, see rem2_loop_par in esa.cpp)
+            nthreads = min(8, os.cpu_count() or 1)
     out_ptr = ctypes.c_void_p()
     na = fn(
         T.ctypes.data,
@@ -559,6 +569,7 @@ def rem2_loop_native(
         ctypes.c_int64(wscore),
         ctypes.c_double(wpen),
         ctypes.c_double(pcutoff),
+        ctypes.c_int64(max(1, nthreads)),
         ctypes.byref(out_ptr),
     )
     if na < 0:

@@ -11,10 +11,14 @@
 // Exposed via a C ABI for ctypes.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -1386,6 +1390,277 @@ int64_t rem2_loop(uint8_t* T, const Index* SA, const Index* LCP,
   return na;
 }
 
+// ---- parallel driver ---------------------------------------------------
+//
+// Same recursion, executed by a C thread pool over a shared LIFO.  The
+// anchor SET is a pure function of each segment in isolation (every
+// pick reads only its own segment's SA/LCP/candidates plus text whose
+// case bits were fixed before the segment existed: T[a-1] at a segment
+// edge is always an ancestor's already-lowercased match or the text
+// start), and sibling subtrees mutate disjoint SAi entries / text
+// intervals — so any execution order yields the serial anchors.  The
+// serial POP ORDER (which the graph replay needs for byte-identical
+// output) is reconstructed afterwards from the recorded recursion tree
+// by simulating the serial stack.  No GIL, no Python: near-linear on
+// the early large segments, which carry most of the scan work.
+
+template <typename Index>
+struct Rem2Par {
+  uint8_t* T;
+  const Index* SA;
+  const Index* LCP;
+  Index* SAi;
+  int64_t n, nsep0, bOff, minlength, maxmums, wscore;
+  int do_trim;
+  double wpen, pcutoff;
+
+  struct Node {
+    int64_t rec[7];
+    int64_t lead_id = -1, trail_id = -1;
+    bool has_anchor = false;
+  };
+  std::vector<Node> nodes;
+  std::vector<Rem2Seg<Index>> stack;  // Rem2Seg.nmum<0: enumerate
+  std::vector<int64_t> seg_ids;       // parallel to stack
+  std::mutex mu;
+  std::condition_variable cv;
+  int64_t active = 0;
+  int64_t next_id = 0;
+  bool abort_flag = false;
+
+  void worker() {
+    std::vector<int64_t> l64, a64, b64;
+    std::vector<Index> eml, ema, emb;
+    int64_t skip_counts[2];
+    const int64_t seq_starts[2] = {0, bOff};
+    const int64_t seq_sids[2] = {0, 1};
+    auto seg_free = [](Rem2Seg<Index>& s) {
+      if (s.blk && --s.blk->refs == 0) {
+        std::free(s.blk->p);
+        delete s.blk;
+      }
+      std::free(s.mums);
+    };
+    std::unique_lock<std::mutex> lk(mu);
+    while (true) {
+      while (stack.empty() && active > 0 && !abort_flag) cv.wait(lk);
+      if (abort_flag || stack.empty()) return;
+      Rem2Seg<Index> seg = stack.back();
+      stack.pop_back();
+      const int64_t seg_id = seg_ids.back();
+      seg_ids.pop_back();
+      ++active;
+      lk.unlock();
+
+      // ---- process one segment (identical to the serial body) ----
+      const Index* ssa = seg.sa ? seg.sa : SA;
+      const Index* slcp = seg.lcp ? seg.lcp : LCP;
+      int64_t k;
+      const Index *cl, *ca, *cb;
+      if (seg.nmum >= 0) {
+        k = seg.nmum;
+        cl = seg.mums;
+        ca = seg.mums + k;
+        cb = seg.mums + 2 * k;
+      } else {
+        if ((int64_t)eml.size() < seg.n) {
+          eml.resize(seg.n);
+          ema.resize(seg.n);
+          emb.resize(seg.n);
+        }
+        k = seg.n > 1
+                ? pairwise_mums(T, ssa, slcp, seg.n, nsep0, minlength, 0,
+                                (int64_t)0, eml.data(), ema.data(),
+                                emb.data())
+                : 0;
+        cl = eml.data();
+        ca = ema.data();
+        cb = emb.data();
+      }
+      int st = 1;
+      PickResult pr;
+      if (k > 0) {
+        l64.assign(cl, cl + k);
+        a64.assign(ca, ca + k);
+        b64.assign(cb, cb + k);
+        const int64_t left_off[2] = {seg.la, seg.lb};
+        const int64_t right_off[2] = {seg.ra, seg.rb};
+        st = pick_pairwise_dp(l64.data(), a64.data(), b64.data(), k,
+                              seq_starts, seq_sids, 2, left_off, right_off,
+                              2, do_trim, maxmums, wscore, wpen,
+                              /*seedsize=*/0, pcutoff, minlength, &pr,
+                              nullptr, skip_counts, nullptr);
+      }
+      Rem2Seg<Index> lead{}, trail{};
+      int64_t c1 = 0, c2 = 0;
+      if (st == 0) {
+        const int64_t ma = pr.split_a, mb = pr.split_b, l = pr.split_l;
+        const int64_t iv[6 * 3] = {
+            seg.aBeg, ma,       1, seg.bBeg, mb,       1,
+            ma + l,   seg.aEnd, 2, mb + l,   seg.bEnd, 2,
+            ma,       ma + l,   3, mb,       mb + l,   3,
+        };
+        const int64_t matches[4] = {ma, l, mb, l};
+        Index* sa_buf =
+            (Index*)std::malloc((size_t)seg.n * 2 * sizeof(Index));
+        Index* lcp_buf = sa_buf + seg.n;
+        if ((int64_t)eml.size() < seg.n) {
+          eml.resize(seg.n);
+          ema.resize(seg.n);
+          emb.resize(seg.n);
+        }
+        int64_t out_n[5];
+        split3_repair_enum(ssa, slcp, seg.n, SAi, iv, (int64_t)6, T,
+                           matches, (int64_t)2, nsep0, minlength, 1, 1,
+                           sa_buf, lcp_buf, eml.data(), ema.data(),
+                           emb.data(), out_n);
+        c1 = out_n[0];
+        c2 = out_n[1];
+        const int64_t m1 = out_n[3] > 0 ? out_n[3] : 0;
+        const int64_t m2 = out_n[4] > 0 ? out_n[4] : 0;
+        const int64_t offa = ma, offb = mb - bOff;
+        Rem2Block* blk = nullptr;
+        if (c1 > 0 || c2 > 0) {
+          blk = new Rem2Block{sa_buf, (c1 > 0) + (c2 > 0)};
+        } else {
+          std::free(sa_buf);
+        }
+        lead = Rem2Seg<Index>{sa_buf,  lcp_buf, blk,  c1,
+                              seg.aBeg, ma,     seg.bBeg, mb,
+                              seg.la,  seg.lb,  offa, offb,
+                              nullptr, m1};
+        trail = Rem2Seg<Index>{sa_buf + c1,  lcp_buf + c1, blk,
+                               c2,           ma + l,       seg.aEnd,
+                               mb + l,       seg.bEnd,     offa + l - 1,
+                               offb + l - 1, seg.ra,       seg.rb,
+                               nullptr,      m2};
+        if (c1 > 0 && m1 > 0) {
+          lead.mums =
+              (Index*)std::malloc((size_t)(3 * m1) * sizeof(Index));
+          std::memcpy(lead.mums, eml.data(), (size_t)m1 * sizeof(Index));
+          std::memcpy(lead.mums + m1, ema.data(),
+                      (size_t)m1 * sizeof(Index));
+          std::memcpy(lead.mums + 2 * m1, emb.data(),
+                      (size_t)m1 * sizeof(Index));
+        }
+        if (c2 > 0 && m2 > 0) {
+          trail.mums =
+              (Index*)std::malloc((size_t)(3 * m2) * sizeof(Index));
+          std::memcpy(trail.mums, eml.data() + m1,
+                      (size_t)m2 * sizeof(Index));
+          std::memcpy(trail.mums + m2, ema.data() + m1,
+                      (size_t)m2 * sizeof(Index));
+          std::memcpy(trail.mums + 2 * m2, emb.data() + m1,
+                      (size_t)m2 * sizeof(Index));
+        }
+      }
+      seg_free(seg);
+
+      lk.lock();
+      --active;
+      if (st == 2) {
+        abort_flag = true;
+        if (c1 > 0) seg_free(lead);
+        if (c2 > 0) seg_free(trail);
+        cv.notify_all();
+        return;
+      }
+      if ((int64_t)nodes.size() <= seg_id) nodes.resize(seg_id + 1);
+      Node& nd = nodes[seg_id];
+      if (st == 0) {
+        nd.has_anchor = true;
+        nd.rec[0] = pr.split_a;
+        nd.rec[1] = pr.split_b;
+        nd.rec[2] = pr.split_l;
+        nd.rec[3] = seg.aBeg;
+        nd.rec[4] = seg.aEnd;
+        nd.rec[5] = seg.bBeg;
+        nd.rec[6] = seg.bEnd;
+        // serial push order: leading then trailing (trailing pops first)
+        if (c1 > 0) {
+          nd.lead_id = next_id++;
+          stack.push_back(lead);
+          seg_ids.push_back(nd.lead_id);
+        }
+        if (c2 > 0) {
+          nd.trail_id = next_id++;
+          stack.push_back(trail);
+          seg_ids.push_back(nd.trail_id);
+        }
+      }
+      cv.notify_all();
+    }
+  }
+};
+
+template <typename Index>
+int64_t rem2_loop_par(uint8_t* T, const Index* SA, const Index* LCP,
+                      Index* SAi, int64_t n, int64_t nsep0,
+                      int64_t minlength, int do_trim, int64_t maxmums,
+                      int64_t wscore, double wpen, double pcutoff,
+                      int64_t nthreads, int64_t** out_anchors) {
+  Rem2Par<Index> ctx;
+  ctx.T = T;
+  ctx.SA = SA;
+  ctx.LCP = LCP;
+  ctx.SAi = SAi;
+  ctx.n = n;
+  ctx.nsep0 = nsep0;
+  ctx.bOff = nsep0 + 1;
+  ctx.minlength = minlength;
+  ctx.maxmums = maxmums;
+  ctx.wscore = wscore;
+  ctx.do_trim = do_trim;
+  ctx.wpen = wpen;
+  ctx.pcutoff = pcutoff;
+  const int64_t lenA = nsep0;
+  const int64_t lenB = n - nsep0 - 2;
+  ctx.stack.push_back(Rem2Seg<Index>{nullptr, nullptr, nullptr, n, 0,
+                                     lenA, ctx.bOff, ctx.bOff + lenB, -1,
+                                     -1, lenA, lenB, nullptr, -1});
+  ctx.seg_ids.push_back(0);
+  ctx.next_id = 1;
+
+  std::vector<std::thread> pool;
+  for (int64_t i = 1; i < nthreads; ++i) {
+    pool.emplace_back([&ctx] { ctx.worker(); });
+  }
+  ctx.worker();
+  for (auto& th : pool) th.join();
+
+  if (ctx.abort_flag) {
+    for (auto& s : ctx.stack) {
+      if (s.blk && --s.blk->refs == 0) {
+        std::free(s.blk->p);
+        delete s.blk;
+      }
+      std::free(s.mums);
+    }
+    return -1;
+  }
+
+  // reconstruct the serial pop order by simulating the serial stack
+  std::vector<int64_t> anchors;
+  std::vector<int64_t> sim;
+  sim.push_back(0);
+  while (!sim.empty()) {
+    const int64_t id = sim.back();
+    sim.pop_back();
+    if (id >= (int64_t)ctx.nodes.size()) continue;
+    const auto& nd = ctx.nodes[id];
+    if (!nd.has_anchor) continue;
+    anchors.insert(anchors.end(), nd.rec, nd.rec + 7);
+    if (nd.lead_id >= 0) sim.push_back(nd.lead_id);
+    if (nd.trail_id >= 0) sim.push_back(nd.trail_id);
+  }
+  const int64_t na = (int64_t)anchors.size() / 7;
+  int64_t* out = (int64_t*)std::malloc(
+      (size_t)(anchors.size() ? anchors.size() : 1) * sizeof(int64_t));
+  std::memcpy(out, anchors.data(), anchors.size() * sizeof(int64_t));
+  *out_anchors = out;
+  return na;
+}
+
 }  // namespace
 
 // glocal synteny-chain DP (transform.py:947-1244 semantics as re-expressed
@@ -2017,7 +2292,12 @@ int64_t rtpu_rem2_loop(uint8_t* T, const int64_t* SA, const int64_t* LCP,
                        int64_t* SAi, int64_t n, int64_t nsep0,
                        int64_t minlength, int do_trim, int64_t maxmums,
                        int64_t wscore, double wpen, double pcutoff,
-                       int64_t** out_anchors) {
+                       int64_t nthreads, int64_t** out_anchors) {
+  if (nthreads > 1) {
+    return rem2_loop_par(T, SA, LCP, SAi, n, nsep0, minlength, do_trim,
+                         maxmums, wscore, wpen, pcutoff, nthreads,
+                         out_anchors);
+  }
   return rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim, maxmums,
                    wscore, wpen, pcutoff, out_anchors);
 }
@@ -2026,7 +2306,12 @@ int64_t rtpu_rem2_loop32(uint8_t* T, const int32_t* SA, const int32_t* LCP,
                          int32_t* SAi, int64_t n, int64_t nsep0,
                          int64_t minlength, int do_trim, int64_t maxmums,
                          int64_t wscore, double wpen, double pcutoff,
-                         int64_t** out_anchors) {
+                         int64_t nthreads, int64_t** out_anchors) {
+  if (nthreads > 1) {
+    return rem2_loop_par(T, SA, LCP, SAi, n, nsep0, minlength, do_trim,
+                         maxmums, wscore, wpen, pcutoff, nthreads,
+                         out_anchors);
+  }
   return rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim, maxmums,
                    wscore, wpen, pcutoff, out_anchors);
 }
