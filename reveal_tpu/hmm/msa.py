@@ -79,6 +79,93 @@ def batch_posteriors(pairs, slice_output: bool = True):
             _use_pallas = False
     return _batch_posteriors_xla(pairs, slice_output=slice_output)
 
+def batch_posteriors_cut(pairs):
+    """Stage-1 with ON-DEVICE sparsification (the production transfer
+    path for accelerator backends): posteriors are cutoff-compacted on
+    device (pairhmm.fetch_posteriors_cut) so only surviving cells +
+    per-row counts cross the link, and the expected-accuracy MEA score
+    is computed on device from the full matrix in the same dispatch.
+
+    Returns [(p_cut, total, score), ...] in input order, where p_cut is
+    dense-with-zeros float32 identical to ``_sparsify(p_dense)`` and
+    score equals the host ``_mea_dp_fast(p_dense)[1]``.  On CPU
+    backends (no transfer to save) this computes the same triple via
+    the dense path."""
+    import jax
+
+    use_dev = False
+    try:
+        use_dev = jax.default_backend() not in ("cpu",)
+    except Exception:
+        pass
+    if not use_dev or _logadd_compat:
+        res = batch_posteriors(pairs)
+        return [
+            (_sparsify(p), tot, _mea_dp_fast(p)[1]) for p, tot in res
+        ]
+
+    from .pairhmm import _bucket, _pad_with_dummy, fetch_posteriors_cut
+    from .pallas_pairhmm import _get_pallas_kernels, _round_up
+
+    posterior_batch = _get_pallas_kernels()
+    buckets = {}
+    for i, (s1, s2) in enumerate(pairs):
+        key = (
+            _bucket(len(s1)) + 1,
+            _round_up(_bucket(len(s2)) + 1, 128),
+        )
+        buckets.setdefault(key, []).append(i)
+    out = [None] * len(pairs)
+    for (L1p, L2p), idxs_all in buckets.items():
+        if L2p * 8 > 100_000:
+            sub = batch_posteriors([pairs[i] for i in idxs_all])
+            for bi, i in enumerate(idxs_all):
+                p, tot = sub[bi]
+                out[i] = (_sparsify(p), tot, _mea_dp_fast(p)[1])
+            continue
+        maxB = max(8, 100_000 // L2p)
+        mB = 8
+        while mB * 2 <= maxB:
+            mB *= 2
+        for chunk_start in range(0, len(idxs_all), mB):
+            idxs = idxs_all[chunk_start : chunk_start + mB]
+            B = 8
+            while B < len(idxs):
+                B *= 2
+            npad = B - len(idxs)
+            xb = np.stack(
+                [
+                    _pad_with_dummy(pairs[i][0].encode(), L1p - 1)
+                    for i in idxs
+                ]
+                + [_pad_with_dummy(b"A", L1p - 1)] * npad
+            )
+            yb = np.stack(
+                [
+                    _pad_with_dummy(pairs[i][1].encode(), L2p - 1)
+                    for i in idxs
+                ]
+                + [_pad_with_dummy(b"A", L2p - 1)] * npad
+            )
+            lx = np.array(
+                [len(pairs[i][0]) for i in idxs] + [1] * npad,
+                dtype=np.int32,
+            )
+            ly = np.array(
+                [len(pairs[i][1]) for i in idxs] + [1] * npad,
+                dtype=np.int32,
+            )
+            p, tot = posterior_batch(xb, yb, lx, ly)
+            p_cut, tot, scores = fetch_posteriors_cut(p, tot)
+            for bi, i in enumerate(idxs):
+                out[i] = (
+                    p_cut[bi, : lx[bi] + 1, : ly[bi] + 1],
+                    float(tot[bi]),
+                    float(scores[bi]),
+                )
+    return out
+
+
 log = logging.getLogger(__name__)
 
 POSTERIOR_CUTOFF = 0.01
@@ -829,6 +916,7 @@ def probcons_align(
     consgap: bool = False,
     seed: int = 0,
     precomputed=None,
+    precomputed_scores=None,
     precomputed_mats=None,
     precomputed_dist=None,
 ):
@@ -867,11 +955,16 @@ def probcons_align(
             )
         mats = {}
         dist = np.zeros((N, N), dtype=np.float64)
-        for (a, b), (p, tot) in zip(pair_keys, res):
+        for k, ((a, b), (p, tot)) in enumerate(zip(pair_keys, res)):
             mats[(a, b)] = _sparsify(p)
             # expected-accuracy distance uses the dense posterior
-            # (DoAlign, Probcons.cc:384-400)
-            edit, score = _mea_dp_fast(p)
+            # (DoAlign, Probcons.cc:384-400); with the sparsified
+            # transfer path the score comes precomputed from the device
+            # (same cummax recurrence, pairhmm.fetch_posteriors_cut)
+            if precomputed_scores is not None:
+                score = precomputed_scores[k]
+            else:
+                edit, score = _mea_dp_fast(p)
             dist[a, b] = dist[b, a] = score / max(
                 1, min(len(seqs[a]), len(seqs[b]))
             )

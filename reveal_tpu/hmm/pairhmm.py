@@ -422,7 +422,93 @@ def _bucket(n: int) -> int:
 SPARSE_TRANSFER_MIN_WIDTH = 513  # activate when posterior width >= this
 SPARSE_TRANSFER_K = 128
 
+# Cutoff-first transfer (fetch_posteriors_cut): the 0.01 cutoff is
+# applied ON DEVICE, so the expected per-row survivor count is ~2-4 for
+# the similar sequences refine aligns and K=32 covers almost every row;
+# the per-row survivor COUNTS come back with the values, and any row
+# exceeding K triggers one exact K=128 refetch of that batch (<=100
+# survivors fit by the row-sum bound, so 128 is always exact).  The
+# escalation is sticky for the process (measured: a diffuse workload
+# that overflows once overflows every batch, and the double dispatch
+# costs more than the wider fetch).  The MEA distance score is computed
+# on device from the FULL posterior in the same dispatch (the cummax
+# row scan of msa._build_chain_fn, bit-equal to the host _mea_dp_fast
+# recurrence), so nothing downstream needs the dense matrix at all.
+SPARSE_CUT_K = 32
+
 _topk_fn = None
+_cut_fns = {}
+_cut_k_current = SPARSE_CUT_K
+
+
+def _get_cut_fn(K: int):
+    fn = _cut_fns.get(K)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cut(p):
+        B, L1p, L2p = p.shape
+        m = p >= 0.01
+        m = m.at[:, 0, :].set(False).at[:, :, 0].set(False)
+        q = jnp.where(m, p, 0.0)
+        cnt = m.sum(-1).astype(jnp.int32)
+        v, i = jax.lax.top_k(q, k=K)
+        if L2p < 2**15:
+            i = i.astype(jnp.int16)
+        # MEA score scan over the FULL posterior (msa._build_chain_fn)
+        def row(old, prow):
+            d = prow[:, 1:] + old[:, :-1]
+            u = old[:, 1:]
+            c = jnp.maximum(d, u)
+            mx = jax.lax.cummax(c, axis=1)
+            return (
+                jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.float32), mx], axis=1
+                ),
+                None,
+            )
+
+        rows = jnp.transpose(p, (1, 0, 2))[1:]
+        old0 = jnp.zeros((B, L2p), jnp.float32)
+        oldf, _ = jax.lax.scan(row, old0, rows)
+        return v, i, cnt, oldf[:, -1]
+
+    _cut_fns[K] = cut
+    return cut
+
+
+def fetch_posteriors_cut(p, tot):
+    """Cutoff-sparsified posterior transfer + device MEA scores.
+
+    Returns (p_cut, tot, scores): p_cut is the dense float32 batch with
+    every cell below msa.POSTERIOR_CUTOFF (and row/col 0) zeroed —
+    exactly msa._sparsify of the dense fetch — reconstructed on the
+    host from a device-compacted top-K per row, and scores[b] is the
+    full-dense MEA alignment score (DoAlign, Probcons.cc:384-400).
+    Only ~K*(4+2) bytes per row cross the link instead of 4*L2."""
+    import jax
+
+    global _cut_k_current
+    tot = np.asarray(jax.device_get(tot))
+    K = _cut_k_current
+    while True:
+        v, i, cnt, sc = _get_cut_fn(K)(p)
+        cnt = np.asarray(jax.device_get(cnt))
+        if int(cnt.max(initial=0)) <= K:
+            break
+        K = SPARSE_TRANSFER_K  # exact by the row-sum bound
+        _cut_k_current = K  # sticky: avoid repeated double dispatch
+    v = np.asarray(jax.device_get(v))
+    i = np.asarray(jax.device_get(i)).astype(np.int64)
+    scores = np.asarray(jax.device_get(sc))
+    dense = np.zeros(p.shape, dtype=np.float32)
+    np.put_along_axis(dense, i, v, axis=-1)
+    # top_k pads short rows with index 0 value 0.0 — col 0 is zero anyway
+    dense[:, :, 0] = 0.0
+    return dense, tot, scores
 
 
 def fetch_posteriors(p, tot):

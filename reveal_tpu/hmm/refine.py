@@ -107,6 +107,7 @@ def msa_to_graph(
     consgap: bool = True,
     nrefinements: int = 100,
     precomputed=None,
+    precomputed_scores=None,
     precomputed_mats=None,
     precomputed_dist=None,
     method: str = "reveal_probcons",
@@ -142,6 +143,7 @@ def msa_to_graph(
             refinement=nrefinements,
             consgap=consgap,
             precomputed=precomputed,
+            precomputed_scores=precomputed_scores,
             precomputed_mats=precomputed_mats,
             precomputed_dist=precomputed_dist,
         )
@@ -369,6 +371,7 @@ def refine_bubble(
     uniqueonly: bool = False,
     aobjs=None,
     precomputed=None,
+    precomputed_scores=None,
     precomputed_mats=None,
     precomputed_dist=None,
     method: str = "reveal_probcons",
@@ -412,6 +415,7 @@ def refine_bubble(
             consgap=consgap,
             nrefinements=nrefinements,
             precomputed=precomputed,
+            precomputed_scores=precomputed_scores,
             precomputed_mats=precomputed_mats,
             precomputed_dist=precomputed_dist,
             method=method,
@@ -633,7 +637,7 @@ def refine_all(
 
     from .msa import (
         batch_consistency,
-        batch_posteriors,
+        batch_posteriors_cut,
         batch_stage12_device,
     )
 
@@ -652,6 +656,7 @@ def refine_all(
     # host path (and the fallback) computes posteriors on device but
     # runs the exact float64 consistency loop on host.
     posteriors = []
+    pair_scores = []
     mats_for = [None] * len(work)
     dist_for = [None] * len(work)
     if all_pairs and method == "reveal_probcons":
@@ -688,7 +693,12 @@ def refine_all(
                 )
         if not done:
             t0 = time.time()
-            posteriors = batch_posteriors(all_pairs)
+            # stage-1 with on-device sparsification: only cutoff
+            # survivors + device MEA scores cross the link
+            # (msa.batch_posteriors_cut; SparseMatrix.h:14,54 semantics)
+            trip = batch_posteriors_cut(all_pairs)
+            posteriors = [(p, tot) for p, tot, _ in trip]
+            pair_scores = [s for _, _, s in trip]
             log.info(
                 "computed %d pair posteriors for %d bubbles in %.2fs",
                 len(all_pairs),
@@ -741,6 +751,9 @@ def refine_all(
             paths,
             aobjs=aobjs,
             precomputed=posteriors[s:e] if posteriors else None,
+            precomputed_scores=(
+                pair_scores[s:e] if pair_scores else None
+            ),
             precomputed_mats=pmats,
             precomputed_dist=pdist,
             minlength=minlength,
