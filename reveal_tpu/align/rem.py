@@ -131,6 +131,80 @@ def _enum_pick(picker: MumPicker, idx: ESAIndex, cfg: PickerConfig):
     return pick
 
 
+def _pairwise_fast_eligible(
+    G: PanGraph, root: ESAIndex, cfg: PickerConfig
+) -> bool:
+    """Shared eligibility for the whole-recursion fast paths (native
+    rem2 loop and the device loop): pairwise fasta roots, default
+    largest/sumofpairs picking, no seeding/size gates."""
+    main = root.main
+    if (
+        getattr(G, "multi", False)
+        or main.nsamples != 2
+        or os.environ.get("REVEAL_TPU_DISABLE_FASTPICK")
+        or cfg.splitchain != "largest"
+        or cfg.gcmodel != "sumofpairs"
+        or not float(cfg.wscore).is_integer()
+        or cfg.seedsize
+        or cfg.maxdepth is not None
+        or cfg.maxsize is not None
+    ):
+        return False
+    nsep0 = int(main.nsep[0])
+    n = int(root.n)
+    # fasta pairwise roots only: one whole sequence per sample
+    if root.nodes != {(0, nsep0), (nsep0 + 1, n - 1)}:
+        return False
+    pid = G.graph.get("path2id")
+    if pid is None or sorted(pid.values()) != [0, 1]:
+        return False
+    return True
+
+
+def _rem_device_loop(
+    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
+):
+    """Whole-recursion DEVICE fast path (index/devloop.py): the complete
+    pairwise recursion — enumerate, trim+chain+largest pick, split,
+    lowercase, boundary repair — runs as ONE jitted dispatch; the
+    logged anchors are replayed through the exact graph surgery in
+    serial LIFO pop order, so the GFA is byte-identical to the per-step
+    engine's.  Returns the anchor count, or None when ineligible or the
+    kernel aborted (caller falls back)."""
+    if os.environ.get("REVEAL_TPU_DISABLE_DEVLOOP"):
+        return None
+    if not _pairwise_fast_eligible(G, root, cfg):
+        return None
+    if not float(cfg.wpen).is_integer():
+        return None  # device chain arithmetic is int32-exact
+    if cfg.minlength < 1:
+        return None  # p-value stop needs the host picker
+    from ..index.devloop import rem_device_loop
+
+    main = root.main
+    res = rem_device_loop(
+        main.T,
+        root.SA,
+        root.LCP,
+        int(main.nsep[0]),
+        cfg.minlength,
+        cfg.maxmums,
+        int(cfg.wscore),
+        int(cfg.wpen),
+    )
+    if res is None:
+        return None
+    anchors, T_out, levels = res
+    main.T[:] = T_out  # device lowercased text -> host mirror
+    _rem2_replay(G, anchors)
+    log.debug(
+        "device loop: %d anchors in %d levels, graph replayed",
+        len(anchors),
+        levels,
+    )
+    return len(anchors)
+
+
 def _rem2_native_loop(
     G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
 ):
@@ -148,26 +222,9 @@ def _rem2_native_loop(
     per-step loop; T/SAi are restored from snapshots first).
     """
     main = root.main
-    if (
-        getattr(G, "multi", False)
-        or main.nsamples != 2
-        or os.environ.get("REVEAL_TPU_DISABLE_FASTPICK")
-        or cfg.splitchain != "largest"
-        or cfg.gcmodel != "sumofpairs"
-        or not float(cfg.wscore).is_integer()
-        or cfg.seedsize
-        or cfg.maxdepth is not None
-        or cfg.maxsize is not None
-    ):
+    if not _pairwise_fast_eligible(G, root, cfg):
         return None
     nsep0 = int(main.nsep[0])
-    n = int(root.n)
-    # fasta pairwise roots only: one whole sequence per sample
-    if root.nodes != {(0, nsep0), (nsep0 + 1, n - 1)}:
-        return None
-    pid = G.graph.get("path2id")
-    if pid is None or sorted(pid.values()) != [0, 1]:
-        return None
     try:
         from ..native import rem2_loop_native
     except Exception:
@@ -536,10 +593,19 @@ def _align_loop_frontier(
 
     Per-segment decisions are independent (each segment owns disjoint
     text and graph regions), so the result is semantically identical to
-    the LIFO loop; only GFA node numbering may differ."""
+    the LIFO loop; only GFA node numbering may differ.
+
+    For the pairwise fasta case the whole recursion instead runs as ONE
+    device dispatch (index/devloop.py) with anchor-replay graph surgery
+    — byte-identical to the serial engine's GFA."""
     import numpy as _np
 
     from ..index.devfrontier import DeviceFrontier, SegDesc
+
+    if mesh is None:
+        steps = _rem_device_loop(G, t, root, cfg)
+        if steps is not None:
+            return steps
 
     main = root.main
     picker = MumPicker(G, t, cfg)
