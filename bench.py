@@ -274,10 +274,12 @@ def main():
         extra["proxy_error"] = str(e)[:200]
 
     # ---- secondary rem configs ----------------------------------------
-    # (frontier demo runs on 1a/1b: the device-resident path is
-    # per-level-dispatch-bound over the remote tunnel, so the small input
-    # demonstrates the same path at ~1/8 the wall; Mbp/s scales with
-    # input on this path, see README)
+    # Pairwise --frontier rows run the whole-recursion device loop
+    # (index/devloop.py): ONE dispatch for the complete recursion, then
+    # host graph replay — *_frontier_dispatches / *_frontier_levels
+    # record that.  The multi-genome frontier is still per-level
+    # dispatched and tunnel-bound, so the 6-way row runs in a
+    # timeout-guarded subprocess (see below).
     for tag, files, kw in (
         ("rem_1a1b", ["1a.fa", "1b.fa"], {}),
         ("rem_3a3b", ["3a.fa", "3b.fa"], {}),
@@ -287,13 +289,89 @@ def main():
             {},
         ),
         ("rem_1a1b_frontier", ["1a.fa", "1b.fa"], {"frontier": True}),
+        ("rem_2a2b_frontier", ["2a.fa", "2b.fa"], {"frontier": True}),
     ):
         try:
             r, dt = bench_rem([TESTS + "/" + f for f in files], **kw)
             extra[tag + "_mbp_per_s"] = round(r, 3)
             extra[tag + "_seconds"] = round(dt, 2)
+            if kw.get("frontier"):
+                from reveal_tpu.index import devloop
+
+                if devloop.LAST_STATS:
+                    extra[tag + "_dispatches"] = devloop.LAST_STATS[
+                        "dispatches"
+                    ]
+                    extra[tag + "_levels"] = devloop.LAST_STATS["levels"]
         except Exception as e:  # pragma: no cover
             extra[tag + "_error"] = str(e)[:200]
+
+    # 6-way frontier (per-level device dispatches over the tunnel —
+    # slow; subprocess so a stall cannot wedge the rest of the bench)
+    try:
+        code = (
+            "import sys, time, json; sys.path.insert(0, %r);"
+            "from reveal_tpu.align.rem import align_genomes;"
+            "t0=time.time();"
+            "G, idx = align_genomes([%r + '/' + f for f in "
+            "('1a.fa','1b.fa','1c.fa','1d.fa','1e.fa','1f.fa')], "
+            "minlength=20, frontier=True);"
+            "dt=time.time()-t0;"
+            "print(json.dumps({'mbp': idx.main.nT/1e6/dt, 's': dt}))"
+        ) % (REPO, TESTS)
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=1500,
+        )
+        row = json.loads(p.stdout.strip().splitlines()[-1])
+        extra["rem_6way_1af_frontier_mbp_per_s"] = round(row["mbp"], 3)
+        extra["rem_6way_1af_frontier_seconds"] = round(row["s"], 2)
+    except Exception as e:  # pragma: no cover
+        extra["rem_6way_1af_frontier_error"] = str(e)[:200]
+
+    # local-CPU frontier evidence (VERDICT r2 item 6): the same device
+    # loop dispatched to LOCAL CPU devices in a subprocess — separates
+    # tunnel latency from kernel cost.  Reports cold (first process
+    # call: compile+run) and warm (second call in-process: run only).
+    try:
+        code = (
+            "import os, sys, time, json;"
+            "os.environ['JAX_PLATFORMS']='cpu';"
+            "sys.path.insert(0, %r);"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from reveal_tpu.align.rem import align_genomes;"
+            "import reveal_tpu.index.devloop as dl;"
+            "t0=time.time();"
+            "align_genomes([%r+'/1a.fa', %r+'/1b.fa'], minlength=20,"
+            " frontier=True);"
+            "t1=time.time();"
+            "align_genomes([%r+'/1a.fa', %r+'/1b.fa'], minlength=20,"
+            " frontier=True);"
+            "t2=time.time();"
+            "print(json.dumps({'cold': t1-t0, 'warm': t2-t1,"
+            " 'stats': dl.LAST_STATS}))"
+        ) % (REPO, TESTS, TESTS, TESTS, TESTS)
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=900,
+        )
+        row = json.loads(p.stdout.strip().splitlines()[-1])
+        extra["frontier_local_cpu_1a1b_cold_seconds"] = round(
+            row["cold"], 2
+        )
+        extra["frontier_local_cpu_1a1b_warm_seconds"] = round(
+            row["warm"], 2
+        )
+        if row.get("stats"):
+            extra["frontier_local_cpu_1a1b_dispatches"] = row["stats"][
+                "dispatches"
+            ]
+    except Exception as e:  # pragma: no cover
+        extra["frontier_local_cpu_error"] = str(e)[:200]
 
     # ---- production refine stage: unzip + device pair-HMM MSA over the
     # 6-way graph (the end-to-end refine path BASELINE.json names second)

@@ -172,6 +172,173 @@ def _get_enum_pairwise(K1: int):
     return enum_pw
 
 
+def _get_enum_pairwise_mesh(mesh, npad):
+    """O(n/P)-memory pairwise enumerate: the getmums_rem conditions
+    evaluated shard-locally with packed halo ppermutes; the two text
+    probes T[a-1]/T[b-1] (arbitrary global positions) go through the
+    sort-based distributed gather (parallel/dsa.collective_kit
+    .dist_gather2), and candidates are compacted by a comparator-network
+    sort on (candidate? slot : BIG) — ascending global slot order,
+    exactly the jnp.nonzero order of the single-device kernel.  Every
+    collective rides one dependency chain (kit.after)."""
+    key = ("pw_mesh", id(mesh), npad)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from ..core.encoding import N_BYTE, SENTINEL
+    from ..core.jaxconfig import configure_jax
+    from ..parallel.dsa import collective_kit
+
+    configure_jax()
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    assert npad % P == 0
+    sh = npad // P
+    kit = collective_kit(axis, P, sh)
+    net_sort = kit.make_net_sort(sh)
+    i32 = jnp.int32
+    BIG = jnp.int32(2**31 - 1)
+
+    def shard_fn(T, SA, LCP, SEG, nsep0, minl):
+        me = jax.lax.axis_index(axis)
+        iar_g = me.astype(i32) * sh + jnp.arange(sh, dtype=i32)
+
+        # prev halo of (SA, SEG, LCP) — ONE packed (3,) ppermute; the
+        # global slot 0 is masked below (iar >= 1), fill is irrelevant
+        h = jax.lax.ppermute(
+            jnp.stack([SA[-1], SEG[-1], LCP[-1]]),
+            axis,
+            [(j, j + 1) for j in range(P - 1)],
+        )
+        prev = jnp.concatenate([h[0][None], SA[:-1]])
+        seg_prev = jnp.concatenate(
+            [jnp.where(me == 0, jnp.int32(-9), h[1])[None], SEG[:-1]]
+        )
+        lcp_prev = jnp.concatenate([h[2][None], LCP[:-1]])
+        # next halo of LCP (zero-fill on the last shard, matching the
+        # single-device concat-with-zero), threaded behind h
+        nx = jax.lax.ppermute(
+            kit.after(LCP[:1], h), axis,
+            [(j, j - 1) for j in range(1, P)],
+        )
+        lcp_next = jnp.concatenate(
+            [LCP[1:], jnp.where(me == P - 1, jnp.int32(0), nx[0])[None]]
+        )
+
+        l = LCP
+        straddle = (SA > nsep0) != (prev > nsep0)
+        a = jnp.minimum(SA, prev)
+        b = jnp.maximum(SA, prev)
+        # the two text probes are arbitrary global positions ->
+        # distributed gather (threaded behind nx)
+        ta, tb = kit.dist_gather2(
+            kit.after(T.astype(i32), nx),
+            jnp.maximum(a - 1, 0),
+            jnp.maximum(b - 1, 0),
+            iar_g,
+            me,
+        )
+        lower = (ta >= ord("a")) & (ta <= ord("z"))
+        leftmax = (
+            (a == 0)
+            | (b == 0)
+            | (ta != tb)
+            | (ta == N_BYTE)
+            | (ta == SENTINEL)
+            | lower
+        )
+        unique = (lcp_prev < l) & (lcp_next < l)
+        mask = (
+            (iar_g >= 1)
+            & (SEG >= 0)
+            & (SEG == seg_prev)
+            & (l >= minl)
+            & (l > 0)
+            & straddle
+            & leftmax
+            & unique
+        )
+        count = jax.lax.psum(
+            jnp.sum(mask.astype(i32)), axis
+        )
+        # compaction: global sort by (candidate? slot : BIG); ties among
+        # dead rows carry junk that the driver never reads past count
+        skey = jnp.where(mask, iar_g, BIG)
+        skey = kit.after(skey, count)
+        slots_s, l_s, a_s, b_s = net_sort(
+            (skey, l.astype(i32), a.astype(i32), b.astype(i32)),
+            nkeys=1,
+        )
+        return slots_s, l_s, a_s, b_s, count
+
+    sharded = Pspec(axis)
+    repl = Pspec()
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(sharded,) * 4 + (repl,) * 2,
+            out_specs=(sharded,) * 4 + (repl,),
+            check_vma=False,
+        )
+    )
+    _kern_cache[key] = fn
+    return fn
+
+
+def _get_prefix_fetch_mesh(spec: int, nargs: int, mesh, npad: int):
+    """Replicated prefix fetch for mesh-sharded arrays: each shard
+    contributes its overlap of the first ``spec`` slots into a zero
+    buffer, ONE packed psum replicates the prefix on every process —
+    device_get then works in multi-process runs (a sharded array
+    spanning non-addressable devices cannot be fetched directly)."""
+    key = ("prefix_mesh", spec, nargs, id(mesh), npad)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    sh = npad // P
+    i32 = jnp.int32
+
+    def fetch_fn(*arrs):
+        me = jax.lax.axis_index(axis)
+        base = me.astype(i32) * sh
+        loc = jnp.arange(spec, dtype=i32) - base
+        inb = (loc >= 0) & (loc < sh)
+        locc = jnp.clip(loc, 0, sh - 1)
+        contrib = jnp.stack(
+            [jnp.where(inb, a[locc].astype(i32), 0) for a in arrs]
+        )
+        out = jax.lax.psum(contrib, axis)
+        return tuple(out[t] for t in range(nargs))
+
+    fn = jax.jit(
+        shard_map(
+            fetch_fn,
+            mesh=mesh,
+            in_specs=(Pspec(axis),) * nargs,
+            out_specs=(Pspec(),) * nargs,
+            check_vma=False,
+        )
+    )
+    _kern_cache[key] = fn
+    return fn
+
+
 def _get_enum_multi(K2: int, W: int):
     key = ("mm", K2, W)
     fn = _kern_cache.get(key)
@@ -408,6 +575,235 @@ def _get_apply(NI: int, SCAP: int):
     return apply_level
 
 
+
+def _get_apply_mesh(NI, SCAP, mesh, npad):
+    """O(n/P)-memory level-apply: the same computation as _get_apply but
+    written in shard_map with explicit collectives, so no step
+    materializes a full-size operand on any device (the GSPMD route
+    all-gathers around the global stable sort — per-device memory stays
+    O(n)).  The global partition sort is the comparator-network
+    merge-split of parallel/dsa.py (bitonic layers for power-of-two P);
+    scans cross shards via packed halo ppermutes + one all_gather of
+    per-shard scan summaries; counts come back via one psum.  Every
+    collective is threaded into one dependency chain (kit.after) — the
+    gloo posting-order rule of parallel/dsa.py applies to any shard_map
+    program that may run multi-process."""
+    key = ("apply_mesh", NI, SCAP, id(mesh), npad)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from ..core.jaxconfig import configure_jax
+    from ..parallel.dsa import collective_kit
+
+    configure_jax()
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    assert npad % P == 0
+    sh = npad // P
+    kit = collective_kit(axis, P, sh)
+    net_sort = kit.make_net_sort(sh)
+    i32 = jnp.int32
+    BIGM = jnp.int32(2**30)
+
+    def pair_search(ks, kb, qs, qb, right: bool):
+        """Vectorized lower/upper bound over sorted (sid, begin) pairs
+        (replicated tables, local queries)."""
+        m = ks.shape[0]
+        lo = jnp.zeros_like(qs)
+        hi = jnp.full_like(qs, m)
+        steps = max(1, int(math.ceil(math.log2(max(m, 2)))) + 1)
+        for _ in range(steps):
+            act = lo < hi
+            mid = (lo + hi) // 2
+            midc = jnp.clip(mid, 0, m - 1)
+            s = ks[midc]
+            bgn = kb[midc]
+            if right:
+                go = (s < qs) | ((s == qs) & (bgn <= qb))
+            else:
+                go = (s < qs) | ((s == qs) & (bgn < qb))
+            lo = jnp.where(act & go, mid + 1, lo)
+            hi = jnp.where(act & ~go, mid, hi)
+        return lo
+
+    def local_seg_min(values, reset):
+        """Inclusive (min-since-reset, any-reset-yet) scan of one shard."""
+
+        def combine(x, y):
+            m1, f1 = x
+            m2, f2 = y
+            return jnp.where(f2, m2, jnp.minimum(m1, m2)), f1 | f2
+
+        return jax.lax.associative_scan(combine, (values, reset))
+
+    def shard_fn(
+        T, SA, LCP, SEG, begins, ends, cls_tab, seg_map, mbegins, mends,
+        mk_sid, mk_beg,
+    ):
+        me = jax.lax.axis_index(axis)
+        iar_g = me.astype(i32) * sh + jnp.arange(sh, dtype=i32)
+
+        # ---- classify slots (replicated interval tables, local) ------
+        pos = SA
+        ii = jnp.searchsorted(begins, pos, side="right") - 1
+        ii_c = jnp.clip(ii, 0, NI - 1)
+        hit = (ii >= 0) & (pos < ends[ii_c])
+        cls = jnp.where(hit, cls_tab[ii_c], 0).astype(i32)
+
+        # ---- prev halo for SEG and cls (ONE packed ppermute; pack the
+        # last elements into one (2,) vector — kit.prev_halo slices the
+        # leading axis, so a (2,1) stack would only ship its last row)
+        h = jax.lax.ppermute(
+            jnp.stack([SEG[-1], cls[-1]]),
+            axis,
+            [(j, j + 1) for j in range(P - 1)],
+        )
+        seg_pm1 = jnp.where(me == 0, jnp.int32(-2), h[0])
+        cls_pm1 = jnp.where(me == 0, jnp.int32(0), h[1])
+        seg_prev = jnp.concatenate([seg_pm1[None], SEG[:-1]])
+        cls_prev = jnp.concatenate([cls_pm1[None], cls[:-1]])
+        segstart = SEG != seg_prev
+
+        # ---- per-class child LCP: segmented min with cross-shard carry
+        ms, fs, resets = [], [], []
+        for c in (1, 2, 4):
+            reset = segstart | ((cls_prev == c) & ~segstart)
+            m, f = local_seg_min(LCP, reset)
+            ms.append(m)
+            fs.append(f)
+            resets.append(reset)
+        # one all_gather of the 3 per-shard (last-min, any-reset) pairs,
+        # threaded behind the halo chain (after): summaries (2, 3)
+        summ = jnp.stack(
+            [
+                jnp.stack([m[-1] for m in ms]),
+                jnp.stack([f[-1].astype(i32) for f in fs]),
+            ]
+        )
+        summ = kit.after(summ, h)
+        gath = jax.lax.all_gather(summ, axis)  # (P, 2, 3)
+
+        newlcp = jnp.zeros_like(LCP)
+        for k, c in enumerate((1, 2, 4)):
+            # exclusive combine of shards < me: the latest shard with a
+            # reset wins; min over trailing reset-free shards
+            mvals = gath[:, 0, k]
+            fvals = gath[:, 1, k] > 0
+            pidx = jnp.arange(P)
+            before = pidx < me
+            # carry = min over shards j in (last-reset-shard .. me-1) of
+            # mvals[j]; computed as a small reverse scan over P entries
+            def comb(xc, yc):
+                m1, f1 = xc
+                m2, f2 = yc
+                return jnp.where(f2, m2, jnp.minimum(m1, m2)), f1 | f2
+
+            mm, ff = jax.lax.associative_scan(
+                comb,
+                (
+                    jnp.where(before, mvals, BIGM),
+                    jnp.where(before, fvals, False),
+                ),
+            )
+            carry = mm[P - 1]
+            out = jnp.where(
+                fs[k], ms[k], jnp.minimum(carry, ms[k])
+            )
+            newlcp = jnp.where(cls == c, out, newlcp)
+
+        # ---- new segment ids ------------------------------------------
+        seg_c = jnp.clip(SEG, 0, SCAP - 1)
+        nseg = jnp.where(
+            (SEG >= 0) & (cls > 0) & (cls != 3),
+            seg_map[seg_c, cls],
+            jnp.int32(-1),
+        )
+        dead = nseg < 0
+        sortkey = jnp.where(dead, jnp.int32(SCAP), nseg)
+        sortkey = kit.after(sortkey, gath)  # single collective chain
+
+        # ---- global stable partition by child id (comparator network)
+        skey, _slot, new_sa, new_lcp = net_sort(
+            (sortkey, iar_g, SA, newlcp), nkeys=2
+        )
+        new_seg = jnp.where(skey >= SCAP, jnp.int32(-1), skey)
+
+        # ---- first-slot LCP zero: prev halo of new_seg ----------------
+        h2 = kit.prev_halo(new_seg[-1:])
+        sprev0 = jnp.where(me == 0, jnp.int32(-2), h2[0])
+        sprev = jnp.concatenate([sprev0[None], new_seg[:-1]])
+        first = new_seg != sprev
+        new_lcp = jnp.where(first | (new_seg < 0), 0, new_lcp)
+
+        counts = jax.ops.segment_sum(
+            (new_seg >= 0).astype(i32),
+            jnp.clip(new_seg, 0, SCAP - 1),
+            num_segments=SCAP,
+        )
+
+        # ---- lowercase matched text (local positions) -----------------
+        tpos = iar_g
+        mi = jnp.searchsorted(mbegins, tpos, side="right") - 1
+        mi_c = jnp.clip(mi, 0, mbegins.shape[0] - 1)
+        inm = (mi >= 0) & (tpos < mends[mi_c])
+        up = (T >= ord("A")) & (T <= ord("Z"))
+        new_T = jnp.where(inm & up, T + 32, T)
+
+        # ---- boundary-repair candidates -------------------------------
+        # next halo of (new_seg, new_lcp) as ONE packed (2,) ppermute,
+        # threaded behind h2
+        nh_in = kit.after(jnp.stack([new_seg[0], new_lcp[0]]), h2)
+        nh = jax.lax.ppermute(
+            nh_in, axis, [(j, j - 1) for j in range(1, P)]
+        )
+        nseg_next = jnp.where(me == P - 1, jnp.int32(-3), nh[0])
+        nlcp_next = jnp.where(me == P - 1, jnp.int32(0), nh[1])
+        lcp_next = jnp.concatenate([new_lcp[1:], nlcp_next[None]])
+        seg_next = jnp.concatenate([new_seg[1:], nseg_next[None]])
+        nxt_same = seg_next == new_seg
+        win = jnp.maximum(
+            new_lcp, jnp.where(nxt_same, lcp_next, new_lcp)
+        )
+        klo = pair_search(mk_sid, mk_beg, new_seg, new_sa, right=True)
+        khi = pair_search(
+            mk_sid, mk_beg, new_seg, new_sa + win, right=False
+        )
+        cross = (khi > klo) & (new_seg >= 0)
+        rcount = jax.ops.segment_sum(
+            cross.astype(i32),
+            jnp.clip(new_seg, 0, SCAP - 1),
+            num_segments=SCAP,
+        )
+
+        # ---- ONE psum for (counts, rcount), chained behind nh ---------
+        both = kit.after(jnp.stack([counts, rcount]), nh)
+        both = jax.lax.psum(both, axis)
+
+        return new_T, new_sa, new_lcp, new_seg, both[0], both[1]
+
+    sharded = Pspec(axis)
+    repl = Pspec()
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(sharded,) * 4 + (repl,) * 8,
+            out_specs=(sharded,) * 4 + (repl,) * 2,
+            check_vma=False,
+        )
+    )
+    _kern_cache[key] = fn
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # driver-facing state
 # ---------------------------------------------------------------------------
@@ -470,6 +866,35 @@ class DeviceFrontier:
         in SA-slot order, exactly getmums_rem's per-segment order."""
         import jax
         import jax.numpy as jnp
+
+        npad = int(self.SA.shape[0])
+        if self.mesh is not None and npad % int(self.mesh.devices.size) == 0:
+            # O(n/P) shard_map kernel: full-width sort compaction, no
+            # K1 capacity loop (count <= npad by construction)
+            fn = _get_enum_pairwise_mesh(self.mesh, npad)
+            out = fn(
+                self.T, self.SA, self.LCP, self.SEG,
+                jnp.int32(self.nsep0), jnp.int32(minl),
+            )
+            spec = min(_SPEC_PREFIX, npad)
+            count, slots, l, a, b = jax.device_get(
+                (out[4],)
+                + tuple(_get_prefix_fetch_mesh(
+                    spec, 4, self.mesh, npad
+                )(out[0], out[1], out[2], out[3]))
+            )
+            count = int(count)
+            if count > spec:
+                K = _fetch_bucket(count, npad)
+                slots, l, a, b = jax.device_get(
+                    _get_prefix_fetch_mesh(K, 4, self.mesh, npad)(
+                        out[0], out[1], out[2], out[3]
+                    )
+                )
+            slots, l, a, b = (
+                np.asarray(x)[:count] for x in (slots, l, a, b)
+            )
+            return slots, l, a, b
 
         while True:
             fn = _get_enum_pairwise(self._K1)
@@ -594,7 +1019,14 @@ class DeviceFrontier:
             mk_sid[i] = sid
             mk_beg[i] = bgn
 
-        fn = _get_apply(NI, SCAP)
+        npad = int(self.SA.shape[0])
+        if self.mesh is not None and npad % int(self.mesh.devices.size) == 0:
+            # O(n/P) explicit-collective kernel (comparator-network
+            # sort + halo scans); GSPMD would all-gather around the
+            # global sort and keep per-device memory O(n)
+            fn = _get_apply_mesh(NI, SCAP, self.mesh, npad)
+        else:
+            fn = _get_apply(NI, SCAP)
         self.T, self.SA, self.LCP, self.SEG, counts, rcount = fn(
             self.T, self.SA, self.LCP, self.SEG,
             jnp.asarray(begins), jnp.asarray(ends), jnp.asarray(cls_tab),
@@ -664,7 +1096,15 @@ class DeviceFrontier:
             for r, (s, n, _b) in enumerate(grp):
                 starts[r] = s
                 ns[r] = n
-            fetch, scatter = _get_repair_rows(R, W, npad)
+            if (
+                self.mesh is not None
+                and npad % int(self.mesh.devices.size) == 0
+            ):
+                fetch, scatter = _get_repair_rows_mesh(
+                    R, W, npad, self.mesh
+                )
+            else:
+                fetch, scatter = _get_repair_rows(R, W, npad)
             sa_rows, lcp_rows = fetch(self.SA, self.LCP, starts)
             sa_rows = np.array(jax.device_get(sa_rows))
             lcp_rows = np.array(jax.device_get(lcp_rows))
@@ -736,6 +1176,76 @@ def _get_repair_rows(R: int, W: int, npad: int):
         LCP = LCP.at[flat].set(lcp_rows.reshape(-1), mode="drop")
         return SA, LCP
 
+    _kern_cache[key] = (fetch, scatter)
+    return fetch, scatter
+
+
+def _get_repair_rows_mesh(R: int, W: int, npad: int, mesh):
+    """Mesh twin of _get_repair_rows: each shard contributes its overlap
+    of every (start, W) window via a local clipped gather, ONE psum of
+    the disjoint contributions replicates the rows; the scatter is
+    purely shard-local (each shard takes its own overlap back).  No
+    full-size operand is ever materialized — GSPMD lowers the
+    dynamic-slice fetch to all-gathers of the O(n) arrays."""
+    key = ("repair_rows_mesh", R, W, npad, id(mesh))
+    fns = _kern_cache.get(key)
+    if fns is not None:
+        return fns
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    assert npad % P == 0
+    sh = npad // P
+    i32 = jnp.int32
+
+    def fetch_fn(SA, LCP, starts):
+        me = jax.lax.axis_index(axis)
+        base = me.astype(i32) * sh
+        g = starts[:, None] + jnp.arange(W, dtype=i32)[None, :]
+        loc = g - base
+        inb = (loc >= 0) & (loc < sh)
+        locc = jnp.clip(loc, 0, sh - 1)
+        sa_c = jnp.where(inb, SA[locc], 0)
+        lcp_c = jnp.where(inb, LCP[locc], 0)
+        both = jax.lax.psum(jnp.stack([sa_c, lcp_c]), axis)
+        return both[0], both[1]
+
+    def scatter_fn(SA, LCP, sa_rows, lcp_rows, starts, ns):
+        me = jax.lax.axis_index(axis)
+        base = me.astype(i32) * sh
+        j = jnp.arange(W, dtype=i32)[None, :]
+        loc = starts[:, None] + j - base
+        # rows beyond a child's length and out-of-shard positions drop
+        loc = jnp.where(j < ns[:, None], loc, sh)
+        loc = jnp.where((loc >= 0) & (loc < sh), loc, sh)
+        flat = loc.reshape(-1)
+        SA = SA.at[flat].set(sa_rows.reshape(-1), mode="drop")
+        LCP = LCP.at[flat].set(lcp_rows.reshape(-1), mode="drop")
+        return SA, LCP
+
+    sharded = Pspec(axis)
+    repl = Pspec()
+    fetch = jax.jit(
+        shard_map(
+            fetch_fn, mesh=mesh,
+            in_specs=(sharded, sharded, repl),
+            out_specs=(repl, repl),
+            check_vma=False,
+        )
+    )
+    scatter = jax.jit(
+        shard_map(
+            scatter_fn, mesh=mesh,
+            in_specs=(sharded, sharded, repl, repl, repl, repl),
+            out_specs=(sharded, sharded),
+            check_vma=False,
+        )
+    )
     _kern_cache[key] = (fetch, scatter)
     return fetch, scatter
 

@@ -57,6 +57,11 @@ ABORT_MAXMUMS = 7           # a segment exceeded maxmums candidates
 
 _LMAX = 512
 
+# stats of the most recent rem_device_loop call (bench/diagnostics):
+# levels of the recursion, device dispatches made (always 1 — the
+# whole recursion is one jitted call), anchors logged, abort code.
+LAST_STATS = {}
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(1, int(math.ceil(math.log2(max(x, 2)))))
@@ -709,6 +714,10 @@ def rem_device_loop(
     )
     acount = int(acount)
     abort = int(abort)
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        levels=int(level), dispatches=1, anchors=acount, abort=abort
+    )
     if abort:
         log.info("device loop aborted (code %d) — host fallback", abort)
         return None

@@ -135,30 +135,24 @@ def _network_layers(P: int):
     return layers
 
 
-def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
-    """Cached jitted shard_map builder for (mesh, shard size, levels).
+class _Kit:
+    """Namespace for collective_kit's helpers."""
 
-    ``ckpt_stride`` selects the LCP-descent memory mode: None stores
-    every rank level (lax.scan descent); an int s stores every s-th
-    level and regenerates the in-between levels on the (unrolled)
-    descent — see module docstring."""
-    key = (id(mesh), sh, nlev, use64, ckpt_stride)
-    fn = _fn_cache.get(key)
-    if fn is not None:
-        return fn
 
+def collective_kit(axis: str, P: int, sh: int, idt=None):
+    """Explicit-collective building blocks for shard_map kernels over a
+    1-D mesh axis of size P with shard width sh: single-chain ``after``
+    threading (the gloo posting-order rule, see ``after``), whole-shard
+    halo moves, the comparator-network global sort (bitonic layers for
+    power-of-two P), and the sort-based distributed gather.  Shared by
+    the distributed ESA build (_get_dsa_fn) and the mesh frontier
+    (index/devfrontier._get_apply_mesh)."""
     import jax
     import jax.numpy as jnp
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as Pspec
 
-    from ..core.jaxconfig import configure_jax
-
-    configure_jax()
-
-    axis = mesh.axis_names[0]
-    P = int(mesh.devices.size)
-    idt = jnp.int64 if use64 else jnp.int32
+    if idt is None:
+        idt = jnp.int32
+    npad_c = sh * P
 
     def after(x, dep):
         """Make x's consumers depend on dep (opaque, survives XLA opt).
@@ -200,7 +194,7 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
 
     layers = _network_layers(P)
 
-    def _make_net_sort(width):
+    def make_net_sort(width):
         """Global sort of width-`width` shard-blocked arrays by the
         first nkeys (lexicographic); remaining arrays are carried
         values.  One merge-split exchange per layer of the comparator
@@ -246,9 +240,7 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
 
         return net_sort
 
-    oe_sort = _make_net_sort(sh)
-    oe_sort3 = _make_net_sort(3 * sh)
-    npad_c = sh * P
+    oe_sort3 = make_net_sort(3 * sh)
 
     def prev_halo(x):
         """Last element of the previous shard (zero-fill on shard 0)."""
@@ -322,6 +314,61 @@ def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
         backkey = g + idt(2) * block * idt(sh) + offs
         _, ansq = oe_sort3((backkey, localval), nkeys=1)
         return ansq[:sh], ansq[sh : 2 * sh]
+
+    def next_halo(x):
+        """First element of the next shard (zero-fill on shard P-1)."""
+        return jax.lax.ppermute(
+            x[:1], axis, [(j, j - 1) for j in range(1, P)]
+        )
+
+    kit = _Kit()
+    kit.axis, kit.P, kit.sh, kit.idt, kit.npad_c = axis, P, sh, idt, npad_c
+    kit.after = after
+    kit.from_ahead = from_ahead
+    kit.shift_left = shift_left
+    kit.local_sort = local_sort
+    kit.make_net_sort = make_net_sort
+    kit.prev_halo = prev_halo
+    kit.next_halo = next_halo
+    kit.dist_gather2 = dist_gather2
+    return kit
+
+
+def _get_dsa_fn(mesh, sh: int, nlev: int, use64: bool, ckpt_stride=None):
+    """Cached jitted shard_map builder for (mesh, shard size, levels).
+
+    ``ckpt_stride`` selects the LCP-descent memory mode: None stores
+    every rank level (lax.scan descent); an int s stores every s-th
+    level and regenerates the in-between levels on the (unrolled)
+    descent — see module docstring."""
+    key = (id(mesh), sh, nlev, use64, ckpt_stride)
+    fn = _fn_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    idt = jnp.int64 if use64 else jnp.int32
+
+    kit = collective_kit(axis, P, sh, idt)
+    after = kit.after
+    from_ahead = kit.from_ahead
+    shift_left = kit.shift_left
+    local_sort = kit.local_sort
+    oe_sort = kit.make_net_sort(sh)
+    oe_sort3 = kit.make_net_sort(3 * sh)
+    npad_c = kit.npad_c
+    prev_halo = kit.prev_halo
+    dist_gather2 = kit.dist_gather2
 
     def shard_fn(T_local):
         me = jax.lax.axis_index(axis)

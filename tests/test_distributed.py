@@ -161,11 +161,17 @@ REM_WORKER = textwrap.dedent(
     from reveal_tpu.core.io_fasta import fasta_writer
 
     rng = np.random.default_rng(3)
-    base = "".join(rng.choice(list("ACGT"), size=1500))
+    base = "".join(rng.choice(list("ACGT"), size=60_000))
     mut = list(base)
-    for _ in range(15):
+    for _ in range(300):
         i = int(rng.integers(0, len(mut)))
-        mut[i] = "ACGT"[int(rng.integers(0, 4))]
+        r = rng.random()
+        if r < 0.5:
+            mut[i] = "ACGT"[int(rng.integers(0, 4))]
+        elif r < 0.75:
+            del mut[i]
+        else:
+            mut.insert(i, "ACGT"[int(rng.integers(0, 4))])
     wd = %(wd)r
     fa1, fa2 = wd + "/a.fa", wd + "/b.fa"
     if int(sys.argv[1]) == 0:
@@ -220,7 +226,7 @@ def test_two_host_full_rem(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=250)
+        out, _ = p.communicate(timeout=500)
         outs.append(out)
     hashes = set()
     for i, (p, out) in enumerate(zip(procs, outs)):
