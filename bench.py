@@ -288,8 +288,13 @@ def main():
             ["1a.fa", "1b.fa", "1c.fa", "1d.fa", "1e.fa", "1f.fa"],
             {},
         ),
-        ("rem_1a1b_frontier", ["1a.fa", "1b.fa"], {"frontier": True}),
-        ("rem_2a2b_frontier", ["2a.fa", "2b.fa"], {"frontier": True}),
+        # iters=2 on the 1a1b frontier: the first call pays the one-time
+        # kernel compile/load over the tunnel; best-of-2 is the warm
+        # per-dispatch cost the row is meant to measure
+        ("rem_1a1b_frontier", ["1a.fa", "1b.fa"],
+         {"frontier": True, "iters": 2}),
+        ("rem_2a2b_frontier", ["2a.fa", "2b.fa"],
+         {"frontier": True, "iters": 2}),
     ):
         try:
             r, dt = bench_rem([TESTS + "/" + f for f in files], **kw)

@@ -691,7 +691,9 @@ def rem_device_loop(
     K = max(2048, npad // 32)
     SMAX = max(4096, npad // 512)
     ACAP = max(4096, npad // 64)
-    CCAP = 1024
+    # repair candidates per pass grow with text size (2a2b measured
+    # >1024 at level 8); each candidate is one vectorized O(npad) move
+    CCAP = max(1024, npad // 1024)
 
     T_p = np.zeros(npad, dtype=np.uint8)
     T_p[: len(T)] = np.asarray(T, dtype=np.uint8)

@@ -245,6 +245,20 @@ def get_lib():
             )
         lib.rtpu_free.restype = None
         lib.rtpu_free.argtypes = [ctypes.c_void_p]
+        lib.rtpu_replay_pairwise.restype = ctypes.c_void_p
+        lib.rtpu_replay_pairwise.argtypes = (
+            [ctypes.c_void_p, ctypes.c_int64]
+            + [ctypes.c_void_p] * 5
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 5
+            + [ctypes.c_void_p] * 3
+        )
+        lib.rtpu_replay_fetch.restype = None
+        lib.rtpu_replay_fetch.argtypes = [ctypes.c_void_p] * 13
+        lib.rtpu_replay_nedges.restype = ctypes.c_int64
+        lib.rtpu_replay_nedges.argtypes = [ctypes.c_void_p]
+        lib.rtpu_replay_end.restype = None
+        lib.rtpu_replay_end.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # pragma: no cover
         log.warning("native kernels unavailable (%s); using numpy", e)
@@ -1038,3 +1052,76 @@ def refine_rounds_native(rows, mats_list, masks):
     if L < 0:  # pragma: no cover
         return None
     return np.ascontiguousarray(out[:, :L])
+
+
+def replay_pairwise_native(anchors, init_nodes, init_succ, init_pred):
+    """Run the full pairwise graph-surgery replay in C (rtpu_replay_*).
+
+    anchors: (A, 7) int64 in serial LIFO pop order.
+    init_nodes: (ns, ne, off0, off1, nflags) arrays of the N initial
+    nodes in dict-insertion order (markers: ns < 0, a unique sentinel
+    each; nflags bit0/1 = has path0/1, bit2 = aligned).
+    init_succ: (succ_cnt, succ_nbr, succ_mask) — per-node successor
+    adjacency in dict order with the edge path masks.
+    init_pred: (pred_cnt, pred_nbr) — per-node predecessor adjacency in
+    dict order (resolves to the succ scan's edge objects).
+
+    Returns (ns, ne, off0, off1, flags, succ_cnt, pred_cnt, succ_nbr,
+    succ_eid, pred_nbr, pred_eid, edge_mask) — final nodes in
+    dict-insertion order (marker rows keep their negative sentinels),
+    adjacency in dict order, shared-edge ids for attribute-dict
+    sharing.  None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    anchors = np.ascontiguousarray(anchors, dtype=np.int64)
+    ns0, ne0, o0, o1 = (
+        np.ascontiguousarray(a, dtype=np.int64) for a in init_nodes[:4]
+    )
+    nf = np.ascontiguousarray(init_nodes[4], dtype=np.uint8)
+    sc, sn_, sm = init_succ
+    pc, pn_ = init_pred
+    sc = np.ascontiguousarray(sc, dtype=np.int64)
+    sn_ = np.ascontiguousarray(sn_, dtype=np.int64)
+    sm = np.ascontiguousarray(sm, dtype=np.uint8)
+    pc = np.ascontiguousarray(pc, dtype=np.int64)
+    pn_ = np.ascontiguousarray(pn_, dtype=np.int64)
+    nn = ctypes.c_int64()
+    nsu = ctypes.c_int64()
+    npr = ctypes.c_int64()
+    h = lib.rtpu_replay_pairwise(
+        anchors.ctypes.data,
+        ctypes.c_int64(len(anchors)),
+        ns0.ctypes.data, ne0.ctypes.data,
+        o0.ctypes.data, o1.ctypes.data, nf.ctypes.data,
+        ctypes.c_int64(len(ns0)),
+        sc.ctypes.data, sn_.ctypes.data, sm.ctypes.data,
+        pc.ctypes.data, pn_.ctypes.data,
+        ctypes.byref(nn), ctypes.byref(nsu), ctypes.byref(npr),
+    )
+    try:
+        N, SU, PR = nn.value, nsu.value, npr.value
+        E = lib.rtpu_replay_nedges(h)
+        ns = np.empty(N, np.int64)
+        ne = np.empty(N, np.int64)
+        off0 = np.empty(N, np.int64)
+        off1 = np.empty(N, np.int64)
+        flags = np.empty(N, np.uint8)
+        succ_cnt = np.empty(N, np.int64)
+        pred_cnt = np.empty(N, np.int64)
+        succ_nbr = np.empty(SU, np.int64)
+        succ_eid = np.empty(SU, np.int64)
+        pred_nbr = np.empty(PR, np.int64)
+        pred_eid = np.empty(PR, np.int64)
+        edge_mask = np.empty(E, np.uint8)
+        lib.rtpu_replay_fetch(
+            h,
+            *(a.ctypes.data for a in (
+                ns, ne, off0, off1, flags, succ_cnt, pred_cnt,
+                succ_nbr, succ_eid, pred_nbr, pred_eid, edge_mask,
+            )),
+        )
+    finally:
+        lib.rtpu_replay_end(h)
+    return (ns, ne, off0, off1, flags, succ_cnt, pred_cnt,
+            succ_nbr, succ_eid, pred_nbr, pred_eid, edge_mask)

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <unordered_map>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -2341,5 +2342,304 @@ void rtpu_glocal_dp(const int64_t* S1, const int64_t* E1, const int64_t* S2,
   glocal_dp(S1, E1, S2, E2, O, REF, CTG, SCORE, ncand, RNG0, RNG1, P,
             out_best, out_score);
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Pairwise graph-surgery replay (align/rem._rem2_replay semantics in C).
+//
+// Simulates the exact breaknode(A) + breaknode(B) + mergenodes sequence
+// over interval nodes, preserving node and edge INSERTION ORDER so the
+// Python dict rebuild is operation-for-operation identical to the
+// per-step engine's graph (GFA topological numbering included).  The
+// Python replay costs ~0.23 s on 2a2b (12.8k breaks of dict/set
+// micro-ops); this runs in ~5 ms and hands back flat arrays.
+//
+// Node 0 = start marker, node 1 = end marker (string nodes on the
+// Python side); nodes 2/3 = the two fasta roots.  Edge path sets are
+// 2-bit masks (path 0 / path 1).
+// ---------------------------------------------------------------------------
+
+namespace replay {
+
+struct Adj {
+  int32_t nbr;
+  int32_t eid;
+};
+
+struct RNode {
+  int64_t s, e;        // interval (markers: s = -1 / -2)
+  int64_t off[2];
+  uint8_t has[2];
+  uint8_t aligned;
+  uint8_t alive;
+  std::vector<Adj> succ, pred;
+};
+
+struct Sim {
+  std::vector<RNode> nodes;
+  std::vector<uint8_t> emask;
+  std::unordered_map<uint64_t, int32_t> live;
+
+  static uint64_t key(int64_t s, int64_t e) {
+    return (uint64_t)s << 32 | (uint32_t)e;
+  }
+
+  int32_t new_node(int64_t s, int64_t e) {
+    RNode nd;
+    nd.s = s;
+    nd.e = e;
+    nd.off[0] = nd.off[1] = 0;
+    nd.has[0] = nd.has[1] = 0;
+    nd.aligned = 0;
+    nd.alive = 1;
+    nodes.push_back(std::move(nd));
+    if (s >= 0) live[key(s, e)] = (int32_t)nodes.size() - 1;
+    return (int32_t)nodes.size() - 1;
+  }
+
+  int32_t new_edge(uint8_t mask) {
+    emask.push_back(mask);
+    return (int32_t)emask.size() - 1;
+  }
+
+  static void drop(std::vector<Adj>& v, int32_t nbr) {
+    for (size_t i = 0; i < v.size(); ++i)
+      if (v[i].nbr == nbr) {
+        v.erase(v.begin() + i);
+        return;
+      }
+  }
+
+  // breaknode(node, (pos, pos+l)) — rem.py _rem2_replay.brk
+  int32_t brk(int64_t ns, int64_t ne, int64_t pos, int64_t l) {
+    int32_t ni = live.at(key(ns, ne));
+    if (ns == pos && ne == pos + l) return ni;
+    uint8_t pospaths = 0;
+    {
+      RNode& nd = nodes[ni];
+      if (!nd.pred.empty() || !nd.succ.empty()) {
+        for (const Adj& a : nd.pred) pospaths |= emask[a.eid];
+        for (const Adj& a : nd.succ) pospaths |= emask[a.eid];
+      } else {
+        pospaths = (uint8_t)(nd.has[0] | (nd.has[1] << 1));
+      }
+    }
+
+    const int64_t n_s = nodes[ni].s;
+    const int64_t n_e = nodes[ni].e;
+    int32_t mn = new_node(pos, pos + l);
+    for (int p = 0; p < 2; ++p)
+      if (nodes[ni].has[p]) {
+        nodes[mn].has[p] = 1;
+        nodes[mn].off[p] = nodes[ni].off[p] + (pos - n_s);
+      }
+
+    int32_t pn = mn;
+    if (n_s != pos) {
+      pn = new_node(n_s, pos);
+      for (int p = 0; p < 2; ++p)
+        if (nodes[ni].has[p]) {
+          nodes[pn].has[p] = 1;
+          nodes[pn].off[p] = nodes[ni].off[p];
+        }
+      int32_t eid = new_edge(pospaths);
+      nodes[pn].succ.push_back({mn, eid});
+      nodes[mn].pred.push_back({pn, eid});
+    }
+    int32_t sn = mn;
+    if (n_e != pos + l) {
+      sn = new_node(pos + l, n_e);
+      for (int p = 0; p < 2; ++p)
+        if (nodes[ni].has[p]) {
+          nodes[sn].has[p] = 1;
+          nodes[sn].off[p] = nodes[ni].off[p] + (pos + l - n_s);
+        }
+      int32_t eid = new_edge(pospaths);
+      nodes[mn].succ.push_back({sn, eid});
+      nodes[sn].pred.push_back({mn, eid});
+    }
+
+    // detach + delete the original, reattach its edges (copies)
+    std::vector<Adj> in_items;
+    std::vector<Adj> out_items;
+    in_items.swap(nodes[ni].pred);
+    out_items.swap(nodes[ni].succ);
+    for (const Adj& a : out_items) drop(nodes[a.nbr].pred, ni);
+    for (const Adj& a : in_items) drop(nodes[a.nbr].succ, ni);
+    nodes[ni].alive = 0;
+    live.erase(key(ns, ne));
+    for (const Adj& a : in_items) {
+      int32_t eid = new_edge(emask[a.eid]);
+      nodes[a.nbr].succ.push_back({pn, eid});
+      nodes[pn].pred.push_back({a.nbr, eid});
+    }
+    for (const Adj& a : out_items) {
+      int32_t eid = new_edge(emask[a.eid]);
+      nodes[sn].succ.push_back({a.nbr, eid});
+      nodes[a.nbr].pred.push_back({sn, eid});
+    }
+    return mn;
+  }
+
+  static int find(const std::vector<Adj>& v, int32_t nbr) {
+    for (size_t i = 0; i < v.size(); ++i)
+      if (v[i].nbr == nbr) return (int)i;
+    return -1;
+  }
+
+  // mergenodes([a, b]) — DiGraph branch
+  void merge(int32_t a, int32_t b) {
+    for (int p = 0; p < 2; ++p)
+      if (nodes[b].has[p]) {
+        nodes[a].has[p] = 1;
+        nodes[a].off[p] = nodes[b].off[p];
+      }
+    nodes[a].aligned = 1;
+    std::vector<Adj> bpred, bsucc;
+    bpred.swap(nodes[b].pred);
+    bsucc.swap(nodes[b].succ);
+    for (const Adj& ad : bpred) {
+      int j = find(nodes[a].pred, ad.nbr);
+      if (j >= 0) {
+        emask[nodes[a].pred[j].eid] |= emask[ad.eid];
+      } else {
+        int32_t eid = new_edge(emask[ad.eid]);
+        nodes[ad.nbr].succ.push_back({a, eid});
+        nodes[a].pred.push_back({ad.nbr, eid});
+      }
+      drop(nodes[ad.nbr].succ, b);
+    }
+    for (const Adj& ad : bsucc) {
+      int j = find(nodes[a].succ, ad.nbr);
+      if (j >= 0) {
+        emask[nodes[a].succ[j].eid] |= emask[ad.eid];
+      } else {
+        int32_t eid = new_edge(emask[ad.eid]);
+        nodes[a].succ.push_back({ad.nbr, eid});
+        nodes[ad.nbr].pred.push_back({a, eid});
+      }
+      drop(nodes[ad.nbr].pred, b);
+    }
+    nodes[b].alive = 0;
+    live.erase(key(nodes[b].s, nodes[b].e));
+  }
+};
+
+}  // namespace replay
+
+extern "C" {
+
+// anchors: (A, 7) int64 rows [ma, mb, l, a_beg, a_end, b_beg, b_end] in
+// serial LIFO pop order.  The initial graph is passed in: N nodes in
+// dict-insertion order (markers have ns < 0, one unique sentinel each;
+// interval nodes carry offsets/flags), per-node succ and pred
+// adjacency in their dict orders (edge masks aligned with the succ
+// scan; pred entries resolve to the same edge objects via (u,v)).
+// Call rtpu_replay_fetch to copy the result, rtpu_replay_end to free.
+void* rtpu_replay_pairwise(const int64_t* anchors, int64_t A,
+                           const int64_t* ns0, const int64_t* ne0,
+                           const int64_t* off0_in, const int64_t* off1_in,
+                           const uint8_t* nflags, int64_t N,
+                           const int64_t* succ_cnt0,
+                           const int64_t* succ_nbr0,
+                           const uint8_t* succ_mask0,
+                           const int64_t* pred_cnt0,
+                           const int64_t* pred_nbr0,
+                           int64_t* out_nnodes, int64_t* out_nsucc,
+                           int64_t* out_npred) {
+  auto* sim = new replay::Sim();
+  sim->nodes.reserve((size_t)(4 * A + N + 8));
+  sim->emask.reserve((size_t)(8 * A + 8));
+  for (int64_t i = 0; i < N; ++i) {
+    int32_t idx = sim->new_node(ns0[i], ne0[i]);
+    replay::RNode& nd = sim->nodes[idx];
+    nd.has[0] = nflags[i] & 1;
+    nd.has[1] = (nflags[i] >> 1) & 1;
+    nd.aligned = (nflags[i] >> 2) & 1;
+    nd.off[0] = off0_in[i];
+    nd.off[1] = off1_in[i];
+  }
+  // succ scan creates the edge objects; pred scan shares them
+  std::unordered_map<uint64_t, int32_t> emap;
+  int64_t k = 0;
+  for (int64_t u = 0; u < N; ++u)
+    for (int64_t j = 0; j < succ_cnt0[u]; ++j, ++k) {
+      int32_t v = (int32_t)succ_nbr0[k];
+      int32_t eid = sim->new_edge(succ_mask0[k]);
+      sim->nodes[u].succ.push_back({v, eid});
+      emap[(uint64_t)u << 32 | (uint32_t)v] = eid;
+    }
+  k = 0;
+  for (int64_t v = 0; v < N; ++v)
+    for (int64_t j = 0; j < pred_cnt0[v]; ++j, ++k) {
+      int32_t u = (int32_t)pred_nbr0[k];
+      sim->nodes[v].pred.push_back(
+          {u, emap.at((uint64_t)u << 32 | (uint32_t)v)});
+    }
+
+  for (int64_t i = 0; i < A; ++i) {
+    const int64_t* r = anchors + 7 * i;
+    int32_t mn_a = sim->brk(r[3], r[4], r[0], r[2]);
+    int32_t mn_b = sim->brk(r[5], r[6], r[1], r[2]);
+    sim->merge(mn_a, mn_b);
+  }
+
+  int64_t nn = 0, nsu = 0, npr = 0;
+  for (const replay::RNode& nd : sim->nodes)
+    if (nd.alive) {
+      ++nn;
+      nsu += (int64_t)nd.succ.size();
+      npr += (int64_t)nd.pred.size();
+    }
+  *out_nnodes = nn;
+  *out_nsucc = nsu;
+  *out_npred = npr;
+  return sim;
+}
+
+void rtpu_replay_fetch(void* handle, int64_t* ns, int64_t* ne,
+                       int64_t* off0, int64_t* off1, uint8_t* flags,
+                       int64_t* succ_cnt, int64_t* pred_cnt,
+                       int64_t* succ_nbr, int64_t* succ_eid,
+                       int64_t* pred_nbr, int64_t* pred_eid,
+                       uint8_t* edge_mask) {
+  auto* sim = (replay::Sim*)handle;
+  std::vector<int64_t> remap(sim->nodes.size(), -1);
+  int64_t k = 0;
+  for (size_t i = 0; i < sim->nodes.size(); ++i)
+    if (sim->nodes[i].alive) remap[i] = k++;
+  int64_t su = 0, pr = 0;
+  k = 0;
+  for (size_t i = 0; i < sim->nodes.size(); ++i) {
+    const replay::RNode& nd = sim->nodes[i];
+    if (!nd.alive) continue;
+    ns[k] = nd.s;
+    ne[k] = nd.e;
+    off0[k] = nd.off[0];
+    off1[k] = nd.off[1];
+    flags[k] = (uint8_t)(nd.has[0] | (nd.has[1] << 1) | (nd.aligned << 2));
+    succ_cnt[k] = (int64_t)nd.succ.size();
+    pred_cnt[k] = (int64_t)nd.pred.size();
+    for (const replay::Adj& a : nd.succ) {
+      succ_nbr[su] = remap[a.nbr];
+      succ_eid[su] = a.eid;
+      ++su;
+    }
+    for (const replay::Adj& a : nd.pred) {
+      pred_nbr[pr] = remap[a.nbr];
+      pred_eid[pr] = a.eid;
+      ++pr;
+    }
+    ++k;
+  }
+  std::memcpy(edge_mask, sim->emask.data(), sim->emask.size());
+}
+
+int64_t rtpu_replay_nedges(void* handle) {
+  return (int64_t)((replay::Sim*)handle)->emask.size();
+}
+
+void rtpu_replay_end(void* handle) { delete (replay::Sim*)handle; }
 
 }  // extern "C"
