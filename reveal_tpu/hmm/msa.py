@@ -79,6 +79,82 @@ def batch_posteriors(pairs, slice_output: bool = True):
             _use_pallas = False
     return _batch_posteriors_xla(pairs, slice_output=slice_output)
 
+
+class SparsePost:
+    """Cutoff-compacted posterior of ONE pair: the device's top-K rows
+    (values descending, first cnt[r] entries are the >=0.01 survivors
+    of row r, row/col 0 excluded — exactly the _sparsify(dense)
+    pattern, SparseMatrix.h:14-67).  Long-pair consumers use .tocsr()
+    directly (the host consistency transform's sparse path); short-pair
+    consumers materialize .dense().  Nothing dense ever crosses the
+    device link."""
+
+    __slots__ = ("v", "i", "cnt", "shape")
+
+    def __init__(self, v, i, cnt, shape):
+        self.v = v
+        self.i = i
+        self.cnt = cnt
+        self.shape = shape
+
+    @property
+    def nnz(self) -> int:
+        return int(self.cnt.sum())
+
+    def dense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=np.float32)
+        L1, K = self.v.shape
+        np.put_along_axis(
+            out[:L1],
+            np.minimum(self.i.astype(np.int64), self.shape[1] - 1),
+            np.where(
+                np.arange(K)[None, :] < self.cnt[:, None], self.v, 0.0
+            ),
+            axis=1,
+        )
+        out[:, 0] = 0.0
+        return out
+
+    def tocsr(self, dtype=np.float64):
+        import scipy.sparse as sp
+
+        L1, K = self.v.shape
+        valid = np.arange(K)[None, :] < self.cnt[:, None]
+        indptr = np.zeros(self.shape[0] + 1, dtype=np.int64)
+        indptr[1 : L1 + 1] = np.cumsum(self.cnt, dtype=np.int64)
+        indptr[L1 + 1 :] = indptr[L1]
+        # rows come value-sorted from top_k; csr wants column order
+        order = np.argsort(
+            np.where(valid, self.i.astype(np.int64), 2**31), axis=1
+        )
+        iv = np.take_along_axis(self.i.astype(np.int64), order, axis=1)
+        vv = np.take_along_axis(self.v, order, axis=1)
+        vmask = np.take_along_axis(valid, order, axis=1)
+        indices = iv[vmask]
+        data = vv[vmask]
+        return sp.csr_matrix(
+            (data.astype(dtype), indices, indptr), shape=self.shape
+        )
+
+    def sum(self, axis=None):
+        valid = np.arange(self.v.shape[1])[None, :] < self.cnt[:, None]
+        vv = np.where(valid, self.v, 0.0)
+        if axis == 1:
+            out = np.zeros(self.shape[0], dtype=np.float64)
+            out[: self.v.shape[0]] = vv.sum(axis=1)
+            return out
+        if axis == 0:
+            out = np.zeros(self.shape[1], dtype=np.float64)
+            np.add.at(
+                out,
+                np.where(valid, self.i.astype(np.int64), 0).ravel(),
+                vv.ravel(),
+            )
+            out[0] = 0.0
+            return out
+        return float(vv.sum())
+
+
 def batch_posteriors_cut(pairs):
     """Stage-1 with ON-DEVICE sparsification (the production transfer
     path for accelerator backends): posteriors are cutoff-compacted on
@@ -87,10 +163,11 @@ def batch_posteriors_cut(pairs):
     is computed on device from the full matrix in the same dispatch.
 
     Returns [(p_cut, total, score), ...] in input order, where p_cut is
-    dense-with-zeros float32 identical to ``_sparsify(p_dense)`` and
-    score equals the host ``_mea_dp_fast(p_dense)[1]``.  On CPU
-    backends (no transfer to save) this computes the same triple via
-    the dense path."""
+    a ``SparsePost`` (compact top-K rows; ``.dense()`` reproduces
+    ``_sparsify(p_dense)`` exactly) and score equals the host
+    ``_mea_dp_fast(p_dense)[1]``.  On CPU backends (no transfer to
+    save) this computes the same triple via the dense path, returning
+    plain dense arrays."""
     import jax
 
     use_dev = False
@@ -104,7 +181,11 @@ def batch_posteriors_cut(pairs):
             (_sparsify(p), tot, _mea_dp_fast(p)[1]) for p, tot in res
         ]
 
-    from .pairhmm import _bucket, _pad_with_dummy, fetch_posteriors_cut
+    from .pairhmm import (
+        _bucket,
+        _pad_with_dummy,
+        fetch_posteriors_compact,
+    )
     from .pallas_pairhmm import _get_pallas_kernels, _round_up
 
     posterior_batch = _get_pallas_kernels()
@@ -156,10 +237,16 @@ def batch_posteriors_cut(pairs):
                 dtype=np.int32,
             )
             p, tot = posterior_batch(xb, yb, lx, ly)
-            p_cut, tot, scores = fetch_posteriors_cut(p, tot)
+            vq, iq, cnt, tot, scores = fetch_posteriors_compact(p, tot)
             for bi, i in enumerate(idxs):
+                L1 = int(lx[bi]) + 1
                 out[i] = (
-                    p_cut[bi, : lx[bi] + 1, : ly[bi] + 1],
+                    SparsePost(
+                        vq[bi, :L1],
+                        iq[bi, :L1],
+                        cnt[bi, :L1],
+                        (L1, int(ly[bi]) + 1),
+                    ),
                     float(tot[bi]),
                     float(scores[bi]),
                 )
@@ -873,15 +960,22 @@ def _consistency_round_sparse(mats, pair_keys, N, consgap):
     arrays for the downstream consumers (BuildPosterior / MEA)."""
     import scipy.sparse as sp
 
-    csr = {k: sp.csr_matrix(m.astype(np.float64)) for k, m in mats.items()}
+    csr = {
+        k: (
+            m.tocsr()
+            if isinstance(m, SparsePost)
+            else sp.csr_matrix(m.astype(np.float64))
+        )
+        for k, m in mats.items()
+    }
     csc_t = {k: c.T.tocsr() for k, c in csr.items()}
     new_mats = {}
     for (a, b) in pair_keys:
-        P = mats[(a, b)]
         Ps = csr[(a, b)]
+        shp = Ps.shape
         pi_, pj_ = Ps.nonzero()
         mask = sp.csr_matrix(
-            (np.ones(len(pi_)), (pi_, pj_)), shape=P.shape
+            (np.ones(len(pi_)), (pi_, pj_)), shape=shp
         )
         acc = 2.0 * Ps
         gap_vals = None
@@ -898,10 +992,10 @@ def _consistency_round_sparse(mats, pair_keys, N, consgap):
                 gap_vals = gv if gap_vals is None else gap_vals + gv
         if gap_vals is not None:
             acc = acc + sp.csr_matrix(
-                (gap_vals, (pi_, pj_)), shape=P.shape
+                (gap_vals, (pi_, pj_)), shape=shp
             )
         acc = acc.multiply(mask) / N
-        dense = np.zeros(P.shape, dtype=np.float32)
+        dense = np.zeros(shp, dtype=np.float32)
         accc = acc.tocoo()
         dense[accc.row, accc.col] = accc.data.astype(np.float32)
         new_mats[(a, b)] = _sparsify(dense)
@@ -956,7 +1050,11 @@ def probcons_align(
         mats = {}
         dist = np.zeros((N, N), dtype=np.float64)
         for k, ((a, b), (p, tot)) in enumerate(zip(pair_keys, res)):
-            mats[(a, b)] = _sparsify(p)
+            # compact device transfers stay sparse until a consumer
+            # actually needs dense (long pairs never densify)
+            mats[(a, b)] = (
+                p if isinstance(p, SparsePost) else _sparsify(p)
+            )
             # expected-accuracy distance uses the dense posterior
             # (DoAlign, Probcons.cc:384-400); with the sparsified
             # transfer path the score comes precomputed from the device
@@ -983,6 +1081,12 @@ def probcons_align(
         m.shape[0] * m.shape[1] > _SPARSE_CONS_MIN_ELEMS
         for m in mats.values()
     )
+    if not use_sparse:
+        # short pairs: the dense rounds (and stage 3) want ndarrays
+        mats = {
+            k: (m.dense() if isinstance(m, SparsePost) else m)
+            for k, m in mats.items()
+        }
     for _ in range(consistency):
         if use_sparse:
             mats = _consistency_round_sparse(mats, pair_keys, N, consgap)

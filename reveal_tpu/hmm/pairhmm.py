@@ -480,32 +480,49 @@ def _get_cut_fn(K: int):
     return cut
 
 
-def fetch_posteriors_cut(p, tot):
-    """Cutoff-sparsified posterior transfer + device MEA scores.
+def fetch_posteriors_compact(p, tot):
+    """Cutoff-sparsified posterior transfer + device MEA scores,
+    COMPACT form: only the top-K (value, index) rows, the per-row
+    survivor counts, the totals and the full-dense MEA scores cross the
+    link — ~K*(4+2) bytes per row instead of 4*L2, and the host never
+    materializes a dense batch (msa.SparsePost wraps the rows).
 
-    Returns (p_cut, tot, scores): p_cut is the dense float32 batch with
-    every cell below msa.POSTERIOR_CUTOFF (and row/col 0) zeroed —
-    exactly msa._sparsify of the dense fetch — reconstructed on the
-    host from a device-compacted top-K per row, and scores[b] is the
-    full-dense MEA alignment score (DoAlign, Probcons.cc:384-400).
-    Only ~K*(4+2) bytes per row cross the link instead of 4*L2."""
+    Returns (v, i, cnt, tot, scores); rows' first cnt[b, r] entries are
+    exactly the >=0.01 survivors of msa._sparsify (row/col 0 zeroed on
+    device)."""
     import jax
 
     global _cut_k_current
-    tot = np.asarray(jax.device_get(tot))
     K = _cut_k_current
     while True:
+        # ONE device_get for everything: over a remote-device link the
+        # per-fetch round trip (~0.2-0.3 s) dominates the compact
+        # payload, so cnt/v/i/scores/tot must ride one transfer (three
+        # sequential fetches measured 152 Mcells/s at B=32 L=2048; one
+        # fetch is the difference between latency- and volume-bound)
         v, i, cnt, sc = _get_cut_fn(K)(p)
-        cnt = np.asarray(jax.device_get(cnt))
+        v, i, cnt, scores, tot_h = jax.device_get((v, i, cnt, sc, tot))
+        cnt = np.asarray(cnt)
         if int(cnt.max(initial=0)) <= K:
             break
         K = SPARSE_TRANSFER_K  # exact by the row-sum bound
         _cut_k_current = K  # sticky: avoid repeated double dispatch
-    v = np.asarray(jax.device_get(v))
-    i = np.asarray(jax.device_get(i)).astype(np.int64)
-    scores = np.asarray(jax.device_get(sc))
+    return (
+        np.asarray(v),
+        np.asarray(i),
+        cnt,
+        np.asarray(tot_h),
+        np.asarray(scores),
+    )
+
+
+def fetch_posteriors_cut(p, tot):
+    """Dense-reconstructing wrapper over fetch_posteriors_compact (the
+    hardware oracle test compares against the dense fetch; production
+    uses the compact form directly)."""
+    v, i, cnt, tot, scores = fetch_posteriors_compact(p, tot)
     dense = np.zeros(p.shape, dtype=np.float32)
-    np.put_along_axis(dense, i, v, axis=-1)
+    np.put_along_axis(dense, i.astype(np.int64), v, axis=-1)
     # top_k pads short rows with index 0 value 0.0 — col 0 is zero anyway
     dense[:, :, 0] = 0.0
     return dense, tot, scores

@@ -182,3 +182,80 @@ def test_refine_rounds_native_matches_python_loop():
         assert got == aln.rows, "trial %d" % trial
         for k in range(N):
             assert got[k].replace("-", "") == seqs[k]
+
+
+def test_sparsepost_dense_csr_roundtrip():
+    """SparsePost (the compact device transfer form) must reproduce
+    _sparsify(dense) exactly through both views, including rows with
+    zero survivors and ties."""
+    import numpy as np
+
+    from reveal_tpu.hmm.msa import POSTERIOR_CUTOFF, SparsePost, _sparsify
+
+    rng = np.random.default_rng(5)
+    L1, L2, K = 37, 53, 64
+    p = rng.random((L1, L2)).astype(np.float32) * 0.03
+    p[3] = 0.0  # empty row
+    p[5, 7] = p[5, 9] = 0.02  # ties
+    want = _sparsify(p)
+    # emulate the device cut: top-K of the sparsified rows
+    q = want.copy()
+    cnt = (q >= POSTERIOR_CUTOFF).sum(axis=1).astype(np.int32)
+    assert cnt.max() <= K, "test needs K >= max survivors"
+    idx = np.argsort(-q, axis=1, kind="stable")[:, :K]
+    v = np.take_along_axis(q, idx, axis=1)
+    sp = SparsePost(v, idx.astype(np.int16), cnt, (L1, L2))
+    np.testing.assert_array_equal(sp.dense(), want)
+    np.testing.assert_array_equal(
+        sp.tocsr().toarray().astype(np.float32), want
+    )
+    assert sp.nnz == int((want > 0).sum())
+    np.testing.assert_allclose(sp.sum(axis=1), want.sum(axis=1), rtol=1e-6)
+    np.testing.assert_allclose(sp.sum(axis=0), want.sum(axis=0), rtol=1e-6)
+
+
+def test_probcons_align_accepts_sparsepost():
+    """probcons_align(precomputed=[SparsePost...]) must produce the same
+    alignment as with dense precomputed posteriors (short pairs densify
+    on entry; long pairs feed the csr consistency path)."""
+    import numpy as np
+
+    from reveal_tpu.hmm.msa import (
+        POSTERIOR_CUTOFF,
+        SparsePost,
+        _mea_dp_fast,
+        _sparsify,
+        batch_posteriors,
+        probcons_align,
+    )
+
+    rng = np.random.default_rng(11)
+    base = "".join(rng.choice(list("ACGT"), size=90))
+    seqs = []
+    for _ in range(3):
+        m = list(base)
+        for _ in range(6):
+            m[int(rng.integers(0, len(m)))] = "ACGT"[int(rng.integers(4))]
+        seqs.append("".join(m))
+    aobjs = [("s%d" % i, s) for i, s in enumerate(seqs)]
+    pair_keys = [(a, b) for a in range(3) for b in range(a + 1, 3)]
+    res = batch_posteriors(
+        [(seqs[a], seqs[b]) for a, b in pair_keys]
+    )
+    dense_pre = [(p, tot) for p, tot in res]
+    scores = [_mea_dp_fast(p)[1] for p, _ in res]
+    sparse_pre = []
+    K = 64
+    for p, tot in res:
+        q = _sparsify(p)
+        cnt = (q >= POSTERIOR_CUTOFF).sum(axis=1).astype(np.int32)
+        idx = np.argsort(-q, axis=1, kind="stable")[:, :K]
+        v = np.take_along_axis(q, idx, axis=1)
+        sparse_pre.append(
+            (SparsePost(v, idx.astype(np.int32), cnt, q.shape), tot)
+        )
+    a1 = probcons_align(aobjs, precomputed=dense_pre, seed=3)
+    a2 = probcons_align(
+        aobjs, precomputed=sparse_pre, precomputed_scores=scores, seed=3
+    )
+    assert a1 == a2

@@ -38,10 +38,17 @@ def test_cut_fetch_matches_dense_sparsify():
     dense = batch_posteriors(pairs)
     cut = batch_posteriors_cut(pairs)
     assert len(dense) == len(cut)
+    from reveal_tpu.hmm.msa import SparsePost
+
     for (p, tot), (pc, totc, score) in zip(dense, cut):
         want = _sparsify(p)
+        assert isinstance(pc, SparsePost)
         assert pc.shape == want.shape
-        np.testing.assert_array_equal(pc, want)
+        np.testing.assert_array_equal(pc.dense(), want)
+        # csr view must match too (the long-pair consistency input)
+        np.testing.assert_array_equal(
+            pc.tocsr().toarray().astype(np.float32), want
+        )
         assert abs(tot - totc) < 1e-6
         _, hscore = _mea_dp_fast(p)
         assert abs(score - hscore) < 1e-4 * max(1.0, abs(hscore)), (
