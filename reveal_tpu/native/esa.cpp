@@ -184,21 +184,57 @@ int build_sa(const uint8_t* T, Index* SA, Index n) {
 template <typename Index>
 void kasai_capped(const uint8_t* T, const Index* SA, Index* SAi, Index* LCP,
                   Index n) {
-  for (Index i = 0; i < n; ++i) SAi[SA[i]] = i;
-  Index h = 0;
-  for (Index i = 0; i < n; ++i) {
-    Index k = SAi[i];
-    if (k == 0) {
-      LCP[k] = 0;
-    } else {
-      Index j = SA[k - 1];
-      while (i + h < n && j + h < n && T[i + h] == T[j + h] &&
-             T[i + h] != '$' && T[i + h] != 'N') {
-        ++h;
+  // chunk-parallel: h is only a lower-bound hint (lcp(i) >= lcp(i-1)-1),
+  // so restarting each chunk at h=0 recomputes a few extra byte
+  // comparisons at the boundary and yields the IDENTICAL LCP array.
+  int64_t nt = (int64_t)std::thread::hardware_concurrency();
+  if (const char* e = std::getenv("REVEAL_TPU_KASAI_THREADS"))
+    nt = std::max((int64_t)1, (int64_t)std::atoll(e));
+  nt = std::max((int64_t)1, std::min(nt, (int64_t)(n / 262144)));
+  auto fill = [&](Index lo, Index hi) {
+    for (Index i = lo; i < hi; ++i) SAi[SA[i]] = i;
+  };
+  auto scan = [&](Index lo, Index hi) {
+    Index h = 0;
+    for (Index i = lo; i < hi; ++i) {
+      Index k = SAi[i];
+      if (k == 0) {
+        LCP[k] = 0;
+      } else {
+        Index j = SA[k - 1];
+        while (i + h < n && j + h < n && T[i + h] == T[j + h] &&
+               T[i + h] != '$' && T[i + h] != 'N') {
+          ++h;
+        }
+        LCP[k] = h;
       }
-      LCP[k] = h;
+      if (h > 0) --h;
     }
-    if (h > 0) --h;
+  };
+  if (nt <= 1) {
+    fill(0, n);
+    scan(0, n);
+    return;
+  }
+  {
+    std::vector<std::thread> pool;
+    Index step = (n + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+      Index lo = (Index)(t * step);
+      Index hi = std::min<Index>(n, lo + step);
+      if (lo < hi) pool.emplace_back(fill, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  {
+    std::vector<std::thread> pool;
+    Index step = (n + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+      Index lo = (Index)(t * step);
+      Index hi = std::min<Index>(n, lo + step);
+      if (lo < hi) pool.emplace_back(scan, lo, hi);
+    }
+    for (auto& th : pool) th.join();
   }
 }
 
@@ -1616,9 +1652,72 @@ int64_t rem2_loop_par(uint8_t* T, const Index* SA, const Index* LCP,
   ctx.pcutoff = pcutoff;
   const int64_t lenA = nsep0;
   const int64_t lenB = n - nsep0 - 2;
+
+  // Pre-enumerate the ROOT in parallel: its candidate conditions read
+  // only slots (i-1, i, i+1), so chunked scans concatenated in order
+  // equal the serial pairwise_mums exactly — this removes the one
+  // large serial scan (the whole-array pass a single pool worker would
+  // otherwise do alone while the others idle).
+  Index* root_mums = nullptr;
+  int64_t root_k = -1;
+  if (nthreads > 1 && n >= (1 << 20)) {
+    const int64_t nt = std::min<int64_t>(nthreads, 8);
+    std::vector<std::vector<Index>> chunks(nt);
+    std::vector<std::thread> tp;
+    const int64_t step = (n + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+      tp.emplace_back([&, t] {
+        const int64_t lo = std::max<int64_t>(1, t * step);
+        const int64_t hi = std::min<int64_t>(n, (t + 1) * step);
+        std::vector<Index>& out = chunks[t];
+        constexpr int64_t PD = 16;
+        for (int64_t i = lo; i < hi; ++i) {
+          if (i + PD < n) {
+            __builtin_prefetch(&T[SA[i + PD - 1]], 0, 0);
+            __builtin_prefetch(&T[SA[i + PD]], 0, 0);
+          }
+          int64_t l = LCP[i];
+          if (l < minlength || l <= 0) continue;
+          int64_t prev = SA[i - 1], cur = SA[i];
+          if ((cur > nsep0) == (prev > nsep0)) continue;
+          int64_t a = cur < prev ? cur : prev;
+          int64_t b = cur < prev ? prev : cur;
+          if (a > 0 && b > 0) {
+            uint8_t ta = T[a - 1], tb = T[b - 1];
+            if (!(ta != tb || ta == 'N' || ta == '$' ||
+                  (ta >= 'a' && ta <= 'z'))) {
+              continue;
+            }
+          }
+          int64_t lb_ = LCP[i - 1];
+          int64_t la_ = (i == n - 1) ? 0 : LCP[i + 1];
+          if (lb_ >= l || la_ >= l) continue;
+          out.push_back((Index)l);
+          out.push_back((Index)a);
+          out.push_back((Index)b);
+        }
+      });
+    }
+    for (auto& th : tp) th.join();
+    root_k = 0;
+    for (auto& c : chunks) root_k += (int64_t)c.size() / 3;
+    root_mums = (Index*)std::malloc(
+        sizeof(Index) * (size_t)std::max<int64_t>(1, 3 * root_k));
+    int64_t w = 0;
+    for (auto& c : chunks) {
+      const int64_t m = (int64_t)c.size() / 3;
+      for (int64_t j = 0; j < m; ++j) {
+        root_mums[w + j] = c[3 * j];                    // l
+        root_mums[root_k + w + j] = c[3 * j + 1];       // a
+        root_mums[2 * root_k + w + j] = c[3 * j + 2];   // b
+      }
+      w += m;
+    }
+  }
+
   ctx.stack.push_back(Rem2Seg<Index>{nullptr, nullptr, nullptr, n, 0,
                                      lenA, ctx.bOff, ctx.bOff + lenB, -1,
-                                     -1, lenA, lenB, nullptr, -1});
+                                     -1, lenA, lenB, root_mums, root_k});
   ctx.seg_ids.push_back(0);
   ctx.next_id = 1;
 
