@@ -526,7 +526,8 @@ def _get_chain_fn(B, N, Lq, rounds, consgap):
 
 
 def _build_chain_fn(key):
-    (B, N, Lq, rounds, consgap, _bf16) = key
+    (B, N, Lq, rounds, consgap, _bf16) = key  # _bf16: cache key only
+    del _bf16  # the jitted body reads module-level _CONS_BF16
 
     import jax
     import jax.numpy as jnp
