@@ -797,6 +797,7 @@ def _align_loop_frontier(
         int(main.nsep[0]),
         main.nsamples,
         mesh=mesh,
+        nsep=main.nsep,
     )
     multi_mode = main.nsamples > 2
 

@@ -439,6 +439,241 @@ def _get_enum_multi(K2: int, W: int):
     return enum_mm
 
 
+def _get_enum_multi_mesh(mesh, npad: int, W: int, NSEPW: int):
+    """O(n/P)-memory multiMUM enumerate (shard_map twin of enum_mm).
+
+    The GSPMD enum_mm materializes O(n) per device: its PSV/NSV pointer
+    doubling does log(n) rounds of arbitrary-distance gathers.  But a
+    multiMUM interval that survives the ``width <= nsamples`` gate has
+    its PSV within W = nsamples slots below and its NSV within W slots
+    above (width = nsv - max(psv,0)), so a RADIUS-W scan over a W-wide
+    halo finds the true psv/nsv of every kept candidate; rows whose
+    nearest smaller value lies farther get a sentinel that fails the
+    width gate exactly like the true (wider) interval would.  Sample
+    ids come from a searchsorted over the replicated (tiny) nsep table
+    instead of the position-sharded SO, the left-maximality text probes
+    T[a-1]/T[b-1] ride ONE sort-based distributed gather per level
+    (parallel/dsa.collective_kit.dist_gather2), and candidates compact
+    by a comparator-network sort on (candidate? slot : BIG) — ascending
+    global slot order, exactly the jnp.nonzero order of enum_mm.  Every
+    collective is threaded into one dependency chain (kit.after), and
+    simultaneous per-array halo moves ride stacked ppermutes.
+
+    Replaces: the LCP-interval stack walk of getmultimums
+    (reveallib/reveal.c:436-580) at multi-chip scale."""
+    key = ("mm_mesh", id(mesh), npad, W, NSEPW)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from ..core.encoding import N_BYTE, SENTINEL
+    from ..core.jaxconfig import configure_jax
+    from ..parallel.dsa import collective_kit
+
+    configure_jax()
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    assert npad % P == 0
+    sh = npad // P
+    kit = collective_kit(axis, P, sh)
+    net_sort = kit.make_net_sort(sh)
+    i32 = jnp.int32
+    BIG = jnp.int32(2**31 - 1)
+
+    def shard_fn(T, SA, LCP, SEG, nsep, nreal, minl, minn, nsmp):
+        me = jax.lax.axis_index(axis)
+        iar_l = jnp.arange(sh, dtype=i32)
+        iar_g = me.astype(i32) * sh + iar_l
+
+        # W-wide halo blocks of (LCP, SA) both sides — one stacked
+        # ppermute per direction; LCP fills are -1 so the radius scans
+        # "hit" past either end (psv=-1 / nsv=npad, the enum_mm stop
+        # values), SA fills are never read (window cols are clipped
+        # into [0, npad))
+        hp = jax.lax.ppermute(
+            jnp.stack([LCP[-W:], SA[-W:]]), axis,
+            [(j, j + 1) for j in range(P - 1)],
+        )
+        neg = jnp.full(W, -1, i32)
+        lcp_p = jnp.where(me == 0, neg, hp[0])
+        sa_p = jnp.where(me == 0, jnp.zeros(W, i32), hp[1])
+        hn = jax.lax.ppermute(
+            kit.after(jnp.stack([LCP[:W], SA[:W]]), hp), axis,
+            [(j, j - 1) for j in range(1, P)],
+        )
+        lcp_n = jnp.where(me == P - 1, neg, hn[0])
+        sa_n = jnp.where(me == P - 1, jnp.zeros(W, i32), hn[1])
+        lcp_ext = jnp.concatenate([lcp_p, LCP, lcp_n])
+        sa_ext = jnp.concatenate([sa_p, SA, sa_n])
+
+        # radius-W nearest-smaller-value scans (see docstring)
+        found_p = jnp.zeros(sh, bool)
+        dp = jnp.zeros(sh, i32)
+        found_n = jnp.zeros(sh, bool)
+        dn = jnp.zeros(sh, i32)
+        for d in range(1, W + 1):
+            cp = jax.lax.dynamic_slice(lcp_ext, (W - d,), (sh,))
+            hit = ~found_p & (cp < LCP)
+            dp = jnp.where(hit, d, dp)
+            found_p = found_p | hit
+            cn = jax.lax.dynamic_slice(lcp_ext, (W + d,), (sh,))
+            hit = ~found_n & (cn < LCP)
+            dn = jnp.where(hit, d, dn)
+            found_n = found_n | hit
+        psv = jnp.where(found_p, iar_g - dp, iar_g - W - 1)
+        nsv = jnp.where(found_n, iar_g + dn, iar_g + W + 1)
+
+        lb = jnp.maximum(psv, 0)
+        ub = nsv - 1
+        width = ub - lb + 1
+        cand = (
+            (SEG >= 0)
+            & (LCP >= jnp.maximum(minl, 1))
+            & (width >= minn)
+            & (width <= nsmp)
+        )
+
+        # per-slot left-maximality flag for the pair (slot-1, slot):
+        # the two text probes are arbitrary global positions -> one
+        # distributed gather (threaded behind the halos)
+        a_pair = jax.lax.dynamic_slice(sa_ext, (W - 1,), (sh,))
+        b_pair = SA
+        ta, tb = kit.dist_gather2(
+            kit.after(T.astype(i32), hn),
+            jnp.maximum(a_pair - 1, 0),
+            jnp.maximum(b_pair - 1, 0),
+            iar_g,
+            me,
+        )
+        lower = (ta >= ord("a")) & (ta <= ord("z"))
+        lm = (
+            (a_pair == 0)
+            | (b_pair == 0)
+            | (ta != tb)
+            | (ta == N_BYTE)
+            | (ta == SENTINEL)
+            | lower
+        )
+        # per-slot sample ordinal (replicated nsep; SO[pos] ==
+        # searchsorted(nsep, pos) by textstore construction)
+        ssid = jnp.searchsorted(
+            nsep, jnp.clip(SA, 0, nreal - 1), side="left"
+        ).astype(i32)
+
+        count = jax.lax.psum(
+            kit.after(jnp.sum(cand.astype(i32)), lm), axis
+        )
+        # compaction: global net sort by (candidate? slot : BIG) over
+        # the 4 scalar planes only; the (K, W) window matrices are
+        # built by the companion kernel (_get_win_multi_mesh) for just
+        # the fetched candidates — carrying 2W window columns through
+        # the comparator network would make per-device temps ~8W
+        # planes (measured 18 MB at sh=2^15) for data the host only
+        # needs for `count` rows
+        skey = jnp.where(cand, iar_g, BIG)
+        skey = kit.after(skey, count)
+        sorted_out = net_sort(
+            (skey, LCP.astype(i32), lb.astype(i32), ub.astype(i32)),
+            nkeys=1,
+        )
+        return sorted_out[1:] + (lm.astype(i32), ssid, count)
+
+    sharded = Pspec(axis)
+    repl = Pspec()
+    fn = jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(sharded,) * 4 + (repl,) * 5,
+            out_specs=(sharded,) * 5 + (repl,),
+            check_vma=False,
+        )
+    )
+    _kern_cache[key] = fn
+    return fn
+
+
+def _get_win_multi_mesh(mesh, npad: int, W: int, K: int):
+    """Companion to _get_enum_multi_mesh: (K, W) window matrices + ok
+    flags for the fetched candidate rows.  Each global slot is owned by
+    exactly one shard, so every shard contributes its overlap of each
+    row's window [lb, lb+W) into a zero buffer and ONE packed psum
+    replicates the result — no halos, O(K·W) per device."""
+    key = ("mm_win", id(mesh), npad, W, K)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Pspec
+
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    axis = mesh.axis_names[0]
+    P = int(mesh.devices.size)
+    assert npad % P == 0
+    sh = npad // P
+    i32 = jnp.int32
+
+    def win_fn(SA, lm, ssid, qlb, qub):
+        me = jax.lax.axis_index(axis)
+        base = me.astype(i32) * sh
+        cols = qlb[:, None] + jnp.arange(W, dtype=i32)[None, :]
+        cc = jnp.clip(cols, 0, npad - 1)
+        loc = cc - base
+        own = (loc >= 0) & (loc < sh)
+        locc = jnp.clip(loc, 0, sh - 1)
+        contrib = jnp.stack(
+            [
+                jnp.where(own, SA[locc], 0),
+                jnp.where(own, ssid[locc], 0),
+                jnp.where(own, lm[locc], 0),
+            ]
+        )
+        out = jax.lax.psum(contrib, axis)
+        sa_win, so_win, lm_win = out[0], out[1], out[2]
+        # ok flags exactly as enum_mm: distinct samples over the
+        # in-row window + at least one left-maximal adjacent pair
+        inrow = cols <= qub[:, None]
+        so_pad = jnp.where(
+            inrow,
+            so_win,
+            jnp.int32(-1) - jnp.arange(W, dtype=i32)[None, :],
+        )
+        so_sorted = jnp.sort(so_pad, axis=1)
+        distinct = jnp.all(
+            so_sorted[:, 1:] != so_sorted[:, :-1], axis=1
+        )
+        anymax = jnp.any(
+            (lm_win[:, 1:] > 0) & (cols[:, 1:] <= qub[:, None]), axis=1
+        )
+        return sa_win, so_win, distinct & anymax
+
+    sharded = Pspec(axis)
+    repl = Pspec()
+    fn = jax.jit(
+        shard_map(
+            win_fn,
+            mesh=mesh,
+            in_specs=(sharded,) * 3 + (repl,) * 2,
+            out_specs=(repl,) * 3,
+            check_vma=False,
+        )
+    )
+    _kern_cache[key] = fn
+    return fn
+
+
 def _get_apply(NI: int, SCAP: int):
     """Level-apply kernel, keyed on interval-table bucket NI and segment
     bucket SCAP (both static)."""
@@ -812,7 +1047,8 @@ class DeviceFrontier:
     """Owns the packed device arrays and the per-level dispatches."""
 
     def __init__(
-        self, T, SA, LCP, SO, nsep0: int, nsamples: int, mesh=None
+        self, T, SA, LCP, SO, nsep0: int, nsamples: int, mesh=None,
+        nsep=None,
     ):
         """mesh: optional jax.sharding.Mesh — the packed slot arrays are
         sharded over its first axis and the SAME kernels run under GSPMD,
@@ -826,6 +1062,12 @@ class DeviceFrontier:
         self.n = int(len(SA))
         self.nsep0 = int(nsep0)
         self.nsamples = int(nsamples)
+        # full sentinel table (replicated, tiny) — lets the O(n/P) mesh
+        # multi enumerate derive sample ordinals without touching the
+        # position-sharded SO (SO[pos] == searchsorted(nsep, pos))
+        self.nsep = (
+            None if nsep is None else np.asarray(nsep, dtype=np.int64)
+        )
         # pad every device array to a power-of-two bucket so kernel
         # compiles are shared across input sizes (dead tail: SEG = -1)
         npad = _next_pow2(self.n)
@@ -937,6 +1179,66 @@ class DeviceFrontier:
         import jax.numpy as jnp
 
         W = max(2, self.nsamples)
+        npad = int(self.SA.shape[0])
+        if (
+            self.mesh is not None
+            and self.nsep is not None
+            and npad % int(self.mesh.devices.size) == 0
+        ):
+            # O(n/P) shard_map twin (radius-W NSV scans + one
+            # distributed text gather; no K2 capacity loop)
+            NSEPW = max(2, _next_pow2(len(self.nsep)))
+            nsep_pad = np.full(NSEPW, npad, dtype=np.int32)
+            nsep_pad[: len(self.nsep)] = self.nsep.astype(np.int32)
+            fn = _get_enum_multi_mesh(self.mesh, npad, W, NSEPW)
+            out = fn(
+                self.T, self.SA, self.LCP, self.SEG,
+                jnp.asarray(nsep_pad), jnp.int32(self.n),
+                jnp.int32(minl), jnp.int32(minn),
+                jnp.int32(self.nsamples),
+            )
+            spec = min(_SPEC_PREFIX, npad)
+            fetched = jax.device_get(
+                (out[5],)
+                + _get_prefix_fetch_mesh(spec, 3, self.mesh, npad)(
+                    *out[:3]
+                )
+            )
+            count = int(fetched[0])
+            ls, lbs, ubs = fetched[1:]
+            if count > spec:
+                K = _fetch_bucket(count, npad)
+                ls, lbs, ubs = jax.device_get(
+                    _get_prefix_fetch_mesh(K, 3, self.mesh, npad)(
+                        *out[:3]
+                    )
+                )
+            ls = np.asarray(ls)[:count]
+            lbs = np.asarray(lbs)[:count]
+            ubs = np.asarray(ubs)[:count]
+            if count == 0:
+                e = np.empty(0, np.int32)
+                e2 = np.empty((0, W), np.int32)
+                return e, e, e, e2, e2
+            # companion kernel: (K, W) windows + ok for the fetched rows
+            K = _fetch_bucket(count, npad)
+            qlb = np.zeros(K, dtype=np.int32)
+            qub = np.full(K, -1, dtype=np.int32)  # empty row: ok=False
+            qlb[:count] = lbs
+            qub[:count] = ubs
+            wfn = _get_win_multi_mesh(self.mesh, npad, W, K)
+            sa_rows, so_rows, ok = jax.device_get(
+                wfn(
+                    self.SA, out[3], out[4],
+                    jnp.asarray(qlb), jnp.asarray(qub),
+                )
+            )
+            ok = np.asarray(ok)[:count].astype(bool)
+            sa_rows = np.asarray(sa_rows)[:count]
+            so_rows = np.asarray(so_rows)[:count]
+            return (
+                ls[ok], lbs[ok], ubs[ok], sa_rows[ok], so_rows[ok]
+            )
         while True:
             fn = _get_enum_multi(self._K2, W)
             out = fn(

@@ -149,3 +149,86 @@ def test_mesh_frontier_rem_matches_single_device(tmp_path):
     G2, i2 = align_genomes([fa1, fa2], backend="np", mesh=mesh)
     assert node_state(G1) == node_state(G2)
     assert np.array_equal(i1.main.T, i2.main.T)
+
+
+def test_mesh_enumerate_multi_matches_gspmd(mesh8):
+    """The O(n/P) shard_map multi enumerate (radius-W NSV scans +
+    distributed text gather + replicated-nsep sample ids) must return
+    exactly the GSPMD enum_mm candidate set on the same frontier
+    state — including the sa/so window matrices and the ok flags."""
+    import numpy as np
+
+    from reveal_tpu.index.devfrontier import DeviceFrontier
+
+    rng = np.random.default_rng(47)
+    base = "".join(rng.choice(list("ACGT"), size=1500))
+    ts = TextStore()
+    for s in range(4):
+        seq = list(base)
+        for _ in range(12):
+            i = int(rng.integers(0, len(seq)))
+            r = rng.random()
+            if r < 0.6:
+                seq[i] = "ACGT"[int(rng.integers(0, 4))]
+            elif r < 0.8:
+                del seq[i]
+            else:
+                seq.insert(i, "ACGT"[int(rng.integers(0, 4))])
+        ts.add_sample("s%d" % s)
+        ts.add_sequence("".join(seq))
+    T, SO, nsep = ts.build()
+    sa = suffix_array_np(T).astype(np.int64)
+    lcp = lcp_from_sa_np(T, sa).astype(np.int64)
+
+    single = DeviceFrontier(T, sa, lcp, SO, int(nsep[0]), 4)
+    sharded = DeviceFrontier(
+        T, sa, lcp, SO, int(nsep[0]), 4, mesh=mesh8, nsep=nsep
+    )
+    for minl, minn in ((20, 2), (10, 3), (8, 4)):
+        got1 = single.enumerate_multi(minl, minn)
+        got2 = sharded.enumerate_multi(minl, minn)
+        assert len(got1) == len(got2)
+        for a1, a2 in zip(got1, got2):
+            assert np.array_equal(np.asarray(a1), np.asarray(a2)), (
+                minl, minn,
+            )
+
+
+def test_mesh_frontier_rem_multi_matches_single_device(tmp_path):
+    """4-genome mesh rem end-to-end: the O(n/P) multi enumerate feeds
+    the same picker/apply chain and must reproduce the single-device
+    frontier graph node-for-node."""
+    import numpy as np
+
+    from reveal_tpu.align.rem import align_genomes
+    from reveal_tpu.core.io_fasta import fasta_writer
+    from reveal_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(53)
+    base = "".join(rng.choice(list("ACGT"), size=2500))
+    fas = []
+    for s in range(4):
+        seq = list(base)
+        for _ in range(15):
+            i = int(rng.integers(0, len(seq)))
+            if rng.random() < 0.5:
+                seq[i] = "ACGT"[int(rng.integers(0, 4))]
+            else:
+                del seq[i]
+        fa = str(tmp_path / ("m%d.fa" % s))
+        fasta_writer(fa, [("m%d" % s, "".join(seq))])
+        fas.append(fa)
+
+    def node_state(G):
+        return sorted(
+            (n, tuple(sorted(G.nodes[n]["offsets"].items())),
+             G.nodes[n].get("aligned", 0))
+            for n in G.nodes
+            if isinstance(n, tuple)
+        )
+
+    G1, i1 = align_genomes(fas, backend="np", frontier=True)
+    mesh = make_mesh(8)
+    G2, i2 = align_genomes(fas, backend="np", mesh=mesh)
+    assert node_state(G1) == node_state(G2)
+    assert np.array_equal(i1.main.T, i2.main.T)

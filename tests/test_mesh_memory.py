@@ -57,3 +57,68 @@ def test_mesh_apply_temp_memory_scales(mesh8):
     assert t_mesh * (Pn // 2) < t_gspmd, (t_mesh, t_gspmd)
     # absolute bound: temps stay within ~64 int32 buffers of n/P
     assert t_mesh < 64 * 4 * (npad // Pn), t_mesh
+
+
+def test_mesh_enum_multi_temp_memory_scales(mesh8):
+    """The shard_map multi enumerate's per-device temps are O(n/P) with
+    the same constant as the (already landed) pairwise mesh enumerate —
+    the constant belongs to collective_kit's dist_gather2 sort passes,
+    not to the multiMUM logic (measured: both 18.09 MB at npad=2^18,
+    P=8, i.e. ~138 int32 planes of n/P).  The GSPMD enum_mm keeps a
+    smaller constant (~3.3 planes of FULL n per device: its scan-based
+    pointer doubling reuses buffers), so the mesh form pays off at pod
+    P — the reason it exists is (a) per-device O(n/P) at P beyond ~40
+    and (b) keeping every level collective inside the kit's single
+    dependency chain (the gloo posting-order rule, parallel/dsa.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from reveal_tpu.index import devfrontier as df
+
+    npad = 1 << 18
+    W, NSEPW, K = 8, 8, 4096
+    mesh = mesh8
+    Pn = int(mesh.devices.size)
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    sharded_in = (
+        jax.ShapeDtypeStruct((npad,), jnp.uint8, sharding=shard),
+        *(
+            jax.ShapeDtypeStruct((npad,), jnp.int32, sharding=shard)
+            for _ in range(3)
+        ),
+    )
+    mesh_fn = df._get_enum_multi_mesh(mesh, npad, W, NSEPW)
+    mem_mesh = mesh_fn.lower(
+        *sharded_in,
+        jax.ShapeDtypeStruct((NSEPW,), jnp.int32),
+        *(jax.ShapeDtypeStruct((), jnp.int32) for _ in range(4)),
+    ).compile().memory_analysis()
+
+    pw_fn = df._get_enum_pairwise_mesh(mesh, npad)
+    mem_pw = pw_fn.lower(
+        *sharded_in,
+        *(jax.ShapeDtypeStruct((), jnp.int32) for _ in range(2)),
+    ).compile().memory_analysis()
+
+    win_fn = df._get_win_multi_mesh(mesh, npad, W, K)
+    mem_win = win_fn.lower(
+        *(
+            jax.ShapeDtypeStruct((npad,), jnp.int32, sharding=shard)
+            for _ in range(3)
+        ),
+        *(jax.ShapeDtypeStruct((K,), jnp.int32) for _ in range(2)),
+    ).compile().memory_analysis()
+
+    t_mesh = mem_mesh.temp_size_in_bytes
+    # same O(n/P) constant as the pairwise mesh kernel (within 20%)
+    assert t_mesh < 1.2 * mem_pw.temp_size_in_bytes, (
+        t_mesh, mem_pw.temp_size_in_bytes,
+    )
+    # absolute bound: ~150 int32 planes of n/P
+    assert t_mesh < 150 * 4 * (npad // Pn), t_mesh
+    # the window companion is O(K*W), not O(n)
+    assert mem_win.temp_size_in_bytes < 64 * 4 * K * W, (
+        mem_win.temp_size_in_bytes
+    )
