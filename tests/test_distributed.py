@@ -235,3 +235,99 @@ def test_two_host_full_rem(tmp_path):
             if line.startswith("OK process"):
                 hashes.add(line.split()[-1])
     assert len(hashes) == 1, hashes  # both processes agree
+
+
+MULTI_WORKER = textwrap.dedent(
+    """
+    import hashlib, os, sys, time
+    sys.path.insert(0, %(root)r)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from reveal_tpu.parallel.distributed import init_distributed, global_mesh
+    init_distributed(
+        coordinator_address=%(coord)r,
+        num_processes=2,
+        process_id=int(sys.argv[1]),
+    )
+    import numpy as np
+    from reveal_tpu.align.rem import align_genomes
+    from reveal_tpu.core.io_fasta import fasta_writer
+
+    rng = np.random.default_rng(9)
+    base = "".join(rng.choice(list("ACGT"), size=30_000))
+    wd = %(wd)r
+    fas = [wd + "/m%%d.fa" %% s for s in range(3)]
+    if int(sys.argv[1]) == 0:
+        for s, fa in enumerate(fas):
+            seq = list(base)
+            for _ in range(150):
+                i = int(rng.integers(0, len(seq)))
+                r = rng.random()
+                if r < 0.5:
+                    seq[i] = "ACGT"[int(rng.integers(0, 4))]
+                elif r < 0.75:
+                    del seq[i]
+                else:
+                    seq.insert(i, "ACGT"[int(rng.integers(0, 4))])
+            fasta_writer(fa, [("m%%d" %% s, "".join(seq))])
+    while not all(os.path.exists(f) for f in fas):
+        time.sleep(0.2)
+
+    def state_hash(G):
+        state = sorted(
+            (n, tuple(sorted(G.nodes[n]["offsets"].items())),
+             G.nodes[n].get("aligned", 0))
+            for n in G.nodes if isinstance(n, tuple))
+        return hashlib.sha256(repr(state).encode()).hexdigest()
+
+    # MULTI-genome rem over the 2-process mesh: exercises the O(n/P)
+    # shard_map multiMUM enumerate (radius-W scans + dist_gather2 +
+    # window psum) across many warm re-invocations of one executable —
+    # the gloo posting-order hazard class (parallel/dsa.after) only
+    # shows multi-process
+    G, idx = align_genomes(fas, mesh=global_mesh())
+    h = state_hash(G)
+    G2, _ = align_genomes(fas, backend="np", frontier=True)
+    assert state_hash(G2) == h, "2-host multi rem != single-process"
+    print("OK process", jax.process_index(), h[:16])
+    """
+)
+
+
+def test_two_host_multi_rem(tmp_path):
+    """3-genome rem over a 2-process jax.distributed mesh: the mesh
+    multiMUM enumerate's collective chain must hold across processes
+    (warm executables re-dispatched every level) and the graph must
+    match the single-process frontier on every process."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    coord = "localhost:37661"
+    script = MULTI_WORKER % {
+        "root": root, "coord": coord, "wd": str(tmp_path)
+    }
+    fn = tmp_path / "worker_multi.py"
+    fn.write_text(script)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(fn), str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=500)
+        outs.append(out)
+    hashes = set()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, "process %d failed:\n%s" % (i, out)
+        for line in out.splitlines():
+            if line.startswith("OK process"):
+                hashes.add(line.split()[-1])
+    assert len(hashes) == 1, hashes
