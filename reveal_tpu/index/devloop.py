@@ -143,76 +143,53 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
         # compact kept rows to the front, preserving order
         seg, l, a, b = sort_by((seg, iar), (seg, l, a, b))
         pos = a if coord == 0 else b
+        n_alive = jnp.sum((seg < BIG).astype(i32))
 
-        # segment-parallel trim scan (carry (ce, ci, cl) per SEGMENT;
-        # step j processes the rank-j row of every segment — rows are
-        # contiguous per segment after the compaction sort, and the
-        # carry only flows within a segment, so per-level sequential
-        # steps = max rows per segment).  Emits a front cut per row and
-        # at most one back cut per row; back buffer has scratch row K.
-        alive = seg < BIG
-        tkey = jnp.where(alive, jnp.clip(seg, 0, SMAX - 1), SMAX)
-        t_cnt = jax.ops.segment_sum(
-            alive.astype(i32), tkey, num_segments=SMAX + 1
-        )[:SMAX]
-        t_start = jnp.minimum(
-            jax.ops.segment_min(
-                jnp.where(alive, iar, BIG), tkey,
-                num_segments=SMAX + 1,
-            )[:SMAX],
-            K,
-        )
-        jmax_t = jnp.max(t_cnt)
-
+        # sequential trim scan (prototype-validated): carry
+        # (cur_seg, ce, ci, cl); emits a front cut per row and at most
+        # one back cut per row.  Back-cut buffer has a scratch row K.
         def scan_body(c):
-            front, back, ce_s, ci_s, cl_s, j = c
-            has = j < t_cnt
-            tc = jnp.clip(t_start + j, 0, K - 1)
-            p_i = pos[tc]
-            l_i = l[tc]
-            notfirst = has & (j > 0)   # j == 0 is the newseg row
-            ov = jnp.where(notfirst, ce_s - p_i, 0)
-            hit = notfirst & (ov > 0)
-            back = back.at[jnp.where(hit, ci_s, K)].add(
+            front, back, cseg, ce, ci, cl, i = c
+            s_i = seg[i]
+            p_i = pos[i]
+            l_i = l[i]
+            newseg = s_i != cseg
+            ov = jnp.where(newseg, 0, ce - p_i)
+            hit = ov > 0
+            back = back.at[jnp.where(hit, ci, K)].add(
                 jnp.where(hit, ov, 0), mode="drop"
             )
-            front = front.at[jnp.where(hit, tc, K)].set(
-                jnp.where(hit, ov, 0), mode="drop"
-            )
+            front = front.at[i].set(jnp.where(hit, ov, 0))
             li = l_i - ov
-            prev_alive = cl_s - ov > 0
+            prev_alive = cl - ov > 0
             ce_n = jnp.where(
                 hit, jnp.where(li > 0, p_i + l_i, p_i), p_i + l_i
             )
-            ci_n = jnp.where(hit & (li <= 0), ci_s, tc)
+            ci_n = jnp.where(hit & (li <= 0), ci, i)
             ci_n = jnp.where(
                 hit & (li <= 0) & ~prev_alive, jnp.int32(K), ci_n
             )
             cl_n = jnp.where(
                 hit,
                 jnp.where(li > 0, li,
-                          jnp.where(prev_alive, cl_s - ov, 0)),
+                          jnp.where(prev_alive, cl - ov, 0)),
                 l_i,
             )
-            ce_s = jnp.where(has, ce_n, ce_s)
-            ci_s = jnp.where(has, ci_n, ci_s)
-            cl_s = jnp.where(has, cl_n, cl_s)
-            return front, back, ce_s, ci_s, cl_s, j + 1
+            return front, back, s_i, ce_n, ci_n, cl_n, i + 1
 
         front0 = jnp.zeros(K, i32)
         back0 = jnp.zeros(K + 1, i32)
-        front, back, _, _, _, _ = jax.lax.while_loop(
-            lambda c: c[5] < jmax_t,
+        front, back, _, _, _, _, _ = jax.lax.while_loop(
+            lambda c: c[6] < n_alive,
             scan_body,
-            (front0, back0, jnp.zeros(SMAX, i32),
-             jnp.full(SMAX, K, i32), jnp.zeros(SMAX, i32),
-             jnp.int32(0)),
+            (front0, back0, jnp.int32(-9), jnp.int32(0),
+             jnp.int32(K), jnp.int32(0), jnp.int32(0)),
         )
         back = back[:K]
         newl = l - front - back
         ok = (seg < BIG) & (newl > 0)
         seg = jnp.where(ok, seg, BIG)
-        return seg, newl, a + front, b + front, jmax_t
+        return seg, newl, a + front, b + front
 
     # ------------------------------------------------------------------
     # the fused level loop
@@ -283,9 +260,10 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
             )
 
             # ---- trim both dimensions ---------------------------------
-            cseg, cl, caa, cbb, tj0 = trim_dim(cseg, cl, caa, cbb, 0)
-            cseg, cl, caa, cbb, tj1 = trim_dim(cseg, cl, caa, cbb, 1)
-            steps = steps.at[0].add(tj0 + tj1)
+            steps = steps.at[0].add(jnp.sum((cseg < BIG).astype(i32)))
+            cseg, cl, caa, cbb = trim_dim(cseg, cl, caa, cbb, 0)
+            steps = steps.at[0].add(jnp.sum((cseg < BIG).astype(i32)))
+            cseg, cl, caa, cbb = trim_dim(cseg, cl, caa, cbb, 1)
 
             # ---- chain DP (schemes.py:20-104) -------------------------
             # one right-pseudo row per live segment: l=0 at (a_end,
@@ -328,79 +306,40 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
             gla = seg_tab[gsc, 0] - 1   # left pseudo (text coords;
             glb = seg_tab[gsc, 2] - 1   # gap costs shift-invariant)
             gmul = ws * gl
-            wl_all = gmul - wp * jnp.abs((ga - gla) - (gb - glb))
-
-            # Segment-parallel DP: the sorted layout puts each segment's
-            # alive rows in one contiguous run, so step j processes the
-            # rank-j row of EVERY segment at once (sequential steps per
-            # level = max rows per segment, not their sum).  Within one
-            # segment the traversal (and the reference's activation-
-            # counter tie-break, shifted from global step to local rank
-            # — a uniform per-segment offset, order-preserving) is
-            # exactly the serial engine's; segments never interact.
-            gkey = jnp.where(galive, gsc, SMAX)
-            seg_cnt = jax.ops.segment_sum(
-                galive.astype(i32), gkey, num_segments=SMAX + 1
-            )[:SMAX]
-            seg_start = jax.ops.segment_min(
-                jnp.where(galive, iar_m, BIG), gkey,
-                num_segments=SMAX + 1,
-            )[:SMAX]
-            seg_start = jnp.minimum(seg_start, M)  # empty seg: no ovfl
-            rank = iar_m - seg_start[gsc]
-            jmax = jnp.max(seg_cnt)
 
             def chain_body(c):
-                score, link, act, j = c
-                has = j < seg_cnt                       # (SMAX,)
-                tc = jnp.clip(seg_start + j, 0, M - 1)  # target rows
-                r_has = has[gsc] & galive
-                r_tga = ga[tc][gsc]
-                r_tgb = gb[tc][gsc]
+                score, link, act, i = c
                 compat = (
-                    r_has & (rank < j) & (gea <= r_tga) & (geb <= r_tgb)
+                    (iar_m < i) & (gseg == gseg[i]) & galive
+                    & (gea <= ga[i]) & (geb <= gb[i])
                 )
                 newly = compat & (act == BIG)
-                act = jnp.where(newly, j, act)
-                d = (r_tga - gea) - (r_tgb - geb)
-                tmpw = jnp.where(
-                    compat, score + gmul[tc][gsc] - wp * jnp.abs(d), NEG
-                )
+                act = jnp.where(newly, i, act)
+                d = (ga[i] - gea) - (gb[i] - geb)
+                tmpw = score + gmul[i] - wp * jnp.abs(d)
+                tmpw = jnp.where(compat, tmpw, NEG)
+                dl = (ga[i] - gla[i]) - (gb[i] - glb[i])
+                wl = gmul[i] - wp * jnp.abs(dl)
                 # winner among {left} + compat in the reference's active
                 # traversal order (score desc, activation counter asc):
-                # max tmpw, then max score, then min (act rank, row);
+                # max tmpw, then max score, then min (act step, row);
                 # left sits at (score 0, counter 0)
-                mx_s = jax.ops.segment_max(
-                    tmpw, gkey, num_segments=SMAX + 1
-                )[:SMAX]
-                c1 = compat & (tmpw == mx_s[gsc])
+                mx = jnp.max(tmpw)
+                c1 = tmpw == mx
                 sc2 = jnp.where(c1, score, NEG)
-                mx2_s = jax.ops.segment_max(
-                    sc2, gkey, num_segments=SMAX + 1
-                )[:SMAX]
-                # min (act rank, row) in two int32 stages (x64 is off)
-                c2 = c1 & (sc2 == mx2_s[gsc])
-                amin_s = jax.ops.segment_min(
-                    jnp.where(c2, act, BIG), gkey,
-                    num_segments=SMAX + 1,
-                )[:SMAX]
-                bi_s = jax.ops.segment_min(
-                    jnp.where(c2 & (act == amin_s[gsc]), iar_m, BIG),
-                    gkey, num_segments=SMAX + 1,
-                )[:SMAX]
-                bi = jnp.clip(bi_s, 0, M - 1)
-                wl_t = wl_all[tc]
-                use_left = (wl_t > mx_s) | ((wl_t == mx_s) & (mx2_s <= 0))
-                w_t = jnp.where(use_left, wl_t, mx_s)
-                bj_t = jnp.where(use_left, jnp.int32(-1), bi)
-                dst = jnp.where(has, tc, M)   # M = out of bounds, drop
-                score = score.at[dst].set(w_t, mode="drop")
-                link = link.at[dst].set(bj_t, mode="drop")
-                return score, link, act, j + 1
+                mx2 = jnp.max(sc2)
+                a3 = jnp.where(c1 & (sc2 == mx2), act, BIG)
+                bi = jnp.argmin(a3)   # first row among min act steps
+                use_left = (wl > mx) | ((wl == mx) & (mx2 <= 0))
+                w = jnp.where(use_left, wl, mx)
+                bj = jnp.where(use_left, jnp.int32(-1), bi.astype(i32))
+                score = score.at[i].set(w)
+                link = link.at[i].set(bj)
+                return score, link, act, i + 1
 
-            steps = steps.at[1].add(jmax)
+            steps = steps.at[1].add(m_tot)
             score, link, act, _ = jax.lax.while_loop(
-                lambda c: c[3] < jmax,
+                lambda c: c[3] < m_tot,
                 chain_body,
                 (jnp.zeros(M, i32), jnp.full(M, -2, i32),
                  jnp.full(M, BIG, i32), jnp.int32(0)),
@@ -604,95 +543,66 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                 abort = jnp.where(
                     rc > CCAP, jnp.int32(ABORT_REPAIR_OVERFLOW), abort
                 )
-                rcc = jnp.minimum(rc, CCAP)
                 (cq,) = jnp.nonzero(
                     cross0, size=CCAP, fill_value=npad - 1
                 )
                 centry_next = lcpn[cq]
 
-                # Segment-parallel: candidates arrive in slot order, so
-                # they are grouped by segment; step j processes the
-                # rank-j candidate of EVERY segment at once.  A move's
-                # shift window (x, q] never leaves its own segment (a
-                # segment's first-slot LCP is 0 < thr, bounding the x
-                # search), and the only cross-segment writes — the
-                # min-update/raise at q+1 when q is a segment's last
-                # slot — are provable no-ops against a first-slot LCP
-                # of 0, so concurrent segments never interact.
-                iar_c = jnp.arange(CCAP, dtype=i32)
-                cvalid = iar_c < rcc
-                ckey = jnp.where(
-                    cvalid, jnp.clip(SEG[cq], 0, SMAX - 1), SMAX
-                )
-                c_cnt = jax.ops.segment_sum(
-                    cvalid.astype(i32), ckey, num_segments=SMAX + 1
-                )[:SMAX]
-                c_start = jnp.minimum(
-                    jax.ops.segment_min(
-                        jnp.where(cvalid, iar_c, BIG), ckey,
-                        num_segments=SMAX + 1,
-                    )[:SMAX],
-                    CCAP,
-                )
-                jmax_r = jnp.max(c_cnt)
-                rkey = jnp.where(SEG >= 0, scn, SMAX)
-
                 def rbody(c):
                     SA_, LCP_, j = c
-                    chas = j < c_cnt                        # (SMAX,)
-                    cslot = jnp.clip(c_start + j, 0, CCAP - 1)
-                    q_s = jnp.where(chas, cq[cslot], npad - 1)
-                    cn_s = centry_next[cslot]
-                    b_s = beg[q_s]
-                    saq = SA_[q_s]
-                    lcq = LCP_[q_s]
-                    thr = b_s - saq
-                    move_s = chas & (saq < b_s) & (saq + lcq > b_s)
-                    # per-segment y = max slot with (slot<q, LCP<thr)
-                    r_q = q_s[scn]
-                    r_thr = thr[scn]
-                    r_act = chas[scn] & (SEG >= 0)
-                    wm = r_act & (iar_n < r_q) & (LCP_ < r_thr)
-                    y_s = jax.ops.segment_max(
-                        jnp.where(wm, iar_n, -1), rkey,
-                        num_segments=SMAX + 1,
-                    )[:SMAX]
-                    x_s = jnp.maximum(y_s, 0)
-                    # all windows shift by one: one global roll + masks
-                    r_x = x_s[scn]
-                    r_move = move_s[scn] & (SEG >= 0)
-                    inwin = r_move & (iar_n > r_x) & (iar_n <= r_q)
-                    SA_n = jnp.where(inwin, jnp.roll(SA_, 1), SA_)
-                    LCP_n = jnp.where(inwin, jnp.roll(LCP_, 1), LCP_)
-                    SA_n = SA_n.at[jnp.where(move_s, x_s, npad)].set(
-                        jnp.where(move_s, saq, 0), mode="drop"
+                    q = cq[j]
+                    b = beg[q]
+                    saq = SA_[q]
+                    lcq = LCP_[q]
+                    thr = b - saq
+                    move = (saq < b) & (saq + lcq > b)
+                    wm = (iar_n < q) & (LCP_ < thr)
+                    y = jnp.max(jnp.where(wm, iar_n, -1))
+                    x = jnp.maximum(y, 0)
+
+                    def do_move(args):
+                        SA_, LCP_ = args
+                        inwin = (iar_n > x) & (iar_n <= q)
+                        SA_n = jnp.where(inwin, jnp.roll(SA_, 1), SA_)
+                        LCP_n = jnp.where(
+                            inwin, jnp.roll(LCP_, 1), LCP_
+                        )
+                        SA_n = SA_n.at[x].set(saq)
+                        LCP_n = LCP_n.at[x + 1].set(thr)
+                        qn = jnp.minimum(q + 1, npad - 1)
+                        LCP_n = LCP_n.at[qn].set(
+                            jnp.where(
+                                (q < npad - 1) & (lcq < LCP_n[qn]),
+                                lcq,
+                                LCP_n[qn],
+                            )
+                        )
+                        return SA_n, LCP_n
+
+                    def do_lcponly(args):
+                        SA_, LCP_ = args
+                        qn = jnp.minimum(q + 1, npad - 1)
+                        hit = (
+                            (q < npad - 1) & (saq < b)
+                            & ((saq + centry_next[j]) > b)
+                            & (LCP_[qn] > LCP_[q])
+                        )
+                        LCP_n = LCP_.at[qn].set(
+                            jnp.where(hit, b - saq, LCP_[qn])
+                        )
+                        return SA_, LCP_n
+
+                    SA_, LCP_ = jax.lax.cond(
+                        move, do_move, do_lcponly, (SA_, LCP_)
                     )
-                    LCP_n = LCP_n.at[
-                        jnp.where(move_s, x_s + 1, npad)
-                    ].set(jnp.where(move_s, thr, 0), mode="drop")
-                    qn = jnp.minimum(q_s + 1, npad - 1)
-                    mhit = move_s & (q_s < npad - 1)
-                    LCP_n = LCP_n.at[jnp.where(mhit, qn, npad)].min(
-                        jnp.where(mhit, lcq, BIG), mode="drop"
-                    )
-                    # non-move: raise LCP[q+1] when the PRE-step next
-                    # entry crossed and was larger (do_lcponly)
-                    lhit = (
-                        chas & ~move_s & (q_s < npad - 1)
-                        & (saq < b_s) & ((saq + cn_s) > b_s)
-                        & (LCP_[qn] > LCP_[q_s])
-                    )
-                    LCP_n = LCP_n.at[jnp.where(lhit, qn, npad)].set(
-                        jnp.where(lhit, b_s - saq, 0), mode="drop"
-                    )
-                    return SA_n, LCP_n, j + 1
+                    return SA_, LCP_, j + 1
 
                 SA, LCP, _ = jax.lax.while_loop(
-                    lambda c: c[2] < jmax_r,
+                    lambda c: c[2] < jnp.minimum(rc, CCAP),
                     rbody,
                     (SA, LCP, jnp.int32(0)),
                 )
-                return SA, LCP, abort, jmax_r
+                return SA, LCP, abort, jnp.minimum(rc, CCAP)
 
             SA, LCP, abort, rc0 = repair_pass(T, SA, LCP, 0, abort)
             SA, LCP, abort, rc1 = repair_pass(T, SA, LCP, 1, abort)
