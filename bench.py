@@ -290,7 +290,7 @@ def main():
         # included vs their none) is reported alongside.
         try:
             cdt = rem_compute_only(
-                [TESTS + "/2a.fa", TESTS + "/2b.fa"]
+                [TESTS + "/2a.fa", TESTS + "/2b.fa"], iters=3
             )
             extra["rem_2a2b_compute_seconds"] = round(cdt, 3)
             vs = rc["ref_c_total_seconds"] / cdt
@@ -352,6 +352,14 @@ def main():
                         "dispatches"
                     ]
                     extra[tag + "_levels"] = devloop.LAST_STATS["levels"]
+                    # sequential decision steps inside the one dispatch
+                    # (trim + chain + repair) — the kernel's cost model
+                    # is ~137us per sequential step (TODO.md r3 notes)
+                    for k in (
+                        "trim_steps", "chain_steps", "repair_steps"
+                    ):
+                        if k in devloop.LAST_STATS:
+                            extra[tag + "_" + k] = devloop.LAST_STATS[k]
         except Exception as e:  # pragma: no cover
             extra[tag + "_error"] = str(e)[:200]
 

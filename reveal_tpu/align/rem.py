@@ -995,6 +995,8 @@ def align_seqs(
     trim: bool = True,
     backend: str = "auto",
     threads: int = 0,
+    frontier: bool = False,
+    mesh=None,
 ):
     """In-memory multi-alignment of (name, seq) tuples -> (G, idx).
 
@@ -1041,7 +1043,9 @@ def align_seqs(
         maxsize=maxsize,
         trim=trim,
     )
-    if threads and threads > 0:
+    if frontier or mesh is not None:
+        _align_loop_frontier(G, t, idx, cfg, mesh=mesh)
+    elif threads and threads > 0:
         _align_loop_levels(G, t, idx, cfg, threads)
     else:
         _align_loop(G, t, idx, cfg)
