@@ -160,6 +160,79 @@ def cpu_proxy_rem(files, timeout=1800):
     )
 
 
+def _refprobcons_exe(timeout=600):
+    exe = os.path.join(REPO, "refbench", "refprobcons")
+    if not os.path.exists(exe):
+        subprocess.run(
+            [os.path.join(REPO, "refbench", "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=timeout,
+        )
+    return exe
+
+
+def ref_probcons_msa(jobs, consistency=2, refinement=100, consgap=1,
+                     timeout=1800):
+    """Run the reference ProbCons engine (its own Probcons.cc DoAlign,
+    compiled in place — refbench/refprobcons) over the given per-bubble
+    allele lists, bpalign-style.  Returns the driver's JSON dict."""
+    import tempfile
+
+    exe = _refprobcons_exe()
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".bubbles", delete=False
+    ) as f:
+        for aobjs in jobs:
+            f.write("#bubble\n")
+            for name, seq in aobjs:
+                f.write(">%s\n%s\n" % (name, seq))
+        path = f.name
+    try:
+        out = subprocess.run(
+            [
+                exe, "--msa", path,
+                "--consistency", str(consistency),
+                "--refinement", str(refinement),
+                "--consgap", str(consgap),
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            check=True,
+        )
+        return json.loads(out.stdout.strip())
+    finally:
+        os.unlink(path)
+
+
+def ref_probcons_posteriors(pairs, iters=1, timeout=900):
+    """Time ONLY the reference's fwd+bwd+posterior DP
+    (ProbabilisticModel.h:102,194,302) on the given pairs — the
+    apples-to-apples single-core baseline for the Pallas pair-HMM
+    kernel's cells/s."""
+    import tempfile
+
+    exe = _refprobcons_exe()
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".pairs", delete=False
+    ) as f:
+        for a, b in pairs:
+            f.write("%s\n%s\n" % (a, b))
+        path = f.name
+    try:
+        out = subprocess.run(
+            [exe, "--posteriors", path, "--iters", str(iters)],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            check=True,
+        )
+        return json.loads(out.stdout.strip())
+    finally:
+        os.unlink(path)
+
+
 def bench_pairhmm(B=128, L=512, iters=5):
     """Returns (device_kernel_cps, e2e_production_cps).
 
@@ -301,6 +374,15 @@ def main():
             vs = rc["ref_c_total_seconds"] / dt22
     except Exception as e:  # pragma: no cover
         extra["ref_c_error"] = str(e)[:200]
+
+    # reference scaling curve (VERDICT r3 item 4): ref_c on 3a3b too,
+    # so vs-reference is a curve, not a point
+    try:
+        rc3 = ref_c_baseline(TESTS + "/3a.fa", TESTS + "/3b.fa")
+        extra["ref_c_3a3b_total_seconds"] = rc3["ref_c_total_seconds"]
+        extra["ref_c_3a3b_rem_steps"] = rc3["rem_steps"]
+    except Exception as e:  # pragma: no cover
+        extra["ref_c_3a3b_error"] = str(e)[:200]
 
     # secondary: the repo's own pure-numpy engine (same algorithm,
     # identical output graph) as a measured worst-case yardstick
@@ -465,9 +547,41 @@ def main():
             unzip_graph(G6, minunzip=10)
             fn = write_gfa(G6, None, outputfile=td + "/b6u.gfa")
             G6 = read_gfa(fn)
+        # extract the per-bubble MSA workload BEFORE refine_all mutates
+        # the graph — the identical problem set is handed to the
+        # reference ProbCons engine below (VERDICT r3 item 2)
+        ref_jobs = []
+        try:
+            from reveal_tpu.hmm.refine import collect_bubble_aobjs
+
+            ref_jobs = collect_bubble_aobjs(
+                G6, minsize=2, mindiff=0, maxsize=10000
+            )
+        except Exception:
+            pass
         t0 = time.time()
         refine_all(G6, maxsize=10000, minsize=2, mindiff=0, minconf=0)
-        extra["refine_6way_seconds"] = round(time.time() - t0, 2)
+        ours = time.time() - t0
+        extra["refine_6way_seconds"] = round(ours, 2)
+
+        # reference ProbCons baseline on the same bubbles: the
+        # reference's own DoAlign (Probcons.cc:312) with bpalign's
+        # parameters (consistency=2, refinement=100, consgap=1 —
+        # reveal.py:144-146 defaults), compiled in place
+        try:
+            rp = ref_probcons_msa(ref_jobs)
+            extra["ref_probcons_6way_seconds"] = round(
+                rp["ref_probcons_seconds"], 2
+            )
+            extra["ref_probcons_6way_bubbles"] = rp["n_bubbles"]
+            extra["ref_probcons_6way_cells_per_sec"] = round(
+                rp["ref_probcons_cells_per_sec"], 1
+            )
+            extra["refine_6way_vs_ref"] = round(
+                rp["ref_probcons_seconds"] / ours, 3
+            )
+        except Exception as e:  # pragma: no cover
+            extra["ref_probcons_error"] = str(e)[:200]
     except Exception as e:  # pragma: no cover
         extra["refine_6way_error"] = str(e)[:200]
 
@@ -492,8 +606,68 @@ def main():
         extra["pairhmm_e2e_dense_b32_l2048_cells_per_sec"] = round(
             e2e_dense_w, 1
         )
+        # reference single-core baseline for the same DP (VERDICT r3
+        # item 2): a subset of pairs at each bench shape is enough —
+        # the C++ DP's per-cell rate is shape-insensitive; n_pairs is
+        # reported so the subset is auditable
+        try:
+            rng = np.random.default_rng(7)
+
+            def mk(B_, L_):
+                return [
+                    (
+                        "".join(rng.choice(list("ACGT"), size=L_ - 10)),
+                        "".join(rng.choice(list("ACGT"), size=L_ - 5)),
+                    )
+                    for _ in range(B_)
+                ]
+
+            rp1 = ref_probcons_posteriors(mk(8, 512), iters=2)
+            rp2 = ref_probcons_posteriors(mk(2, 2048), iters=2)
+            extra["ref_probcons_post_l512_cells_per_sec"] = round(
+                rp1["ref_probcons_cells_per_sec"], 1
+            )
+            extra["ref_probcons_post_l2048_cells_per_sec"] = round(
+                rp2["ref_probcons_cells_per_sec"], 1
+            )
+            if dev_wide:
+                extra["pairhmm_dev_vs_ref_l2048"] = round(
+                    dev_wide / rp2["ref_probcons_cells_per_sec"], 1
+                )
+            extra["pairhmm_e2e_vs_ref_l2048"] = round(
+                e2e_wide / rp2["ref_probcons_cells_per_sec"], 1
+            )
+            extra["pairhmm_e2e_vs_ref_l512"] = round(
+                e2e_cps / rp1["ref_probcons_cells_per_sec"], 1
+            )
+        except Exception as e:  # pragma: no cover
+            extra["ref_probcons_post_error"] = str(e)[:200]
     except Exception as e:  # pragma: no cover
         extra["pairhmm_error"] = str(e)[:200]
+
+    # ---- headline assignment-metric rows (VERDICT r3 item 7):
+    # Mbp/s per chip (device rem path) next to the reference's Mbp/s
+    # per core, plus the 3a3b scaling ratio
+    try:
+        if "ref_c_total_seconds" in extra:
+            extra["ref_c_mbp_per_s_per_core"] = round(
+                (r22 * dt22) / extra["ref_c_total_seconds"], 3
+            )
+        if "rem_2a2b_frontier_mbp_per_s" in extra:
+            extra["mbp_per_s_per_chip"] = extra[
+                "rem_2a2b_frontier_mbp_per_s"
+            ]
+        if (
+            "ref_c_3a3b_total_seconds" in extra
+            and "rem_3a3b_seconds" in extra
+        ):
+            extra["rem_3a3b_vs_ref_c"] = round(
+                extra["ref_c_3a3b_total_seconds"]
+                / extra["rem_3a3b_seconds"],
+                3,
+            )
+    except Exception:
+        pass
 
     print(
         json.dumps(

@@ -496,6 +496,80 @@ def replace_bubble(G: PanGraph, bubble, ng: PanGraph, path2start, path2end, nn):
     return G, nn
 
 
+def select_realign_bubbles(
+    G: PanGraph,
+    minsize: int = 20,
+    mindiff: int = 0,
+    maxdiff: Optional[int] = None,
+    maxsize: int = 10000,
+    maxcumsize: Optional[int] = None,
+    mincumsize: int = 0,
+    complex_only: bool = False,
+    simple_only: bool = False,
+    nogaps: bool = False,
+):
+    """Bubble selection of refine.py:377-450: filter, sort by source
+    index, keep the first of every overlapping run.  Shared by
+    refine_all and the bench's reference-workload extractor so both see
+    the identical bubble set."""
+    realignbubbles = []
+    for b in bubbles(G):
+        if complex_only and b.issimple():
+            continue
+        if simple_only and not b.issimple():
+            continue
+        if nogaps and any(
+            "N" in G.nodes[n].get("seq", "") for n in b.nodes
+        ):
+            continue
+        if b.maxsize - b.minsize < mindiff:
+            continue
+        if maxdiff is not None and b.maxsize - b.minsize > maxdiff:
+            continue
+        if b.minsize < minsize:
+            continue
+        if b.maxsize > maxsize:
+            continue
+        if maxcumsize is not None and b.cumsize > maxcumsize:
+            continue
+        if b.cumsize < mincumsize:
+            continue
+        if len(b.nodes) == 3:
+            continue
+        realignbubbles.append(b)
+
+    if not realignbubbles:
+        return []
+    realignbubbles.sort(key=lambda b: b.source_idx)
+    distinct = [realignbubbles[0]]
+    p = 0
+    for i in range(1, len(realignbubbles)):
+        if realignbubbles[i].source_idx >= realignbubbles[p].sink_idx:
+            distinct.append(realignbubbles[i])
+            p = i
+    return distinct
+
+
+def collect_bubble_aobjs(G: PanGraph, uniqueonly: bool = False, **kw):
+    """The (name, seq) allele lists of every distinct realignable
+    bubble — the exact per-bubble MSA workload refine_all dispatches.
+    Used by the bench to hand the identical problem set to the
+    reference ProbCons engine (refbench/refprobcons)."""
+    jobs = []
+    for bubble in select_realign_bubbles(G, **kw):
+        bnodes = list(set(bubble.nodes) - {bubble.source, bubble.sink})
+        sg = G.subgraph(bnodes)
+        paths = set(G.nodes[bubble.source]["offsets"]) & set(
+            G.nodes[bubble.sink]["offsets"]
+        )
+        aobjs = prepare_bubble_alleles(
+            sg, bubble, paths, uniqueonly=uniqueonly
+        )
+        if aobjs is not None:
+            jobs.append(aobjs)
+    return jobs
+
+
 def refine_all(
     G: PanGraph,
     minlength: int = 20,
@@ -554,43 +628,21 @@ def refine_all(
                 meta[k] = kwargs[k]
         ck = RefineLog(checkpoint, meta)
 
-    realignbubbles = []
-    for b in bubbles(G):
-        if complex_only and b.issimple():
-            continue
-        if simple_only and not b.issimple():
-            continue
-        if nogaps and any(
-            "N" in G.nodes[n].get("seq", "") for n in b.nodes
-        ):
-            continue
-        if b.maxsize - b.minsize < mindiff:
-            continue
-        if maxdiff is not None and b.maxsize - b.minsize > maxdiff:
-            continue
-        if b.minsize < minsize:
-            continue
-        if b.maxsize > maxsize:
-            continue
-        if maxcumsize is not None and b.cumsize > maxcumsize:
-            continue
-        if b.cumsize < mincumsize:
-            continue
-        if len(b.nodes) == 3:
-            continue
-        realignbubbles.append(b)
-
-    if not realignbubbles:
+    distinct = select_realign_bubbles(
+        G,
+        minsize=minsize,
+        mindiff=mindiff,
+        maxdiff=maxdiff,
+        maxsize=maxsize,
+        maxcumsize=maxcumsize,
+        mincumsize=mincumsize,
+        complex_only=complex_only,
+        simple_only=simple_only,
+        nogaps=nogaps,
+    )
+    if not distinct:
         log.info("No bubbles qualify for realignment.")
         return G
-
-    realignbubbles.sort(key=lambda b: b.source_idx)
-    distinct = [realignbubbles[0]]
-    p = 0
-    for i in range(1, len(realignbubbles)):
-        if realignbubbles[i].source_idx >= realignbubbles[p].sink_idx:
-            distinct.append(realignbubbles[i])
-            p = i
     log.info("Realigning %d bubbles", len(distinct))
 
     nn = max((n for n in G.nodes if isinstance(n, int)), default=0) + 1
