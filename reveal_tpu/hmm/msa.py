@@ -168,7 +168,27 @@ def batch_posteriors_cut(pairs):
     ``_sparsify(p_dense)`` exactly) and score equals the host
     ``_mea_dp_fast(p_dense)[1]``.  On CPU backends (no transfer to
     save) this computes the same triple via the dense path, returning
-    plain dense arrays."""
+    plain dense arrays.
+
+    Small workloads short-circuit to the NATIVE host kernel
+    (native.pairhmm_post_batch_native, threaded scalar DP bit-identical
+    to the float64 oracle): below ~32M posterior cells the device
+    dispatch+transfer latency dominates the O(L^2) work — the 6-genome
+    refine set is 7.3M cells, ~0.6s native vs ~19s dispatched over a
+    remote link.  REVEAL_TPU_NATIVE_POST_MAX (cells) tunes the
+    crossover; 0 disables the native path."""
+    if not _logadd_compat and native_post_ok(pairs):
+        try:
+            from ..native import pairhmm_post_batch_native
+
+            res = pairhmm_post_batch_native(
+                pairs, cutoff=POSTERIOR_CUTOFF
+            )
+            if res is not None:
+                return res
+        except Exception as e:  # pragma: no cover
+            log.warning("native pair-HMM failed (%s); device path", e)
+
     import jax
 
     use_dev = False
@@ -257,6 +277,31 @@ def batch_posteriors_cut(pairs):
 log = logging.getLogger(__name__)
 
 POSTERIOR_CUTOFF = 0.01
+
+# Below this many posterior cells the whole stage-1 batch runs on the
+# native host kernel instead of the device: host threads at ~10 Mcells/s
+# beat the device's dispatch + executable-load + transfer latency on
+# small problems (refine bubbles are typically tiny).  Overridable via
+# REVEAL_TPU_NATIVE_POST_MAX; 0 disables the native path.
+NATIVE_POST_MAX_CELLS = int(
+    os.environ.get("REVEAL_TPU_NATIVE_POST_MAX", 32_000_000)
+)
+
+
+def native_post_ok(pairs) -> bool:
+    """True when the native host pair-HMM should take this stage-1
+    batch (small total area + native library available)."""
+    if NATIVE_POST_MAX_CELLS <= 0 or not pairs:
+        return False
+    cells = sum((len(a) + 1) * (len(b) + 1) for a, b in pairs)
+    if cells > NATIVE_POST_MAX_CELLS:
+        return False
+    try:
+        from ..native import get_lib
+
+        return get_lib() is not None
+    except Exception:  # pragma: no cover
+        return False
 
 # Single-problem footprint cap for the device stage-1+2 chain: the
 # relaxation einsum materializes a few (N, N, Lq, Lq) float32 tensors

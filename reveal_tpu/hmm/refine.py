@@ -713,6 +713,14 @@ def refine_all(
     dist_for = [None] * len(work)
     if all_pairs and method == "reveal_probcons":
         done = False
+        # small workloads skip the device entirely: the native host
+        # pair-HMM (msa.native_post_ok gate) beats device dispatch
+        # latency, and the per-bubble host consistency path downstream
+        # is cheap at these sizes
+        from .msa import native_post_ok
+
+        if use_dev and native_post_ok(all_pairs):
+            use_dev = False
         if use_dev:
             t0 = time.time()
             try:

@@ -243,6 +243,13 @@ def get_lib():
                 + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]
                 + [ctypes.POINTER(ctypes.c_void_p)]
             )
+        lib.rtpu_pairhmm_post_batch.restype = None
+        lib.rtpu_pairhmm_post_batch.argtypes = (
+            [ctypes.c_void_p] * 4
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 8
+            + [ctypes.c_float, ctypes.c_int64]
+        )
         lib.rtpu_free.restype = None
         lib.rtpu_free.argtypes = [ctypes.c_void_p]
         lib.rtpu_replay_pairwise.restype = ctypes.c_void_p
@@ -1125,3 +1132,70 @@ def replay_pairwise_native(anchors, init_nodes, init_succ, init_pred):
         lib.rtpu_replay_end(h)
     return (ns, ne, off0, off1, flags, succ_cnt, pred_cnt,
             succ_nbr, succ_eid, pred_nbr, pred_eid, edge_mask)
+
+
+def pairhmm_post_batch_native(pairs, cutoff=0.01, nthreads=0):
+    """All-pairs 5-state pair-HMM posteriors on host threads (scalar
+    float32 DP; ProbabilisticModel.h:102-331 recurrences with exact
+    logaddexp, Defaults.h params via hmm.pairhmm's log tables).
+
+    pairs: [(seq1, seq2), ...] strings.  Returns
+    [(post_cut, total, score), ...] where post_cut is the dense
+    (L1+1, L2+1) float32 posterior already cutoff-sparsified
+    (msa._sparsify semantics), total the log-probability, and score the
+    MEA score of the full posterior (== msa._mea_dp_fast(post)[1]) —
+    exactly the triple msa.batch_posteriors_cut's dense path returns.
+    None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not pairs:
+        return None if lib is None else []
+    from ..hmm.pairhmm import (
+        LOG_EMIT_PAIRS,
+        LOG_EMIT_SINGLE,
+        LOG_INIT,
+        LOG_TRANS,
+    )
+
+    # unique-sequence table ('@'-prefixed, Sequence.h:50 convention)
+    seq_ids = {}
+    chunks = []
+    offs = [0]
+    pa = np.empty(len(pairs), np.int32)
+    pb = np.empty(len(pairs), np.int32)
+    for k, (s1, s2) in enumerate(pairs):
+        for which, s in ((pa, s1), (pb, s2)):
+            i = seq_ids.get(s)
+            if i is None:
+                i = len(seq_ids)
+                seq_ids[s] = i
+                chunks.append(b"@" + s.encode())
+                offs.append(offs[-1] + len(s) + 1)
+            which[k] = i
+    seqs = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    offs = np.asarray(offs, dtype=np.int64)
+
+    sizes = np.array(
+        [(len(a) + 1) * (len(b) + 1) for a, b in pairs], dtype=np.int64
+    )
+    out_offs = np.zeros(len(pairs), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=out_offs[1:])
+    out = np.empty(int(sizes.sum()), dtype=np.float32)
+    tots = np.empty(len(pairs), dtype=np.float64)
+    scores = np.empty(len(pairs), dtype=np.float64)
+    li = np.ascontiguousarray(LOG_INIT, dtype=np.float32)
+    lt = np.ascontiguousarray(LOG_TRANS, dtype=np.float32)
+    les = np.ascontiguousarray(LOG_EMIT_SINGLE, dtype=np.float32)
+    lep = np.ascontiguousarray(LOG_EMIT_PAIRS, dtype=np.float32)
+    lib.rtpu_pairhmm_post_batch(
+        seqs.ctypes.data, offs.ctypes.data, pa.ctypes.data, pb.ctypes.data,
+        ctypes.c_int64(len(pairs)), out_offs.ctypes.data, out.ctypes.data,
+        tots.ctypes.data, scores.ctypes.data, li.ctypes.data,
+        lt.ctypes.data, les.ctypes.data, lep.ctypes.data,
+        ctypes.c_float(cutoff), ctypes.c_int64(nthreads),
+    )
+    res = []
+    for k, (s1, s2) in enumerate(pairs):
+        shp = (len(s1) + 1, len(s2) + 1)
+        p = out[out_offs[k] : out_offs[k] + sizes[k]].reshape(shp)
+        res.append((p, float(tots[k]), float(scores[k])))
+    return res

@@ -2205,11 +2205,305 @@ int64_t refine_rounds(const uint8_t* rows0, int64_t N, int64_t L0,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Native 5-state pair-HMM posterior batch — the host fast path for small
+// refine workloads, where device dispatch latency dominates the O(L^2) DP.
+// Model and parameters are identical to hmm/pairhmm.py (reference:
+// ProbabilisticModel.h:102-331 recurrences, Defaults.h pecan DNA params,
+// NumInsertStates=2): states M, Ix_s, Iy_s, Ix_l, Iy_l.  Arithmetic is
+// exact float32 logaddexp — the repo's documented deviation from the
+// reference's LOG_ADD lookup table (ScoreType.h:64-150) — so results sit
+// within the same oracle gate as the device kernels (tests pin <=2e-3).
+// Per pair this computes: the dense posterior already cutoff-sparsified
+// (msa._sparsify semantics: <cutoff zeroed, row/col 0 zeroed), the total
+// log-probability, and the MEA score of the full posterior (same float32
+// recurrence as mea_dp above, score only).  Pairs run on std::threads.
+// ---------------------------------------------------------------------------
+namespace pairhmm {
+
+constexpr float kLogZero = -2e20f;  // ScoreType.h:16
+
+struct Params {
+  float li[5];         // log initial distribution
+  float lt[5][5];      // log transition matrix (LOG_ZERO where p=0)
+  float les[256];      // log single-emission by byte
+  const float* lep;    // 256x256 log pair-emission by byte
+};
+
+inline double lae(double a, double b) {
+  // exact float32 logaddexp with the oracle's LOG_ZERO guard
+  // (hmm/pairhmm.forward_np lae); the d<-60 cutout returns the exact
+  // same float (log1pf(expf(-60)) == 0.0f in float32)
+  if (a <= kLogZero / 2 && b <= kLogZero / 2) return kLogZero;
+  double m, d;
+  if (a > b) { m = a; d = b - a; } else { m = b; d = a - b; }
+  if (d < -60.0) return m;
+  return m + log1p(exp(d));
+}
+
+// MEA score only: the float32 arithmetic and update order of
+// mea_dp_arena above, without traceback storage.
+double mea_score(const float* post, int64_t L1, int64_t L2,
+                 std::vector<float>& rowbuf) {
+  const int64_t W = L2 + 1;
+  rowbuf.resize(2 * W);
+  float* oldrow = rowbuf.data();
+  float* newrow = rowbuf.data() + W;
+  for (int64_t j = 0; j <= L2; ++j) oldrow[j] = 0.0f;
+  for (int64_t i = 1; i <= L1; ++i) {
+    newrow[0] = 0.0f;
+    const float* prow = post + i * W;
+    for (int64_t j = 1; j <= L2; ++j) {
+      float dv = prow[j] + oldrow[j - 1];
+      float uv = oldrow[j];
+      float lv = newrow[j - 1];
+      float v = dv >= lv ? (dv >= uv ? dv : uv) : (lv >= uv ? lv : uv);
+      newrow[j] = v;
+    }
+    std::swap(oldrow, newrow);
+  }
+  return (double)oldrow[L2];
+}
+
+struct Arena {
+  std::vector<double> f0, b0;  // full match-state planes (double: f32
+  // log-space drift exceeds the 2e-3 oracle gate by L~300 when chained
+  // scalar; measured 4e-3 at L=300, <=2e-4 in double)
+  std::vector<double> rows;   // rolling insert-state rows
+  std::vector<float> mea;
+};
+
+// Forward DP (ProbabilisticModel.h:102-176 / hmm/pairhmm.forward_np):
+// fills the full M plane f0 (row-major (L1+1) x (L2+1)) and returns the
+// five (L1, L2) corner values in fend.  x, y are '@'-prefixed byte
+// arrays of length L1+1 / L2+1.
+void forward_plane(const uint8_t* x, int64_t L1, const uint8_t* y,
+                   int64_t L2, const Params& P, double* f0, double fend[5],
+                   Arena& A) {
+  const int64_t W = L2 + 1;
+  A.rows.assign(8 * W, kLogZero);
+  double* prev = A.rows.data();  // states 1..4 at row i-1 (4 x W)
+  double* cur = prev + 4 * W;
+  const double t00 = P.lt[0][0];
+  for (int64_t i = 0; i <= L1; ++i) {
+    double* frow = f0 + i * W;
+    const double* fprev = i > 0 ? f0 + (i - 1) * W : f0;
+    const double e1 = i >= 1 ? P.les[x[i]] : 0.0;
+    const float* leprow = P.lep + 256 * (i >= 1 ? x[i] : 0);
+    for (int64_t j = 0; j <= L2; ++j) {
+      if (i <= 1 && j <= 1) {
+        // init cells (forward_np:661-667); everything else LOG_ZERO
+        frow[j] = kLogZero;
+        for (int k = 0; k < 4; ++k) cur[k * W + j] = kLogZero;
+        if (i == 1 && j == 1) frow[j] = P.li[0] + leprow[y[1]];
+        if (i == 1 && j == 0) {
+          cur[0 * W + 0] = P.li[1] + e1;  // Ix_s
+          cur[2 * W + 0] = P.li[3] + e1;  // Ix_l
+        }
+        if (i == 0 && j == 1) {
+          cur[1 * W + 1] = P.li[2] + P.les[y[1]];  // Iy_s
+          cur[3 * W + 1] = P.li[4] + P.les[y[1]];  // Iy_l
+        }
+        continue;
+      }
+      double m = kLogZero;
+      if (i > 0 && j > 0) {
+        // chained lae in the oracle's order M, Ix_s, Iy_s, Ix_l, Iy_l
+        double v = fprev[j - 1] + t00;
+        v = lae(v, prev[0 * W + j - 1] + P.lt[1][0]);
+        v = lae(v, prev[1 * W + j - 1] + P.lt[2][0]);
+        v = lae(v, prev[2 * W + j - 1] + P.lt[3][0]);
+        v = lae(v, prev[3 * W + j - 1] + P.lt[4][0]);
+        m = v + leprow[y[j]];
+      }
+      frow[j] = m;
+      if (i > 0) {
+        cur[0 * W + j] =
+            e1 + lae(fprev[j] + P.lt[0][1], prev[0 * W + j] + P.lt[1][1]);
+        cur[2 * W + j] =
+            e1 + lae(fprev[j] + P.lt[0][3], prev[2 * W + j] + P.lt[3][3]);
+      } else {
+        cur[0 * W + j] = kLogZero;
+        cur[2 * W + j] = kLogZero;
+      }
+      if (j > 0) {
+        const double e2 = P.les[y[j]];
+        cur[1 * W + j] =
+            e2 + lae(frow[j - 1] + P.lt[0][2], cur[1 * W + j - 1] + P.lt[2][2]);
+        cur[3 * W + j] =
+            e2 + lae(frow[j - 1] + P.lt[0][4], cur[3 * W + j - 1] + P.lt[4][4]);
+      } else {
+        cur[1 * W + j] = kLogZero;
+        cur[3 * W + j] = kLogZero;
+      }
+    }
+    if (i == L1) {
+      fend[0] = frow[L2];
+      fend[1] = cur[0 * W + L2];
+      fend[2] = cur[1 * W + L2];
+      fend[3] = cur[2 * W + L2];
+      fend[4] = cur[3 * W + L2];
+    }
+    std::swap(prev, cur);
+  }
+  if (L1 == 0) {
+    fend[0] = f0[L2];
+    fend[1] = kLogZero;
+    fend[2] = prev[1 * W + L2];
+    fend[3] = kLogZero;
+    fend[4] = prev[3 * W + L2];
+  }
+}
+
+// Backward DP (ProbabilisticModel.h:194-258 / hmm/pairhmm.backward_np):
+// fills the full M plane b0; accumulation order mirrors backward_np.
+void backward_plane(const uint8_t* x, int64_t L1, const uint8_t* y,
+                    int64_t L2, const Params& P, double* b0, Arena& A) {
+  const int64_t W = L2 + 1;
+  A.rows.assign(8 * W, kLogZero);
+  double* next = A.rows.data();  // states 1..4 at row i+1 (4 x W)
+  double* cur = next + 4 * W;
+  for (int64_t i = L1; i >= 0; --i) {
+    double* brow = b0 + i * W;
+    const double* bnext = i < L1 ? b0 + (i + 1) * W : b0;
+    const double e1n = i < L1 ? P.les[x[i + 1]] : 0.0;
+    const float* lepn = P.lep + 256 * (i < L1 ? x[i + 1] : 0);
+    for (int64_t j = L2; j >= 0; --j) {
+      double v0 = kLogZero, v1 = kLogZero, v2 = kLogZero, v3 = kLogZero,
+             v4 = kLogZero;
+      if (i == L1 && j == L2) {
+        v0 = P.li[0]; v1 = P.li[1]; v2 = P.li[2]; v3 = P.li[3];
+        v4 = P.li[4];
+      }
+      if (i < L1 && j < L2) {
+        const double pxy = bnext[j + 1] + lepn[y[j + 1]];
+        v0 = lae(v0, pxy + P.lt[0][0]);
+        v1 = lae(v1, pxy + P.lt[1][0]);
+        v2 = lae(v2, pxy + P.lt[2][0]);
+        v3 = lae(v3, pxy + P.lt[3][0]);
+        v4 = lae(v4, pxy + P.lt[4][0]);
+      }
+      if (i < L1) {
+        v0 = lae(v0, next[0 * W + j] + e1n + P.lt[0][1]);
+        v1 = lae(v1, next[0 * W + j] + e1n + P.lt[1][1]);
+        v0 = lae(v0, next[2 * W + j] + e1n + P.lt[0][3]);
+        v3 = lae(v3, next[2 * W + j] + e1n + P.lt[3][3]);
+      }
+      if (j < L2) {
+        const double e2n = P.les[y[j + 1]];
+        v0 = lae(v0, cur[1 * W + j + 1] + e2n + P.lt[0][2]);
+        v2 = lae(v2, cur[1 * W + j + 1] + e2n + P.lt[2][2]);
+        v0 = lae(v0, cur[3 * W + j + 1] + e2n + P.lt[0][4]);
+        v4 = lae(v4, cur[3 * W + j + 1] + e2n + P.lt[4][4]);
+      }
+      brow[j] = v0;
+      cur[0 * W + j] = v1;
+      cur[1 * W + j] = v2;
+      cur[2 * W + j] = v3;
+      cur[3 * W + j] = v4;
+    }
+    std::swap(next, cur);
+  }
+}
+
+// One pair end to end: posterior (cutoff-sparsified in place), total
+// log-prob, MEA score of the full posterior.
+void pair_posterior(const uint8_t* x, int64_t L1, const uint8_t* y,
+                    int64_t L2, const Params& P, float cutoff, float* out,
+                    double* tot_out, double* score_out, Arena& A) {
+  const int64_t W = L2 + 1;
+  const int64_t H = L1 + 1;
+  A.f0.resize(H * W);
+  A.b0.resize(H * W);
+  double fend[5];
+  forward_plane(x, L1, y, L2, P, A.f0.data(), fend, A);
+  backward_plane(x, L1, y, L2, P, A.b0.data(), A);
+  // total: chained per posterior_oracle:753-756 (b[k,L1,L2] == li[k])
+  double tot = kLogZero;
+  for (int k = 0; k < 5; ++k) {
+    const double v = fend[k] + P.li[k];
+    tot = (tot > kLogZero / 2) ? lae(tot, v) : v;
+  }
+  *tot_out = tot;
+  // posterior = exp(min(0, f0 + b0 - tot)), row/col 0 zeroed
+  const double* f0 = A.f0.data();
+  const double* b0 = A.b0.data();
+  for (int64_t j = 0; j <= L2; ++j) out[j] = 0.0f;
+  for (int64_t i = 1; i <= L1; ++i) {
+    const double* fr = f0 + i * W;
+    const double* br = b0 + i * W;
+    float* orow = out + i * W;
+    orow[0] = 0.0f;
+    for (int64_t j = 1; j <= L2; ++j) {
+      double lv = fr[j] + br[j] - tot;
+      if (lv > 0.0) lv = 0.0;
+      orow[j] = lv < -60.0 ? 0.0f : (float)exp(lv);
+    }
+  }
+  *score_out = mea_score(out, L1, L2, A.mea);
+  // cutoff-sparsify in place (msa._sparsify)
+  const int64_t total_cells = H * W;
+  for (int64_t c = 0; c < total_cells; ++c)
+    if (out[c] < cutoff) out[c] = 0.0f;
+}
+
+void post_batch(const uint8_t* seqs, const int64_t* offs, const int32_t* pa,
+                const int32_t* pb, int64_t npairs, const int64_t* out_offs,
+                float* out, double* tots, double* scores, const float* li,
+                const float* lt, const float* les, const float* lep,
+                float cutoff, int64_t nthreads) {
+  Params P;
+  for (int k = 0; k < 5; ++k) P.li[k] = li[k];
+  for (int a = 0; a < 5; ++a)
+    for (int b = 0; b < 5; ++b) P.lt[a][b] = lt[a * 5 + b];
+  for (int c = 0; c < 256; ++c) P.les[c] = les[c];
+  P.lep = lep;
+
+  std::atomic<int64_t> nextp(0);
+  auto worker = [&]() {
+    Arena A;
+    for (;;) {
+      const int64_t p = nextp.fetch_add(1);
+      if (p >= npairs) break;
+      const int64_t ia = pa[p], ib = pb[p];
+      const uint8_t* x = seqs + offs[ia];
+      const int64_t L1 = offs[ia + 1] - offs[ia] - 1;  // minus '@'
+      const uint8_t* y = seqs + offs[ib];
+      const int64_t L2 = offs[ib + 1] - offs[ib] - 1;
+      pair_posterior(x, L1, y, L2, P, cutoff, out + out_offs[p], tots + p,
+                     scores + p, A);
+    }
+  };
+  int64_t nt = nthreads;
+  if (nt <= 0) nt = (int64_t)std::thread::hardware_concurrency();
+  if (nt > npairs) nt = npairs;
+  if (nt <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> pool;
+  for (int64_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // namespace pairhmm
+
 extern "C" {
 
 int64_t rtpu_mea_dp(const float* post, int64_t L1, int64_t L2,
                     uint8_t* edit_out, double* total_out) {
   return mea_dp(post, L1, L2, edit_out, total_out);
+}
+
+void rtpu_pairhmm_post_batch(const uint8_t* seqs, const int64_t* offs,
+                             const int32_t* pa, const int32_t* pb,
+                             int64_t npairs, const int64_t* out_offs,
+                             float* out, double* tots, double* scores,
+                             const float* li, const float* lt,
+                             const float* les, const float* lep,
+                             float cutoff, int64_t nthreads) {
+  pairhmm::post_batch(seqs, offs, pa, pb, npairs, out_offs, out, tots,
+                      scores, li, lt, les, lep, cutoff, nthreads);
 }
 
 void rtpu_posterior_accum(float* post, int64_t W, const float* P, int64_t l1,

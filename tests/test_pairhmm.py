@@ -99,3 +99,50 @@ def test_sparse_transfer_exact_above_cutoff(monkeypatch):
     np.testing.assert_array_equal(p_s[low][keep], p_d[low][keep])
     # per-row at most K nonzeros
     assert (np.count_nonzero(p_s, axis=-1) <= ph.SPARSE_TRANSFER_K).all()
+
+
+def test_native_post_batch_matches_oracle():
+    """Native host pair-HMM batch (esa.cpp rtpu_pairhmm_post_batch) is
+    BIT-IDENTICAL to the float64 scalar oracle: same recurrence order,
+    double DP state, float32 output rounding (reference semantics:
+    ProbabilisticModel.h:102-331)."""
+    from reveal_tpu.hmm.msa import _mea_dp_fast, _sparsify
+    from reveal_tpu.native import pairhmm_post_batch_native
+
+    rng = np.random.default_rng(11)
+    pairs = list(CASES)
+    for L in (33, 150, 400):
+        a = "".join(rng.choice(list("ACGT"), size=L))
+        b = "".join(rng.choice(list("ACGT"), size=L - 7))
+        pairs.append((a, b))
+    res = pairhmm_post_batch_native(pairs)
+    if res is None:
+        pytest.skip("native library unavailable")
+    for (a, b), (p_n, tot_n, sc_n) in zip(pairs, res):
+        p_o, tot_o = posterior_oracle(a, b)
+        p32 = np.asarray(p_o, dtype=np.float32)
+        assert p_n.shape == (len(a) + 1, len(b) + 1)
+        np.testing.assert_array_equal(p_n, _sparsify(p32))
+        assert tot_n == tot_o
+        assert sc_n == _mea_dp_fast(p32)[1]
+
+
+def test_native_post_batch_threaded_deterministic():
+    """Thread count must not change a single output byte."""
+    from reveal_tpu.native import pairhmm_post_batch_native
+
+    rng = np.random.default_rng(3)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), size=rng.integers(5, 200))),
+            "".join(rng.choice(list("ACGT"), size=rng.integers(5, 200))),
+        )
+        for _ in range(20)
+    ]
+    r1 = pairhmm_post_batch_native(pairs, nthreads=1)
+    r4 = pairhmm_post_batch_native(pairs, nthreads=4)
+    if r1 is None:
+        pytest.skip("native library unavailable")
+    for (p1, t1, s1), (p4, t4, s4) in zip(r1, r4):
+        np.testing.assert_array_equal(p1, p4)
+        assert t1 == t4 and s1 == s4
