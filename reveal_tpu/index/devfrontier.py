@@ -1184,6 +1184,9 @@ class DeviceFrontier:
             self.mesh is not None
             and self.nsep is not None
             and npad % int(self.mesh.devices.size) == 0
+            # the one-neighbor halo needs shard width >= radius W, or
+            # the kernel fails at trace time; fall through to GSPMD
+            and npad // int(self.mesh.devices.size) >= W
         ):
             # O(n/P) shard_map twin (radius-W NSV scans + one
             # distributed text gather; no K2 capacity loop)

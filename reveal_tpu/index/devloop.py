@@ -189,7 +189,10 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
         newl = l - front - back
         ok = (seg < BIG) & (newl > 0)
         seg = jnp.where(ok, seg, BIG)
-        return seg, newl, a + front, b + front
+        # n_alive = the number of sequential scan iterations actually
+        # run (post containment-drop) — the honest step count for the
+        # ~137us/step cost model the bench counters feed
+        return seg, newl, a + front, b + front, n_alive
 
     # ------------------------------------------------------------------
     # the fused level loop
@@ -260,10 +263,10 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
             )
 
             # ---- trim both dimensions ---------------------------------
-            steps = steps.at[0].add(jnp.sum((cseg < BIG).astype(i32)))
-            cseg, cl, caa, cbb = trim_dim(cseg, cl, caa, cbb, 0)
-            steps = steps.at[0].add(jnp.sum((cseg < BIG).astype(i32)))
-            cseg, cl, caa, cbb = trim_dim(cseg, cl, caa, cbb, 1)
+            cseg, cl, caa, cbb, na0 = trim_dim(cseg, cl, caa, cbb, 0)
+            steps = steps.at[0].add(na0)
+            cseg, cl, caa, cbb, na1 = trim_dim(cseg, cl, caa, cbb, 1)
+            steps = steps.at[0].add(na1)
 
             # ---- chain DP (schemes.py:20-104) -------------------------
             # one right-pseudo row per live segment: l=0 at (a_end,

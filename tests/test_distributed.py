@@ -175,8 +175,12 @@ REM_WORKER = textwrap.dedent(
     wd = %(wd)r
     fa1, fa2 = wd + "/a.fa", wd + "/b.fa"
     if int(sys.argv[1]) == 0:
-        fasta_writer(fa1, [("a", base)])
-        fasta_writer(fa2, [("b", "".join(mut))])
+        # write-then-rename: exists() on the final path implies the
+        # content is complete (a plain write is visible before flush)
+        fasta_writer(fa1 + ".tmp", [("a", base)])
+        os.rename(fa1 + ".tmp", fa1)
+        fasta_writer(fa2 + ".tmp", [("b", "".join(mut))])
+        os.rename(fa2 + ".tmp", fa2)
     while not (os.path.exists(fa1) and os.path.exists(fa2)):
         time.sleep(0.2)
 
@@ -270,7 +274,9 @@ MULTI_WORKER = textwrap.dedent(
                     del seq[i]
                 else:
                     seq.insert(i, "ACGT"[int(rng.integers(0, 4))])
-            fasta_writer(fa, [("m%%d" %% s, "".join(seq))])
+            # write-then-rename so exists() implies complete content
+            fasta_writer(fa + ".tmp", [("m%%d" %% s, "".join(seq))])
+            os.rename(fa + ".tmp", fa)
     while not all(os.path.exists(f) for f in fas):
         time.sleep(0.2)
 
