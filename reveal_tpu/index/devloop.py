@@ -5,18 +5,43 @@ ONE jitted dispatch runs the complete REM recursion on device: a
 
 * enumerate  — the getmums_rem conditions (reveal.c:119-180) elementwise
   over adjacent SA slots, all live segments at once;
-* pick       — trim_overlap (schemes.py:161-191) as containment +
-  sequential trim scans per dimension, the sparse chaining DP
-  (schemes.py:20-104) with the reference's exact traversal and
-  tie-breaking order, and the ``largest`` split selection
-  (schemes.py:298-317) during backtrack;
+* pick       — trim_overlap (schemes.py:161-191) and the sparse
+  chaining DP (schemes.py:20-104) with the reference's exact traversal
+  and tie-breaking order, and the ``largest`` split selection
+  (schemes.py:298-317);
 * split      — per-slot classification into leading/trailing children,
   child LCP as per-class segmented running-min (split(),
   reveal.c:582-664), one stable partition sort, matched-text lowercase
   (reveal.c:1230-1234);
-* repair     — bubble_sort (reveal.c:666-727) boundary repair as an
-  exact sequential inner while_loop over the (few) crossing suffixes,
-  two passes per level (the parent anchor's A-side and B-side begins).
+* repair     — bubble_sort (reveal.c:666-727) boundary repair, batched:
+  per iteration a head batch of pending crossing suffixes is resolved
+  on the live SA/LCP and every mutually-independent one (disjoint
+  edit windows) is applied at once through fixed-width window updates.
+
+Unlike the round-3 kernel (which executed one sequential while_loop
+step per candidate — ~437k steps at 137us on the 2a2b pair), the inner
+loops here are PARALLEL:
+
+* trim       — the sequential carry (cur_end, cur_idx, cur_len) of the
+  overlap scan is three chained ``associative_scan``s: the cur_end
+  transition is a 2-piece step function of the incoming end (closed
+  under composition), cur_len is a clamped-subtract map max(x-a, b)
+  (also closed), and cur_idx is a last-reset-value scan; the back-cut
+  emission becomes one batched scatter-add.
+* chain      — values-first: scores are computed in wavefront rounds
+  (a row is blocked while a compat predecessor outside its own run is
+  unscored; each "run" — a maximal block of consecutively-chainable
+  candidates — advances its unblocked prefix per round through a
+  tropical-affine associative scan in phi = score + wpen*diag space),
+  then links/winners are reconstructed exactly afterwards with chunked
+  candidate-x-candidate lex-max passes (tmpw, score, -act, -row) where
+  act is the geometric activation step (min dominating row), matching
+  the reference's active-list traversal order (schemes.py:46-87).
+
+Validated cell-by-cell against the sequential formulations on
+randomized property tests and 374 real per-segment chain inputs traced
+from the host engine, plus byte-identical-GFA differential tests
+(tests/test_devloop.py).
 
 The kernel logs every anchor with its parent anchor and child class;
 the host reconstructs the serial LIFO pop order (push parallel/leading/
@@ -28,11 +53,8 @@ engine's GFA byte-for-byte.
 Numerics: all chain arithmetic is int32-exact (requires integer wscore/
 wpen, the defaults); any capacity overflow or a duplicate-ref-start
 chain (which the host resolves through its dict-aliasing code path)
-sets an abort code and the caller falls back to the host engine.
-
-Validated against a 762-case pick corpus and a 385-case repair corpus
-traced from the host engine, plus byte-identical-GFA differential tests
-(tests/test_devloop.py).
+sets an abort code; retryable capacity aborts re-dispatch with doubled
+capacity, anything else falls back to the host engine.
 """
 
 from __future__ import annotations
@@ -54,12 +76,27 @@ ABORT_DUP_REF = 4           # duplicate ref starts in one segment's chain
 ABORT_LEVEL_OVERFLOW = 5    # runaway level count
 ABORT_REPAIR_OVERFLOW = 6   # more repair candidates than CCAP in a pass
 ABORT_MAXMUMS = 7           # a segment exceeded maxmums candidates
+ABORT_CHAIN_ROUNDS = 8      # chain wavefront exceeded the round cap
+ABORT_REPAIR_WINDOW = 9     # a repair insertion point escaped the window
 
 _LMAX = 512
+_RMAX = 384     # chain wavefront rounds per level
+_WREP = 4096    # repair window lookback (insertion point must be inside)
+_RB = 8         # repair candidates resolved per iteration
+
+# capacity aborts that a re-dispatch with a doubled capacity can fix
+_RETRYABLE = {
+    ABORT_CAND_OVERFLOW: "K",
+    ABORT_SEG_OVERFLOW: "SMAX",
+    ABORT_ANCHOR_OVERFLOW: "ACAP",
+    ABORT_REPAIR_OVERFLOW: "CCAP",
+}
 
 # stats of the most recent rem_device_loop call (bench/diagnostics):
-# levels of the recursion, device dispatches made (always 1 — the
-# whole recursion is one jitted call), anchors logged, abort code.
+# levels of the recursion, device dispatches made (1 + capacity
+# retries), anchors logged, abort code; trim_steps = candidate rows
+# trimmed (all in parallel now), chain_steps = wavefront rounds summed
+# over levels, repair_steps = batched repair iterations.
 LAST_STATS = {}
 
 
@@ -85,6 +122,13 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
     i32 = jnp.int32
     NEG = jnp.int32(-(2**31) + 1)
     BIG = jnp.int32(2**31 - 1)
+    A30 = jnp.int32(2**30)
+
+    M = K + SMAX
+    CH = 2048 if M % 2048 == 0 else 1024
+    NCH = M // CH
+    # repair window: full-array on tiny inputs (always exact there)
+    WREP = min(_WREP, npad - 2)
 
     def seg_min_scan(values, reset):
         def combine(x, y):
@@ -95,15 +139,37 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
         m, _ = jax.lax.associative_scan(combine, (values, reset))
         return m
 
+    def seg_max_scan(values, reset):
+        def combine(x, y):
+            m1, f1 = x
+            m2, f2 = y
+            return jnp.where(f2, m2, jnp.maximum(m1, m2)), f1 | f2
+
+        m, _ = jax.lax.associative_scan(combine, (values, reset))
+        return m
+
+    def last_value_scan(values, flags):
+        """Per row: last value at or before it whose flag is set."""
+        def combine(x, y):
+            v1, f1 = x
+            v2, f2 = y
+            return jnp.where(f2, v2, v1), f1 | f2
+
+        v, _ = jax.lax.associative_scan(combine, (values, flags))
+        return v
+
     def sort_by(keys, vals):
         """Total-order sort (callers append an arrival-index key)."""
         out = jax.lax.sort(tuple(keys) + tuple(vals), num_keys=len(keys))
         return out[len(keys):]
 
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full(1, fill, x.dtype), x[:-1]])
+
     # ------------------------------------------------------------------
     # trim_overlap, one dimension (schemes.py:161-191): containment drop
-    # + sequential trim scan.  Arrays are K-wide; dead rows have
-    # seg == BIG and sort to the end.
+    # + the overlap trim as three associative scans.  Arrays are K-wide;
+    # dead rows have seg == BIG and sort to the end.
     # ------------------------------------------------------------------
     def trim_dim(seg, l, a, b, coord):
         iar = jnp.arange(K, dtype=i32)
@@ -117,81 +183,94 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
         pos = a if coord == 0 else b
         alive = seg < BIG
         end = jnp.where(alive, pos + l, BIG)
-        seg_prev = jnp.concatenate([jnp.full(1, -9, seg.dtype), seg[:-1]])
+        seg_prev = shift1(seg, -9)
         seg_next = jnp.concatenate([seg[1:], jnp.full(1, -9, seg.dtype)])
         first = seg != seg_prev
         last = seg != seg_next
-        end_prev = jnp.concatenate([jnp.zeros(1, end.dtype), end[:-1]])
+        end_prev = shift1(end, 0)
         end_next = jnp.concatenate([end[1:], jnp.zeros(1, end.dtype)])
-        # per-seg last end (the python mums[-1] wraparound): propagate the
-        # end at each segment-last slot backward over the segment
-        def comb_last(x, y):
-            v1, f1 = x
-            v2, f2 = y
-            return jnp.where(f2, v2, v1), f1 | f2
-
-        last_end_rev, _ = jax.lax.associative_scan(
-            comb_last,
-            (jnp.flip(jnp.where(last, end, 0)), jnp.flip(last)),
+        # per-seg last end (the python mums[-1] wraparound): propagate
+        # the end at each segment-last slot backward over the segment
+        last_end_rev = last_value_scan(
+            jnp.flip(jnp.where(last, end, 0)), jnp.flip(last)
         )
         seg_last_end = jnp.flip(last_end_rev)
-        # keep rule (schemes.py:169-172, incl. the i==0 wraparound quirk);
-        # single-entry segments always survive (len(mums)<=1 break)
+        # keep rule (schemes.py:169-172, incl. the i==0 wraparound
+        # quirk); single-entry segments always survive
         keep_first = (~last & (end_next > end)) | (seg_last_end < end)
         keep = alive & jnp.where(first, keep_first | last, end_prev < end)
         seg = jnp.where(keep, seg, BIG)
         # compact kept rows to the front, preserving order
         seg, l, a, b = sort_by((seg, iar), (seg, l, a, b))
         pos = a if coord == 0 else b
-        n_alive = jnp.sum((seg < BIG).astype(i32))
+        alive = seg < BIG
+        n_alive = jnp.sum(alive.astype(i32))
+        first = (seg != shift1(seg, -9)) & alive
 
-        # sequential trim scan (prototype-validated): carry
-        # (cur_seg, ce, ci, cl); emits a front cut per row and at most
-        # one back cut per row.  Back-cut buffer has a scratch row K.
-        def scan_body(c):
-            front, back, cseg, ce, ci, cl, i = c
-            s_i = seg[i]
-            p_i = pos[i]
-            l_i = l[i]
-            newseg = s_i != cseg
-            ov = jnp.where(newseg, 0, ce - p_i)
-            hit = ov > 0
-            back = back.at[jnp.where(hit, ci, K)].add(
-                jnp.where(hit, ov, 0), mode="drop"
-            )
-            front = front.at[i].set(jnp.where(hit, ov, 0))
-            li = l_i - ov
-            prev_alive = cl - ov > 0
-            ce_n = jnp.where(
-                hit, jnp.where(li > 0, p_i + l_i, p_i), p_i + l_i
-            )
-            ci_n = jnp.where(hit & (li <= 0), ci, i)
-            ci_n = jnp.where(
-                hit & (li <= 0) & ~prev_alive, jnp.int32(K), ci_n
-            )
-            cl_n = jnp.where(
-                hit,
-                jnp.where(li > 0, li,
-                          jnp.where(prev_alive, cl - ov, 0)),
-                l_i,
-            )
-            return front, back, s_i, ce_n, ci_n, cl_n, i + 1
+        # --- scan 1: incoming cur_end per row.  The sequential carry
+        # transition is the 2-piece step function
+        #   f(ce) = pos      if ce >= pos + l   (candidate swallowed)
+        #         = pos + l  otherwise
+        # with segment-first rows the constant pos + l; step functions
+        # (T, A, B) are closed under composition (the threshold of the
+        # composition is the FIRST function's).
+        pl = pos + l
+        T0 = jnp.where(first | ~alive, jnp.int32(-1), pl)
+        Av = jnp.where(alive, pl, 0)
+        Bv = jnp.where(first, pl, jnp.where(alive, pos, 0))
+        Tx, Ax, Bx = shift1(T0, -1), shift1(Av, 0), shift1(Bv, 0)
 
-        front0 = jnp.zeros(K, i32)
-        back0 = jnp.zeros(K + 1, i32)
-        front, back, _, _, _, _, _ = jax.lax.while_loop(
-            lambda c: c[6] < n_alive,
-            scan_body,
-            (front0, back0, jnp.int32(-9), jnp.int32(0),
-             jnp.int32(K), jnp.int32(0), jnp.int32(0)),
-        )
+        def comb_step(x, y):
+            t1, a1, b1 = x
+            t2, a2, b2 = y
+            return (
+                t1,
+                jnp.where(a1 >= t2, b2, a2),
+                jnp.where(b1 >= t2, b2, a2),
+            )
+
+        Tc, Ac, Bc = jax.lax.associative_scan(comb_step, (Tx, Ax, Bx))
+        ce_in = jnp.where(0 >= Tc, Bc, Ac)
+
+        ov = jnp.where(first, 0, ce_in - pos)
+        hit = alive & ~first & (ov > 0)
+        ovh = jnp.where(hit, ov, 0)
+        li = l - ovh
+        front = jnp.where(hit, ovh, 0)
+
+        # --- scan 2: incoming cur_len per row.  Transitions are the
+        # clamped-subtract class phi(cl) = max(cl - a, b) (constants
+        # via a = 2^30): no-hit -> const l, partial cut -> const li,
+        # swallowed -> max(cl - ov, 0).
+        deep = hit & (li <= 0)
+        a_r = jnp.where(deep, ovh, A30)
+        b_r = jnp.where(alive, jnp.where(deep, 0, jnp.where(hit, li, l)), 0)
+        ax, bx = shift1(a_r, A30), shift1(b_r, 0)
+
+        def comb_cl(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return jnp.minimum(a1 + a2, A30), jnp.maximum(b1 - a2, b2)
+
+        ac, bc = jax.lax.associative_scan(comb_cl, (ax, bx))
+        cl_in = jnp.maximum(-ac, bc)
+        prev_alive = (cl_in - ovh) > 0
+
+        # --- scan 3: incoming cur_idx per row (last reset value):
+        # reset to the row itself unless the candidate was swallowed
+        # with a still-alive current (keep), or to the K scratch row
+        # when the current died too.
+        reset = (~deep) | (deep & ~prev_alive)
+        rval = jnp.where(~deep, iar, jnp.int32(K))
+        ci_in = last_value_scan(shift1(rval, K), shift1(reset, True))
+
+        back = jnp.zeros(K + 1, i32)
+        back = back.at[jnp.where(hit, ci_in, K)].add(ovh, mode="drop")
         back = back[:K]
+
         newl = l - front - back
         ok = (seg < BIG) & (newl > 0)
         seg = jnp.where(ok, seg, BIG)
-        # n_alive = the number of sequential scan iterations actually
-        # run (post containment-drop) — the honest step count for the
-        # ~137us/step cost model the bench counters feed
         return seg, newl, a + front, b + front, n_alive
 
     # ------------------------------------------------------------------
@@ -205,7 +284,6 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
         anchors0 = jnp.zeros((ACAP + 1, 9), i32)
         iar_n = jnp.arange(npad, dtype=i32)
         iar_k = jnp.arange(K, dtype=i32)
-        M = K + SMAX
         iar_m = jnp.arange(M, dtype=i32)
         sarange = jnp.arange(SMAX, dtype=i32)
 
@@ -268,7 +346,7 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
             cseg, cl, caa, cbb, na1 = trim_dim(cseg, cl, caa, cbb, 1)
             steps = steps.at[0].add(na1)
 
-            # ---- chain DP (schemes.py:20-104) -------------------------
+            # ---- chain DP (schemes.py:20-104), values-first -----------
             # one right-pseudo row per live segment: l=0 at (a_end,
             # b_end); candidates have a < a_end so the pseudo sorts last
             # within its segment
@@ -291,7 +369,6 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                 (gseg, gl, ga, gb, gpseudo),
             )
             galive = gseg < BIG
-            m_tot = jnp.sum(galive.astype(i32))
             # duplicate ref starts within a segment: the host resolves
             # them through its dict-aliasing path; abort instead
             dup = (
@@ -305,50 +382,218 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
 
             gea = ga + gl
             geb = gb + gl
+            gu = gea - geb
+            gv = ga - gb
             gsc = jnp.clip(gseg, 0, SMAX - 1)
             gla = seg_tab[gsc, 0] - 1   # left pseudo (text coords;
             glb = seg_tab[gsc, 2] - 1   # gap costs shift-invariant)
             gmul = ws * gl
+            dl_ = (ga - gla) - (gb - glb)
+            gwl = jnp.where(galive, gmul - wp * jnp.abs(dl_), NEG)
 
-            def chain_body(c):
-                score, link, act, i = c
-                compat = (
-                    (iar_m < i) & (gseg == gseg[i]) & galive
-                    & (gea <= ga[i]) & (geb <= gb[i])
-                )
-                newly = compat & (act == BIG)
-                act = jnp.where(newly, i, act)
-                d = (ga[i] - gea) - (gb[i] - geb)
-                tmpw = score + gmul[i] - wp * jnp.abs(d)
-                tmpw = jnp.where(compat, tmpw, NEG)
-                dl = (ga[i] - gla[i]) - (gb[i] - glb[i])
-                wl = gmul[i] - wp * jnp.abs(dl)
-                # winner among {left} + compat in the reference's active
-                # traversal order (score desc, activation counter asc):
-                # max tmpw, then max score, then min (act step, row);
-                # left sits at (score 0, counter 0)
-                mx = jnp.max(tmpw)
-                c1 = tmpw == mx
-                sc2 = jnp.where(c1, score, NEG)
-                mx2 = jnp.max(sc2)
-                a3 = jnp.where(c1 & (sc2 == mx2), act, BIG)
-                bi = jnp.argmin(a3)   # first row among min act steps
-                use_left = (wl > mx) | ((wl == mx) & (mx2 <= 0))
-                w = jnp.where(use_left, wl, mx)
-                bj = jnp.where(use_left, jnp.int32(-1), bi.astype(i32))
-                score = score.at[i].set(w)
-                link = link.at[i].set(bj)
-                return score, link, act, i + 1
-
-            steps = steps.at[1].add(m_tot)
-            score, link, act, _ = jax.lax.while_loop(
-                lambda c: c[3] < m_tot,
-                chain_body,
-                (jnp.zeros(M, i32), jnp.full(M, -2, i32),
-                 jnp.full(M, BIG, i32), jnp.int32(0)),
+            # runs: maximal blocks of consecutively-chainable rows where
+            # every in-run predecessor pair is exactly branch-1 of the
+            # |gap| split (u_j <= v_i with dominance, transitively)
+            gfirst = (gseg != shift1(gseg, -9)) & galive
+            chain_ok = (
+                (shift1(gea, BIG) <= ga) & (shift1(geb, BIG) <= gb)
+                & (shift1(gu, BIG) <= gv)
             )
+            brk0 = (gfirst | ~chain_ok) & galive
+            pmu = seg_max_scan(gu, brk0)
+            brk = (brk0 | (shift1(pmu, BIG) > gv)) & galive
+            runid = jnp.cumsum(brk.astype(i32)) - 1
+            runid = jnp.where(galive, runid, -1)
+
+            # --- wavefront rounds: scores only -------------------------
+            def cc_blocked_out(score, done):
+                """Chunked candidate-x-candidate pass: per row i,
+                blocked = any compat pred neither done nor earlier in
+                i's run; outv = max over done compat preds of
+                score_j - wp*|v_i - u_j|."""
+                blocked = []
+                outv = []
+                for c in range(NCH):
+                    sl = slice(c * CH, (c + 1) * CH)
+                    seg_i = gseg[sl][:, None]
+                    a_i = ga[sl][:, None]
+                    b_i = gb[sl][:, None]
+                    v_i = gv[sl][:, None]
+                    r_i = runid[sl][:, None]
+                    i_i = iar_m[sl][:, None]
+                    compat = (
+                        (gseg[None, :] == seg_i) & galive[None, :]
+                        & (gea[None, :] <= a_i) & (geb[None, :] <= b_i)
+                        & (iar_m[None, :] < i_i)
+                    )
+                    inrun = (runid[None, :] == r_i) & (
+                        iar_m[None, :] < i_i
+                    )
+                    blocked.append(
+                        jnp.any(compat & ~done[None, :] & ~inrun, axis=1)
+                    )
+                    tw = jnp.where(
+                        compat & done[None, :],
+                        score[None, :]
+                        - wp * jnp.abs(v_i - gu[None, :]),
+                        NEG,
+                    )
+                    outv.append(jnp.max(tw, axis=1))
+                return jnp.concatenate(blocked), jnp.concatenate(outv)
+
+            def round_body(c):
+                score, done, rnd, rabort = c
+                blocked, outv = cc_blocked_out(score, done)
+                # commit = per-run prefix of unblocked undone rows
+                okrow = done | (~blocked & galive)
+                okpref = seg_min_scan(
+                    okrow.astype(i32), brk
+                ) > 0
+                commit = galive & ~done & okpref
+                # value scan in phi-space: f(M) = max(M + P, Q).
+                # Exclusive segmented prefix: elements shift right by
+                # one, and positions at run starts become the reset
+                # element (0, NEG) so a run-start row sees an empty
+                # prefix rather than the previous run's tail.
+                base = jnp.maximum(gwl, outv + gmul)
+                psi = gmul - wp * (gv - gu)
+                P = jnp.where(commit, jnp.maximum(psi, 0), 0)
+                phi_done = score + wp * gu
+                Q = jnp.where(
+                    done & galive, phi_done,
+                    jnp.where(commit, base + wp * gu, NEG),
+                )
+
+                def comb_aff(x, y):
+                    p1, q1, r1 = x
+                    p2, q2, r2 = y
+                    keep = ~r2
+                    return (
+                        jnp.where(keep, jnp.minimum(p1 + p2, A30), p2),
+                        jnp.where(
+                            keep,
+                            jnp.maximum(q1 + p2, q2),
+                            q2,
+                        ),
+                        r1 | r2,
+                    )
+
+                Pp = jnp.where(brk, 0, shift1(P, 0))
+                Qp = jnp.where(brk, NEG, shift1(Q, NEG))
+                Rp = brk | (iar_m == 0)
+                _, Qc, _ = jax.lax.associative_scan(
+                    comb_aff, (Pp, Qp, Rp)
+                )
+                m_in = Qc  # applied to initial NEG: max(NEG+P, Q) = Q
+                # guard: an empty prefix (m_in = NEG) must not wrap
+                # int32 when the (possibly negative) row offset is added
+                sc_new = jnp.where(
+                    m_in > NEG // 2,
+                    jnp.maximum(base, m_in + gmul - wp * gv),
+                    base,
+                )
+                score = jnp.where(commit, sc_new, score)
+                done = done | commit
+                progress = jnp.any(commit)
+                rabort = jnp.where(
+                    progress, rabort, jnp.int32(ABORT_CHAIN_ROUNDS)
+                )
+                return score, done, rnd + 1, rabort
+
+            def round_cond(c):
+                score, done, rnd, rabort = c
+                return (
+                    jnp.any(galive & ~done) & (rnd < _RMAX)
+                    & (rabort == 0)
+                )
+
+            score, cdone, rounds, rabort = jax.lax.while_loop(
+                round_cond,
+                round_body,
+                (
+                    jnp.zeros(M, i32), ~galive, jnp.int32(0),
+                    jnp.int32(0),
+                ),
+            )
+            abort = jnp.where(
+                (abort == 0) & (rabort != 0), rabort, abort
+            )
+            abort = jnp.where(
+                (abort == 0) & jnp.any(galive & ~cdone),
+                jnp.int32(ABORT_CHAIN_ROUNDS),
+                abort,
+            )
+            steps = steps.at[1].add(rounds)
+
+            # --- act: geometric activation step (min dominating row) --
+            act_cols = []
+            for c in range(NCH):
+                sl = slice(c * CH, (c + 1) * CH)
+                seg_j = gseg[sl][None, :]
+                ea_j = gea[sl][None, :]
+                eb_j = geb[sl][None, :]
+                dom = (
+                    (gseg[:, None] == seg_j) & galive[:, None]
+                    & (ga[:, None] >= ea_j) & (gb[:, None] >= eb_j)
+                )
+                act_cols.append(
+                    jnp.min(
+                        jnp.where(dom, iar_m[:, None], BIG), axis=0
+                    )
+                )
+            act = jnp.concatenate(act_cols)
+            act = jnp.where(galive, act, BIG)
+
+            # --- links: exact winner reconstruction with all scores ----
+            # lex key (tmpw, score_j, -act_j, -row_j); the left pseudo
+            # wins ties per the reference's traversal order
+            # (schemes.py:64-87): wl > mx, or wl == mx and best tied
+            # score <= 0
+            link_parts = []
+            for c in range(NCH):
+                sl = slice(c * CH, (c + 1) * CH)
+                seg_i = gseg[sl][:, None]
+                a_i = ga[sl][:, None]
+                b_i = gb[sl][:, None]
+                v_i = gv[sl][:, None]
+                i_i = iar_m[sl][:, None]
+                compat = (
+                    (gseg[None, :] == seg_i) & galive[None, :]
+                    & (gea[None, :] <= a_i) & (geb[None, :] <= b_i)
+                    & (iar_m[None, :] < i_i)
+                )
+                tw = jnp.where(
+                    compat,
+                    score[None, :] - wp * jnp.abs(v_i - gu[None, :]),
+                    NEG,
+                )
+                mx = jnp.max(tw, axis=1)
+                t1 = tw == mx[:, None]
+                sc2 = jnp.where(t1, score[None, :], NEG)
+                mx2 = jnp.max(sc2, axis=1)
+                t2 = t1 & (sc2 == mx2[:, None])
+                # min (act, row): min act first, then first row among
+                # the act-minimal (argmax picks the first True)
+                a3 = jnp.where(t2, act[None, :], BIG)
+                amn = jnp.min(a3, axis=1)
+                t3 = t2 & (a3 == amn[:, None])
+                brow = jnp.argmax(t3, axis=1).astype(i32)
+                has = mx > NEG
+                wl_i = gwl[sl]
+                mxg = mx + gmul[sl]
+                use_left = (~has) | (wl_i > mxg) | (
+                    (wl_i == mxg) & (mx2 <= 0)
+                )
+                link_parts.append(
+                    jnp.where(use_left, jnp.int32(-1), brow)
+                )
+            link = jnp.concatenate(link_parts)
+            link = jnp.where(galive, link, jnp.int32(-2))
 
             # ---- backtrack + largest (schemes.py:298-301) -------------
+            # pointer-doubling along link chains: per row, the best
+            # (strictly-greater wins, nearest wins ties) candidate l on
+            # the path from it to the left pseudo
             is_pseudo = (gpseudo == 1) & galive
             pseudo_pos = jax.ops.segment_max(
                 jnp.where(is_pseudo, iar_m, -1),
@@ -360,23 +605,40 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                 link[jnp.clip(pseudo_pos, 0, M - 1)],
                 jnp.int32(-1),
             )
-
-            def bt_body(c):
-                ptr, bl, bs = c
-                activ = ptr >= 0
-                pc = jnp.clip(ptr, 0, M - 1)
-                lcur = jnp.where(activ, gl[pc], -1)
-                upd = activ & (lcur > bl)
-                bl = jnp.where(upd, lcur, bl)
-                bs = jnp.where(upd, pc, bs)
-                ptr = jnp.where(activ, link[pc], ptr)
-                return ptr, bl, bs
-
-            ptr, bl, bs = jax.lax.while_loop(
-                lambda c: jnp.any(c[0] >= 0),
-                bt_body,
-                (ptr0, jnp.full(SMAX, -1, i32), jnp.full(SMAX, -1, i32)),
+            nxt = jnp.where(link >= 0, link, jnp.int32(M))
+            nxt = jnp.concatenate([nxt, jnp.full(1, M, i32)])
+            bl = jnp.concatenate(
+                [jnp.where(galive & (gpseudo == 0), gl, -1),
+                 jnp.full(1, -1, i32)]
             )
+            bs = jnp.concatenate([iar_m, jnp.full(1, -1, i32)])
+            def dbl_body(c):
+                bl, bs, nxt = c
+                bl2 = bl[nxt]
+                bs2 = bs[nxt]
+                take_far = bl2 > bl
+                bl = jnp.where(take_far, bl2, bl)
+                bs = jnp.where(take_far, bs2, bs)
+                return bl, bs, nxt[nxt]
+
+            # log-depth pointer doubling, stopping as soon as every
+            # chain has collapsed into the sentinel
+            bl, bs, nxt = jax.lax.while_loop(
+                lambda c: jnp.any(c[2][:M] != M),
+                dbl_body,
+                (bl, bs, nxt),
+            )
+            ptr0c = jnp.clip(ptr0, 0, M)
+            blp = jnp.where(ptr0 >= 0, bl[ptr0c], -1)
+            bsp = jnp.where((ptr0 >= 0) & (blp > -1), bs[ptr0c], -1)
+            # v1 semantics: walking from the pseudo, only rows with
+            # l > -1 beat the init; pseudo rows on the path have l=0
+            # which beats -1 — but the path starts at link[pseudo], and
+            # pseudo rows never appear as links of other rows' chains
+            # within a segment (their a >= every candidate end), so the
+            # chain contains candidates only.
+            bs_seg = bsp
+
             # single-candidate segments bypass the chain entirely
             # (picker __call__: len(relmums)==1)
             candrow = jax.ops.segment_max(
@@ -390,9 +652,9 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                 num_segments=SMAX,
             )
             single = seg_live & (candcnt == 1)
-            bs = jnp.where(single, candrow, bs)
-            picked = seg_live & (bs >= 0)
-            bsc = jnp.clip(bs, 0, M - 1)
+            bs_seg = jnp.where(single, candrow, bs_seg)
+            picked = seg_live & (bs_seg >= 0)
+            bsc = jnp.clip(bs_seg, 0, M - 1)
             s_l = jnp.where(picked, gl[bsc], 0)
             s_ma = jnp.where(picked, ga[bsc], 0)
             s_mb = jnp.where(picked, gb[bsc], 0)
@@ -494,10 +756,8 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
 
             # child LCP: per-class segmented running-min over the parent
             # layout (split(), reveal.c:582-664; devfrontier apply)
-            segstart = SEG != jnp.concatenate(
-                [jnp.full(1, -9, SEG.dtype), SEG[:-1]]
-            )
-            cls_prev = jnp.concatenate([jnp.zeros(1, i32), cls[:-1]])
+            segstart = SEG != shift1(SEG, -9)
+            cls_prev = shift1(cls, 0)
             newlcp = jnp.zeros_like(LCP)
             for c in (1, 2):
                 reset = segstart | ((cls_prev == c) & ~segstart)
@@ -509,9 +769,7 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                 (sortkey, iar_n, SA, newlcp), num_keys=2
             )
             SEG = jnp.where(skey >= SMAX, jnp.int32(-1), skey)
-            sprev = jnp.concatenate(
-                [jnp.full(1, -9, SEG.dtype), SEG[:-1]]
-            )
+            sprev = shift1(SEG, -9)
             firstslot = SEG != sprev
             LCP = jnp.where(firstslot | (SEG < 0), 0, newlcp2)
 
@@ -530,9 +788,12 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
 
             # ---- boundary repair (bubble_sort, reveal.c:666-727) ------
             # two passes: each leading child's A-side begin (parent ma)
-            # then B-side begin (parent mb); exact sequential processing
-            # of the crossing suffixes inside the dispatch
-            def repair_pass(T, SA, LCP, which, abort):
+            # then B-side begin (parent mb).  Batched: per iteration the
+            # head batch of pending crossing suffixes is resolved on the
+            # live SA/LCP, mutually-independent ones (disjoint edit
+            # windows [x-1, q+1]) apply at once via fixed-width window
+            # updates; window escapes abort.
+            def repair_pass(T, SA, LCP, which, abort, steps):
                 scn = jnp.clip(SEG, 0, SMAX - 1)
                 is_lead = (SEG >= 0) & (new_tab[scn, 5] == 1)
                 beg = jnp.where(is_lead, new_tab[scn, 6 + which], -1)
@@ -550,66 +811,167 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                     cross0, size=CCAP, fill_value=npad - 1
                 )
                 centry_next = lcpn[cq]
+                iar_c = jnp.arange(CCAP, dtype=i32)
+                pend0 = iar_c < jnp.minimum(rc, CCAP)
+                warr = jnp.arange(WREP + 2, dtype=i32)
 
-                def rbody(c):
-                    SA_, LCP_, j = c
+                def resolve(SA_, LCP_, j):
+                    """One pending candidate on the live state: returns
+                    (q, x, move, thr, saq, lcq).  The insertion-point
+                    search (x = max y < q with LCP[y] < thr) is a cheap
+                    contiguous window (p90 lookback is a few hundred on
+                    real genomes) with an exact whole-array fallback
+                    behind a cond for the deep tail."""
                     q = cq[j]
                     b = beg[q]
                     saq = SA_[q]
                     lcq = LCP_[q]
                     thr = b - saq
                     move = (saq < b) & (saq + lcq > b)
-                    wm = (iar_n < q) & (LCP_ < thr)
-                    y = jnp.max(jnp.where(wm, iar_n, -1))
-                    x = jnp.maximum(y, 0)
+                    s0 = jnp.maximum(q - WREP, 0)
+                    win = jax.lax.dynamic_slice(
+                        LCP_, (s0,), (WREP + 2,)
+                    )
+                    widx = s0 + warr
+                    cand = (widx < q) & (win < thr)
+                    y = jnp.max(jnp.where(cand, widx, -1))
+                    found = (y >= 0) | (s0 == 0)
 
-                    def do_move(args):
+                    def deep(_):
+                        allc = (iar_n < q) & (LCP_ < thr)
+                        return jnp.max(jnp.where(allc, iar_n, -1))
+
+                    y = jax.lax.cond(
+                        move & ~found, deep, lambda _: y, None
+                    )
+                    x = jnp.maximum(y, 0)
+                    return q, x, move, thr, saq, lcq
+
+                def apply_one(SA_, LCP_, q, x, move, thr, saq, lcq,
+                              cj, acc):
+                    """Masked application of one accepted candidate:
+                    window updates anchored at q, with a whole-array
+                    cond path when the insertion point is deep."""
+                    do_mv = acc & move
+                    shallow = (q - x) <= WREP
+
+                    def apply_win(args):
+                        SA_, LCP_ = args
+                        s0 = jnp.maximum(q - (WREP + 1), 0)
+                        sa_w = jax.lax.dynamic_slice(
+                            SA_, (s0,), (WREP + 2,)
+                        )
+                        lcp_w = jax.lax.dynamic_slice(
+                            LCP_, (s0,), (WREP + 2,)
+                        )
+                        widx = s0 + warr
+                        inwin = (widx > x) & (widx <= q)
+                        sa_sh = jnp.concatenate([sa_w[:1], sa_w[:-1]])
+                        lcp_sh = jnp.concatenate(
+                            [lcp_w[:1], lcp_w[:-1]]
+                        )
+                        sa_n = jnp.where(inwin, sa_sh, sa_w)
+                        lcp_n = jnp.where(inwin, lcp_sh, lcp_w)
+                        sa_n = jnp.where(widx == x, saq, sa_n)
+                        lcp_n = jnp.where(widx == x + 1, thr, lcp_n)
+                        SA_ = jax.lax.dynamic_update_slice(
+                            SA_, sa_n, (s0,)
+                        )
+                        LCP_ = jax.lax.dynamic_update_slice(
+                            LCP_, lcp_n, (s0,)
+                        )
+                        return SA_, LCP_
+
+                    def apply_glob(args):
                         SA_, LCP_ = args
                         inwin = (iar_n > x) & (iar_n <= q)
                         SA_n = jnp.where(inwin, jnp.roll(SA_, 1), SA_)
-                        LCP_n = jnp.where(
-                            inwin, jnp.roll(LCP_, 1), LCP_
-                        )
+                        LCP_n = jnp.where(inwin, jnp.roll(LCP_, 1), LCP_)
                         SA_n = SA_n.at[x].set(saq)
                         LCP_n = LCP_n.at[x + 1].set(thr)
-                        qn = jnp.minimum(q + 1, npad - 1)
-                        LCP_n = LCP_n.at[qn].set(
-                            jnp.where(
-                                (q < npad - 1) & (lcq < LCP_n[qn]),
-                                lcq,
-                                LCP_n[qn],
-                            )
-                        )
                         return SA_n, LCP_n
 
-                    def do_lcponly(args):
-                        SA_, LCP_ = args
-                        qn = jnp.minimum(q + 1, npad - 1)
-                        hit = (
-                            (q < npad - 1) & (saq < b)
-                            & ((saq + centry_next[j]) > b)
-                            & (LCP_[qn] > LCP_[q])
-                        )
-                        LCP_n = LCP_.at[qn].set(
-                            jnp.where(hit, b - saq, LCP_[qn])
-                        )
-                        return SA_, LCP_n
-
                     SA_, LCP_ = jax.lax.cond(
-                        move, do_move, do_lcponly, (SA_, LCP_)
+                        do_mv,
+                        lambda args: jax.lax.cond(
+                            shallow, apply_win, apply_glob, args
+                        ),
+                        lambda args: args,
+                        (SA_, LCP_),
                     )
-                    return SA_, LCP_, j + 1
+                    # LCP[q+1] updates (may sit beyond the window)
+                    qn = jnp.minimum(q + 1, npad - 1)
+                    mv_upd = do_mv & (q < npad - 1) & (lcq < LCP_[qn])
+                    lcponly = acc & ~move & (q < npad - 1) & (
+                        (saq < beg[q])
+                        & ((saq + centry_next[cj]) > beg[q])
+                        & (LCP_[qn] > LCP_[q])
+                    )
+                    newv = jnp.where(
+                        mv_upd, lcq,
+                        jnp.where(lcponly, beg[q] - saq, LCP_[qn]),
+                    )
+                    LCP_ = LCP_.at[qn].set(newv)
+                    return SA_, LCP_
 
-                SA, LCP, _ = jax.lax.while_loop(
-                    lambda c: c[2] < jnp.minimum(rc, CCAP),
+                def rbody(c):
+                    SA_, LCP_, pend, it = c
+                    (heads,) = jnp.nonzero(
+                        pend, size=_RB, fill_value=CCAP - 1
+                    )
+                    hvalid = jnp.arange(_RB, dtype=i32) < jnp.sum(
+                        pend.astype(i32)
+                    )
+                    # resolve the batch on the live state
+                    res = [
+                        resolve(SA_, LCP_, heads[k]) for k in range(_RB)
+                    ]
+                    # accept mutually-independent candidates: edit+read
+                    # regions [x-1, q+1] pairwise disjoint (q ascending,
+                    # so a running max of accepted q+1 suffices); the
+                    # head always advances
+                    accs = []
+                    endmax = jnp.int32(-5)
+                    for k in range(_RB):
+                        q, x, move, thr, saq, lcq = res[k]
+                        lo = jnp.where(move, x - 1, q - 1)
+                        acc = hvalid[k] & (lo > endmax)
+                        if k == 0:
+                            acc = hvalid[k]
+                        endmax = jnp.where(acc, q + 1, endmax)
+                        accs.append(acc)
+                    # apply accepted (disjoint -> order-free)
+                    for k in range(_RB):
+                        q, x, move, thr, saq, lcq = res[k]
+                        SA_, LCP_ = apply_one(
+                            SA_, LCP_, q, x, move, thr, saq, lcq,
+                            heads[k], accs[k],
+                        )
+                    newpend = pend
+                    for k in range(_RB):
+                        newpend = newpend.at[heads[k]].set(
+                            jnp.where(accs[k], False, newpend[heads[k]])
+                        )
+                    return SA_, LCP_, newpend, it + 1
+
+                def rcond(c):
+                    _, _, pend, it = c
+                    return jnp.any(pend) & (it < CCAP)
+
+                SA, LCP, _, iters = jax.lax.while_loop(
+                    rcond,
                     rbody,
-                    (SA, LCP, jnp.int32(0)),
+                    (SA, LCP, pend0, jnp.int32(0)),
                 )
-                return SA, LCP, abort, jnp.minimum(rc, CCAP)
+                steps = steps.at[2].add(iters)
+                return SA, LCP, abort, steps
 
-            SA, LCP, abort, rc0 = repair_pass(T, SA, LCP, 0, abort)
-            SA, LCP, abort, rc1 = repair_pass(T, SA, LCP, 1, abort)
-            steps = steps.at[2].add(rc0 + rc1)
+            SA, LCP, abort, steps = repair_pass(
+                T, SA, LCP, 0, abort, steps
+            )
+            SA, LCP, abort, steps = repair_pass(
+                T, SA, LCP, 1, abort, steps
+            )
 
             acount = jnp.minimum(acount + npicked, ACAP)
             return (
@@ -688,7 +1050,9 @@ def rem_device_loop(
     [(ma, mb, l, a_beg, a_end, b_beg, b_end)] in serial LIFO pop order
     (ready for align/rem._rem2_replay) and T_final the lowercased text;
     or None when the kernel aborted (caller falls back to the host
-    engine).
+    engine).  Capacity aborts (candidates/segments/anchors/repair
+    queue) retry with the overflowed capacity doubled — capacities
+    start optimistic so the common case runs on small arrays.
     """
     import jax
 
@@ -696,12 +1060,14 @@ def rem_device_loop(
     if n >= 2**30 or minlength < 1:
         return None
     npad = _next_pow2(n)
-    K = max(2048, npad // 32)
-    SMAX = max(4096, npad // 512)
-    ACAP = max(4096, npad // 64)
-    # repair candidates per pass grow with text size (2a2b measured
-    # >1024 at level 8); each candidate is one vectorized O(npad) move
-    CCAP = max(1024, npad // 1024)
+    caps = {
+        "K": max(2048, npad // 512),
+        "SMAX": max(4096, npad // 512),
+        "ACAP": max(4096, npad // 64),
+        # repair candidates per pass grow with text size (2a2b measured
+        # >1024 at level 8)
+        "CCAP": max(1024, npad // 1024),
+    }
 
     T_p = np.zeros(npad, dtype=np.uint8)
     T_p[: len(T)] = np.asarray(T, dtype=np.uint8)
@@ -712,22 +1078,37 @@ def rem_device_loop(
     SEG_p = np.full(npad, -1, dtype=np.int32)
     SEG_p[:n] = 0
 
-    seg_tab = np.zeros((SMAX, 8), dtype=np.int32)
-    # root: A = [0, nsep0), B = [nsep0+1, n-1)
-    seg_tab[0] = (0, nsep0, nsep0 + 1, n - 1, -1, 0, -1, -1)
+    dispatches = 0
+    for _attempt in range(5):
+        seg_tab = np.zeros((caps["SMAX"], 8), dtype=np.int32)
+        # root: A = [0, nsep0), B = [nsep0+1, n-1)
+        seg_tab[0] = (0, nsep0, nsep0 + 1, n - 1, -1, 0, -1, -1)
+        fn = _build_kernel(
+            npad, caps["K"], caps["SMAX"], caps["ACAP"], caps["CCAP"]
+        )
+        T_out, anchors, acount, abort, level, steps = fn(
+            T_p, SA_p, LCP_p, SEG_p, seg_tab,
+            np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
+            np.int32(wscore), np.int32(wpen),
+        )
+        dispatches += 1
+        abort = int(abort)
+        if abort in _RETRYABLE:
+            cap = _RETRYABLE[abort]
+            caps[cap] *= 2
+            log.info(
+                "device loop: %s overflow, retrying with %s=%d",
+                cap, cap, caps[cap],
+            )
+            continue
+        break
 
-    fn = _build_kernel(npad, K, SMAX, ACAP, CCAP)
-    T_out, anchors, acount, abort, level, steps = fn(
-        T_p, SA_p, LCP_p, SEG_p, seg_tab,
-        np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
-        np.int32(wscore), np.int32(wpen),
-    )
     acount = int(acount)
-    abort = int(abort)
     steps = np.asarray(steps)
     LAST_STATS.clear()
     LAST_STATS.update(
-        levels=int(level), dispatches=1, anchors=acount, abort=abort,
+        levels=int(level), dispatches=dispatches, anchors=acount,
+        abort=abort,
         trim_steps=int(steps[0]), chain_steps=int(steps[1]),
         repair_steps=int(steps[2]),
     )

@@ -155,5 +155,27 @@ def test_devloop_fixture_1a1b(tmp_path):
     b1 = _gfa_bytes(G1, idx1.main.T, tmp_path, "h.gfa")
     G2, idx2 = align_genomes([fa1, fa2], backend="np", frontier=True)
     b2 = _gfa_bytes(G2, idx2.main.T, tmp_path, "d.gfa")
+    # the device loop must actually have run (abort falls back to the
+    # host engine and would make this test pass vacuously)
+    assert devloop.LAST_STATS.get("abort") == 0, devloop.LAST_STATS
     assert b1 == b2
     assert np.array_equal(idx1.main.T, idx2.main.T)
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_devloop_repetitive_content(tmp_path, seed):
+    """Tandem repeats stress the deep repair-lookback path (long
+    LCP>=thr runs force the whole-array cond fallback) and tmpw ties in
+    the chain winner selection; output must stay byte-identical and
+    the kernel must not abort."""
+    rng = np.random.default_rng(seed)
+    unit = "".join(rng.choice(list("ACGT"), size=40))
+    # repeat block > WREP(4096) so insertion points can sit beyond the
+    # fast window and take the exact whole-array fallback
+    base = (unit * 120) + "".join(rng.choice(list("ACGT"), size=1500))
+    base += unit * 10
+    mut = _mutate(base, rng, 60)
+    b1, b2, _, _, calls = _run_both(tmp_path, base, mut)
+    assert calls == [True]
+    assert devloop.LAST_STATS.get("abort") == 0, devloop.LAST_STATS
+    assert b1 == b2
