@@ -253,9 +253,187 @@ static uint64_t fnv1a64(const void *data, size_t nbytes) {
     return h;
 }
 
+/* ---------- multiMUM fixture mode ---------- */
+
+/* ismultimum (reveal.c:227-259): interval [lb, ub] must hit every
+ * sample exactly once (nsep test for 2 samples, SO flags otherwise)
+ * and be left-maximal somewhere. */
+static int ref_ismultimum(const char *T, const saidx32_t *SA,
+                          const int *SO, int64_t nsep0, int nsamples,
+                          saidx32_t l, int64_t lb, int64_t ub,
+                          int *flag_so) {
+    if (l <= 0) return 0;
+    int64_t j;
+    memset(flag_so, 0, (size_t)nsamples * sizeof(int));
+    if (nsamples == 2) {
+        if ((SA[ub] > nsep0) == (SA[lb] > nsep0)) return 0;
+    } else {
+        for (j = lb; j < ub + 1; j++) {
+            if (flag_so[SO[SA[j]]] == 0) flag_so[SO[SA[j]]] = 1;
+            else return 0;
+        }
+    }
+    for (j = lb; j < ub; j++) {
+        if (SA[j] == 0) return 1;
+        if (SA[j + 1] == 0) return 1;
+        if (T[SA[j] - 1] != T[SA[j + 1] - 1] || T[SA[j] - 1] == 'N' ||
+            T[SA[j] - 1] == '$' || islower((unsigned char)T[SA[j] - 1]))
+            return 1;
+    }
+    return 0;
+}
+
+/* getmultimums (reveal.c:436-580): LCP-interval stack walk; emits one
+ * "l n so:pos so:pos ..." line per multiMUM in the walk's emission
+ * order (SA order within the interval, like the reference's crdmap). */
+static int64_t ref_multimum_walk(const char *T, const saidx32_t *SA,
+                                 const saidx32_t *LCP, const int *SO,
+                                 int64_t n, int64_t nsep0, int nsamples,
+                                 int minl, int minn, FILE *out) {
+    int maxdepth = 1000;
+    saidx32_t *st_lcp = malloc((size_t)maxdepth * sizeof(saidx32_t));
+    int64_t *st_lb = malloc((size_t)maxdepth * sizeof(int64_t));
+    int64_t *st_ub = malloc((size_t)maxdepth * sizeof(int64_t));
+    int *flag_so = calloc((size_t)nsamples, sizeof(int));
+    int depth = 0;
+    int64_t count = 0;
+    st_lcp[0] = 0; st_lb[0] = 0; st_ub[0] = 0;
+    int64_t i, lb;
+
+#define EMIT(i_lcp, i_lb, i_ub)                                          \
+    do {                                                                 \
+        int64_t cn = (i_ub) - (i_lb) + 1;                                \
+        if ((i_lcp) >= minl && cn <= nsamples && cn >= minn &&           \
+            ref_ismultimum(T, SA, SO, nsep0, nsamples, (saidx32_t)(i_lcp), \
+                           (i_lb), (i_ub), flag_so)) {                   \
+            count++;                                                     \
+            if (out) {                                                   \
+                fprintf(out, "%d %d", (int)(i_lcp), (int)cn);            \
+                for (int64_t x = (i_lb); x <= (i_ub); x++)               \
+                    fprintf(out, " %d:%d", SO[SA[x]], (int)SA[x]);       \
+                fputc('\n', out);                                        \
+            }                                                            \
+        }                                                                \
+    } while (0)
+
+    for (i = 1; i < n; i++) {
+        lb = i - 1;
+        while (LCP[i] < st_lcp[depth]) {
+            st_ub[depth] = i - 1;
+            saidx32_t i_lcp = st_lcp[depth];
+            int64_t i_lb = st_lb[depth];
+            int64_t i_ub = st_ub[depth];
+            depth--;
+            EMIT(i_lcp, i_lb, i_ub);
+            lb = i_lb;
+        }
+        if (LCP[i] > st_lcp[depth]) {
+            depth++;
+            if (depth >= maxdepth) {
+                maxdepth += 1000;
+                st_lcp = realloc(st_lcp, (size_t)maxdepth * sizeof(saidx32_t));
+                st_lb = realloc(st_lb, (size_t)maxdepth * sizeof(int64_t));
+                st_ub = realloc(st_ub, (size_t)maxdepth * sizeof(int64_t));
+            }
+            st_lcp[depth] = LCP[i];
+            st_lb[depth] = lb;
+            st_ub[depth] = 0;
+        }
+    }
+    while (depth >= 0) {
+        st_ub[depth] = n - 1;
+        saidx32_t i_lcp = st_lcp[depth];
+        int64_t i_lb = st_lb[depth];
+        int64_t i_ub = st_ub[depth];
+        depth--;
+        EMIT(i_lcp, i_lb, i_ub);
+    }
+#undef EMIT
+    free(st_lcp); free(st_lb); free(st_ub); free(flag_so);
+    return count;
+}
+
+/* --multimums f1.fa f2.fa ... [minl N] [--fixture PREFIX]: the
+ * reference's own multiMUM enumeration over any number of samples;
+ * emits PREFIX.mmums.txt and one timing JSON line. */
+static int multimum_main(int argc, char **argv) {
+    const char *files[64];
+    int nfiles = 0, minl = 20;
+    const char *fixture = NULL;
+    for (int i = 2; i < argc; i++) {
+        if (!strcmp(argv[i], "--fixture") && i + 1 < argc) fixture = argv[++i];
+        else if (!strcmp(argv[i], "--minl") && i + 1 < argc) minl = atoi(argv[++i]);
+        else if (nfiles < 64) files[nfiles++] = argv[i];
+    }
+    if (nfiles < 2) { fprintf(stderr, "need >=2 fasta files\n"); return 2; }
+
+    char *T = NULL; int64_t n = 0, cap = 0;
+    int64_t bounds[65];
+    for (int f = 0; f < nfiles; f++) {
+        load_fasta(files[f], &T, &n, &cap);
+        bounds[f] = n; /* one past sample f's final '$' */
+    }
+    int *SO = malloc((size_t)n * sizeof(int));
+    {
+        int f = 0;
+        for (int64_t i = 0; i < n; i++) {
+            while (i >= bounds[f]) f++;
+            SO[i] = f;
+        }
+    }
+    int64_t nsep0 = bounds[0] - 1;
+
+    saidx32_t *SA = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *SAi = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *LCP = malloc((size_t)n * sizeof(saidx32_t));
+    double t0 = now_s();
+    if (divsufsort((const sauchar_t *)T, SA, (saidx_t)n) != 0) {
+        fprintf(stderr, "divsufsort failed\n"); return 1;
+    }
+    double t_sa = now_s() - t0;
+    t0 = now_s();
+    for (int64_t i = 0; i < n; i++) SAi[SA[i]] = (saidx32_t)i;
+    kasai_lcp(T, SA, SAi, LCP, n, 0);
+    double t_lcp = now_s() - t0;
+
+    /* uncapped walk = the reference's literal behavior (its Kasai lets
+     * comparisons run through '$'); count kept in the JSON.  The
+     * .mmums.txt fixture uses the sentinel-capped LCP — the repo's
+     * documented deviation (a cross-sentinel "common prefix" is
+     * meaningless for anchoring) — so the differential test compares
+     * like with like while the raw count stays pinned. */
+    t0 = now_s();
+    int64_t cnt_ref = ref_multimum_walk(T, SA, LCP, SO, n, nsep0, nfiles,
+                                        minl, 2, NULL);
+    double t_mm = now_s() - t0;
+
+    saidx32_t *LCPc = malloc((size_t)n * sizeof(saidx32_t));
+    kasai_lcp(T, SA, SAi, LCPc, n, 1);
+    FILE *out = NULL;
+    char path[4096];
+    if (fixture) {
+        snprintf(path, sizeof path, "%s.mmums.txt", fixture);
+        out = fopen(path, "w");
+    }
+    int64_t cnt = ref_multimum_walk(T, SA, LCPc, SO, n, nsep0, nfiles,
+                                    minl, 2, out);
+    if (out) fclose(out);
+    printf("{\"ref_c_sa_seconds\": %.4f, \"ref_c_lcp_seconds\": %.4f, "
+           "\"ref_c_multimum_seconds\": %.4f, \"n\": %lld, "
+           "\"nsamples\": %d, \"multimums\": %lld, "
+           "\"multimums_sentinel_capped\": %lld}\n",
+           t_sa, t_lcp, t_mm, (long long)n, nfiles, (long long)cnt_ref,
+           (long long)cnt);
+    return 0;
+}
+
 int main(int argc, char **argv) {
+    if (argc >= 2 && !strcmp(argv[1], "--multimums"))
+        return multimum_main(argc, argv);
     if (argc < 3) {
-        fprintf(stderr, "usage: %s a.fa b.fa [minl] [--fixture PREFIX] [--no-rem]\n", argv[0]);
+        fprintf(stderr, "usage: %s a.fa b.fa [minl] [--fixture PREFIX] [--no-rem]\n"
+                        "       %s --multimums f1.fa f2.fa ... [--minl N] [--fixture PREFIX]\n",
+                argv[0], argv[0]);
         return 2;
     }
     int minl = 20;

@@ -22,6 +22,7 @@ bit-parity of refined graphs requires it.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import numpy as np
@@ -443,6 +444,17 @@ _topk_fn = None
 _cut_fns = {}
 _cut_k_current = SPARSE_CUT_K
 
+# Ragged transport: the K-rectangular (B, L1p, K) survivor rows still
+# waste ~2x on the wire (mean survivors/row is ~2-4, K=8 slots are
+# fetched regardless).  The packed form compacts all survivors into one
+# flat (CAP,) value/index pair on device (cumsum + scatter) and ships
+# (flat_v, flat_i, cnt) — the host rebuilds the identical rectangles.
+# CAP starts at 4 survivors/row and escalates stickily like the K
+# ladder.  REVEAL_TPU_PACKED_POST=0 restores rectangular transport.
+PACKED_POST = os.environ.get("REVEAL_TPU_PACKED_POST", "1") != "0"
+_pack_fns = {}
+_pack_capm_current = 4
+
 
 def _get_cut_fn(K: int):
     fn = _cut_fns.get(K)
@@ -483,6 +495,37 @@ def _get_cut_fn(K: int):
     return cut
 
 
+def _get_pack_fn(K: int, CAPM: int):
+    """Cut fn + ragged pack: returns (flat_v[CAP], flat_i[CAP], cnt,
+    scores, total_survivors) with CAP = B*L1p*CAPM."""
+    fnk = _pack_fns.get((K, CAPM))
+    if fnk is not None:
+        return fnk
+    import jax
+    import jax.numpy as jnp
+
+    cut = _get_cut_fn(K)
+
+    @jax.jit
+    def pack(p):
+        v, i, cnt, sc = cut(p)
+        B, L1p, _ = v.shape
+        CAP = B * L1p * CAPM
+        valid = jnp.arange(K)[None, None, :] < cnt[..., None]
+        fv = v.reshape(-1)
+        fi = i.reshape(-1)
+        fvalid = valid.reshape(-1)
+        dst = jnp.cumsum(fvalid.astype(jnp.int32)) - 1
+        dst = jnp.where(fvalid, dst, CAP)
+        pv = jnp.zeros(CAP, jnp.float32).at[dst].set(fv, mode="drop")
+        pi = jnp.zeros(CAP, i.dtype).at[dst].set(fi, mode="drop")
+        S = jnp.sum(cnt)
+        return pv, pi, cnt, sc, S
+
+    _pack_fns[(K, CAPM)] = pack
+    return pack
+
+
 def fetch_posteriors_compact(p, tot):
     """Cutoff-sparsified posterior transfer + device MEA scores,
     COMPACT form: only the top-K (value, index) rows, the per-row
@@ -495,8 +538,37 @@ def fetch_posteriors_compact(p, tot):
     device)."""
     import jax
 
-    global _cut_k_current
+    global _cut_k_current, _pack_capm_current
     K = _cut_k_current
+    if PACKED_POST:
+        B, L1p, _ = p.shape
+        CAPM = _pack_capm_current
+        while True:
+            # ONE device_get: ragged flat survivors + counts + scores
+            pv, pi, cnt, sc, S = _get_pack_fn(K, CAPM)(p)
+            pv, pi, cnt, scores, tot_h, S = jax.device_get(
+                (pv, pi, cnt, sc, tot, S)
+            )
+            cnt = np.asarray(cnt)
+            S = int(S)
+            if int(cnt.max(initial=0)) > K:
+                K = 32 if K < 32 else SPARSE_TRANSFER_K
+                _cut_k_current = K  # sticky
+                continue
+            if S > B * L1p * CAPM:
+                CAPM *= 2
+                _pack_capm_current = CAPM  # sticky
+                continue
+            break
+        # rebuild the K-rectangles (row-major flat order means each
+        # batch-row's survivors are contiguous; boolean fill is in the
+        # same order)
+        v = np.zeros((B, L1p, K), np.float32)
+        i = np.zeros((B, L1p, K), pi.dtype)
+        valid = np.arange(K)[None, None, :] < cnt[..., None]
+        v[valid] = pv[:S]
+        i[valid] = pi[:S]
+        return v, i, cnt, np.asarray(tot_h), np.asarray(scores)
     while True:
         # ONE device_get for everything: over a remote-device link the
         # per-fetch round trip (~0.2-0.3 s) dominates the compact
