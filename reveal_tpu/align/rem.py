@@ -21,6 +21,8 @@ from __future__ import annotations
 import logging
 import os
 import uuid
+
+import numpy as np
 from typing import List, Optional, Tuple
 
 from ..core.io_fasta import fasta_reader
@@ -179,6 +181,11 @@ def _rem_device_loop(
         return None  # device chain arithmetic is int32-exact
     if cfg.minlength < 1:
         return None  # p-value stop needs the host picker
+    mode = os.environ.get("REVEAL_TPU_DEVLOOP_MODE", "hybrid")
+    if mode == "hybrid":
+        steps = _rem_device_hybrid(G, t, root, cfg)
+        if steps is not None:
+            return steps
     from ..index.devloop import rem_device_loop
 
     main = root.main
@@ -203,6 +210,85 @@ def _rem_device_loop(
         levels,
     )
     return len(anchors)
+
+
+def _rem_device_hybrid(
+    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
+):
+    """Host-prefix + device-forest split of the pairwise recursion.
+
+    The native engine runs every segment with more than ``defer_max``
+    enumerated candidates (the wide, decision-sequential top of the
+    recursion — exactly where the device's wavefront chain DP pays
+    per-round M^2 cost for little parallelism) and freezes each small
+    segment at its serial pop position; the whole residual forest then
+    runs as ONE device dispatch with every subtree advancing in
+    parallel (index/devloop.rem_device_forest).  Device subtrees are
+    spliced back at their placeholders, so the replayed anchor stream
+    — and the GFA — is byte-identical to the serial engine's.
+
+    Returns the anchor count, or None when ineligible or either stage
+    failed (T/SAi restored; caller falls back)."""
+    if not cfg.trim:
+        return None  # the device kernel always trims
+    try:
+        from ..native import rem2_defer_native
+    except Exception:
+        return None
+    from ..index.devloop import rem_device_forest
+
+    main = root.main
+    nsep0 = int(main.nsep[0])
+    defer_max = int(os.environ.get("REVEAL_TPU_DEFER_MAX", "96"))
+    if cfg.maxmums > 0:
+        defer_max = min(defer_max, int(cfg.maxmums))
+    T = main.T
+    SAi = main.SAi
+    t_snap = T.copy()
+    sai_snap = SAi.copy()
+    res = rem2_defer_native(
+        T, root.SA, root.LCP, SAi, nsep0, cfg.minlength, cfg.trim,
+        cfg.maxmums, int(cfg.wscore), float(cfg.wpen), cfg.pcutoff,
+        defer_max,
+    )
+    if res is None:
+        T[:] = t_snap
+        SAi[:] = sai_snap
+        return None
+    anchors, defers = res
+    dres = rem_device_forest(
+        T, defers, nsep0, cfg.minlength, cfg.maxmums,
+        int(cfg.wscore), int(cfg.wpen),
+    )
+    if dres is None:
+        T[:] = t_snap
+        SAi[:] = sai_snap
+        return None
+    subtrees, T_out, levels = dres
+    T[: len(T_out)] = T_out  # device lowercase additions
+    parts = []
+    for row in anchors:
+        if row[1] == -1 and row[2] == -1:
+            sub = subtrees.get(int(row[0]))
+            if sub is not None and len(sub):
+                parts.append(sub)
+        else:
+            parts.append(row[None, :])
+    allanch = (
+        np.concatenate(parts)
+        if parts
+        else np.zeros((0, 7), np.int64)
+    )
+    _rem2_replay(G, allanch)
+    log.debug(
+        "device hybrid: %d host+%d device anchors (%d deferred "
+        "segments, %d device levels), graph replayed",
+        len(anchors) - len(defers),
+        len(allanch) - (len(anchors) - len(defers)),
+        len(defers),
+        levels,
+    )
+    return len(allanch)
 
 
 def _rem2_native_loop(

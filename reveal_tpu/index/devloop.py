@@ -104,9 +104,18 @@ def _next_pow2(x: int) -> int:
     return 1 << max(1, int(math.ceil(math.log2(max(x, 2)))))
 
 
-def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
-    """One compiled variant per (npad, K, SMAX, ACAP, CCAP)."""
-    key = (npad, K, SMAX, ACAP, CCAP)
+def _build_kernel(
+    npad: int, K: int, SMAX: int, ACAP: int, CCAP: int, ntext=None
+):
+    """One compiled variant per (npad, K, SMAX, ACAP, CCAP, ntext).
+
+    npad is the SA/LCP slot count; ntext (defaults to npad) is the
+    padded text length — they differ in the forest case, where the
+    packed deferred slots are far fewer than the text positions they
+    point into."""
+    if ntext is None:
+        ntext = npad
+    key = (npad, K, SMAX, ACAP, CCAP, ntext)
     fn = _kern_cache.get(key)
     if fn is not None:
         return fn
@@ -277,9 +286,14 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
     # the fused level loop
     # ------------------------------------------------------------------
     @jax.jit
-    def run(T, SA, LCP, SEG, seg_tab, nsep0, minl, maxmums, ws, wp):
+    def run(
+        T, SA, LCP, SEG, seg_tab, nseg0, nsep0, minl, maxmums, ws, wp
+    ):
         """seg_tab: int32[SMAX, 8]: a_beg a_end b_beg b_end parent cls
-        ma mb (ma/mb = the parent's anchor begins, for repair)."""
+        ma mb (ma/mb = the parent's anchor begins, for repair).
+        nseg0 = live initial segments (1 for the root case, the forest
+        size in the deferred-hybrid case; roots carry parent = -2-did
+        so the host can splice each subtree at its placeholder)."""
 
         anchors0 = jnp.zeros((ACAP + 1, 9), i32)
         iar_n = jnp.arange(npad, dtype=i32)
@@ -779,8 +793,8 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
                 ((pos >= pma) & (pos < pma + pl))
                 | ((pos >= pmb) & (pos < pmb + pl))
             )
-            upmask = jnp.zeros(npad, dtype=bool)
-            upmask = upmask.at[jnp.where(in_match, pos, npad)].set(
+            upmask = jnp.zeros(ntext, dtype=bool)
+            upmask = upmask.at[jnp.where(in_match, pos, ntext)].set(
                 True, mode="drop"
             )
             isup = (T >= ord("A")) & (T <= ord("Z"))
@@ -983,7 +997,7 @@ def _build_kernel(npad: int, K: int, SMAX: int, ACAP: int, CCAP: int):
             cond,
             body,
             (
-                T, SA, LCP, SEG, seg_tab, jnp.int32(1), anchors0,
+                T, SA, LCP, SEG, seg_tab, jnp.int32(nseg0), anchors0,
                 jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.zeros(3, i32),
             ),
@@ -1087,7 +1101,7 @@ def rem_device_loop(
             npad, caps["K"], caps["SMAX"], caps["ACAP"], caps["CCAP"]
         )
         T_out, anchors, acount, abort, level, steps = fn(
-            T_p, SA_p, LCP_p, SEG_p, seg_tab,
+            T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(1),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
         )
@@ -1128,3 +1142,153 @@ def rem_device_loop(
         "device loop: %d anchors in %d levels", acount, int(level)
     )
     return out, T_out, int(level)
+
+def forest_pop_order(parents: np.ndarray, cls: np.ndarray):
+    """Per-root serial pop order for the deferred-forest kernel.
+
+    Root anchors carry parent = -2 - defer_id (see rem_device_forest);
+    returns {defer_id: index array} where each array is that subtree's
+    anchors in serial LIFO pop order (pre-order walk, trailing subtree
+    first — reveal.c:21-27,1295-1324)."""
+    A = len(parents)
+    lead = np.full(A, -1, np.int64)
+    trail = np.full(A, -1, np.int64)
+    roots = {}
+    for i in range(A):
+        p, c = int(parents[i]), int(cls[i])
+        if p < -1:
+            roots[-2 - p] = i
+        elif c == 1:
+            lead[p] = i
+        else:
+            trail[p] = i
+    out = {}
+    for did, root in roots.items():
+        order = []
+        stack = [root]
+        while stack:
+            t = stack.pop()
+            order.append(t)
+            if lead[t] >= 0:
+                stack.append(int(lead[t]))
+            if trail[t] >= 0:
+                stack.append(int(trail[t]))
+        out[did] = np.asarray(order, np.int64)
+    return out
+
+
+def rem_device_forest(
+    T: np.ndarray,
+    defers,
+    nsep0: int,
+    minlength: int,
+    maxmums: int,
+    wscore: int = 1,
+    wpen: int = 1,
+):
+    """Run the deferred small-segment forest on the device.
+
+    ``defers`` comes from native.rem2_defer_native: per deferred
+    segment ``(k, a_beg, a_end, b_beg, b_end, sa, lcp)`` with the
+    segment's frozen SA/LCP slices (text coordinates; the host already
+    ran every bigger segment and lowercased its matches, so T is the
+    correct enumerate state for every deferred root — live frontier
+    intervals are disjoint).  All segments are packed into one slot
+    array, seg ids 0..F-1, and the whole residual recursion runs as
+    ONE dispatch of the same fused kernel as rem_device_loop.
+
+    Returns ``(subtrees, T_out, levels)`` where subtrees maps defer id
+    -> (na_i, 7) int64 anchor records in that subtree's serial pop
+    order (ready to splice at the host's placeholder rows), or None on
+    abort (caller falls back to the host engine)."""
+    import jax
+
+    n = len(T)
+    total = int(sum(len(d[5]) for d in defers))
+    F = len(defers)
+    if F == 0:
+        return {}, np.asarray(T, np.uint8), 0
+    if n >= 2**30 or minlength < 1:
+        return None
+    npad = _next_pow2(max(total, 2))
+    ntext = _next_pow2(n)
+    sum_k = int(sum(d[0] for d in defers))
+    caps = {
+        "K": _next_pow2(max(1024, sum_k)),
+        "SMAX": _next_pow2(max(1024, 2 * F)),
+        "ACAP": max(4096, npad),
+        "CCAP": max(1024, npad // 256),
+    }
+
+    T_p = np.zeros(ntext, dtype=np.uint8)
+    T_p[:n] = np.asarray(T, dtype=np.uint8)
+    SA_p = np.full(npad, n - 1, dtype=np.int32)
+    LCP_p = np.zeros(npad, dtype=np.int32)
+    SEG_p = np.full(npad, -1, dtype=np.int32)
+    off = 0
+    for sid, (_k, _ab, _ae, _bb, _be, sa, lcp) in enumerate(defers):
+        sn = len(sa)
+        SA_p[off:off + sn] = sa
+        LCP_p[off:off + sn] = lcp
+        LCP_p[off] = 0  # first-slot LCP is per-segment 0 (split3)
+        SEG_p[off:off + sn] = sid
+        off += sn
+
+    dispatches = 0
+    for _attempt in range(5):
+        if F > caps["SMAX"]:
+            caps["SMAX"] = _next_pow2(F)
+        seg_tab = np.zeros((caps["SMAX"], 8), dtype=np.int32)
+        for sid, (_k, ab, ae, bb, be, _sa, _lcp) in enumerate(defers):
+            seg_tab[sid] = (ab, ae, bb, be, -2 - sid, 0, -1, -1)
+        fn = _build_kernel(
+            npad, caps["K"], caps["SMAX"], caps["ACAP"], caps["CCAP"],
+            ntext=ntext,
+        )
+        T_out, anchors, acount, abort, level, steps = fn(
+            T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(F),
+            np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
+            np.int32(wscore), np.int32(wpen),
+        )
+        dispatches += 1
+        abort = int(abort)
+        if abort in _RETRYABLE:
+            cap = _RETRYABLE[abort]
+            caps[cap] *= 2
+            log.info(
+                "device forest: %s overflow, retrying with %s=%d",
+                cap, cap, caps[cap],
+            )
+            continue
+        break
+
+    acount = int(acount)
+    steps = np.asarray(steps)
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        levels=int(level), dispatches=dispatches, anchors=acount,
+        abort=abort, forest=F, slots=total,
+        trim_steps=int(steps[0]), chain_steps=int(steps[1]),
+        repair_steps=int(steps[2]),
+    )
+    if abort:
+        log.info(
+            "device forest aborted (code %d) — host fallback", abort
+        )
+        return None
+    anchors = np.asarray(jax.device_get(anchors))[:acount].astype(
+        np.int64
+    )
+    T_out = np.asarray(jax.device_get(T_out))[:n]
+    if acount == 0:
+        return {}, T_out, 0
+    orders = forest_pop_order(anchors[:, 7], anchors[:, 8])
+    subtrees = {
+        did: anchors[idx][:, [0, 1, 2, 3, 4, 5, 6]]
+        for did, idx in orders.items()
+    }
+    log.debug(
+        "device forest: %d anchors over %d roots in %d levels",
+        acount, F, int(level),
+    )
+    return subtrees, T_out, int(level)

@@ -243,6 +243,17 @@ def get_lib():
                 + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]
                 + [ctypes.POINTER(ctypes.c_void_p)]
             )
+        for nm in ("rtpu_rem2_defer64", "rtpu_rem2_defer32"):
+            fn = getattr(lib, nm)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = (
+                [ctypes.c_void_p] * 4
+                + [ctypes.c_int64] * 3
+                + [ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+                + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]
+                + [ctypes.POINTER(ctypes.c_void_p)] * 2
+                + [ctypes.c_void_p]
+            )
         lib.rtpu_pairhmm_post_batch.restype = None
         lib.rtpu_pairhmm_post_batch.argtypes = (
             [ctypes.c_void_p] * 4
@@ -602,6 +613,93 @@ def rem2_loop_native(
         return np.array(buf, dtype=np.int64).reshape(na, 7)
     finally:
         lib.rtpu_free(out_ptr)
+
+
+def rem2_defer_native(
+    T, SA, LCP, SAi, nsep0, minlength, trim, maxmums, wscore, wpen,
+    pcutoff, defer_max,
+):
+    """Host-prefix pairwise recursion with small-segment deferral
+    (rem2_loop defer_max in esa.cpp): segments whose enumerated
+    candidate count is <= defer_max are not recursed into; a
+    placeholder anchor row (l == -1, ma = defer id) marks each one's
+    serial pop position and its frozen state comes back for the device
+    whole-recursion kernel (index/devloop.rem_device_forest).
+
+    Returns ``(anchors, defers)`` where anchors is an (na, 7) int64
+    array in pop order (placeholder rows included) and defers is a
+    list of ``(k, a_beg, a_end, b_beg, b_end, sa, lcp)`` per deferred
+    segment, ordered by defer id; or None on a pick defer / missing
+    library — T and SAi are mutated (matched lowercase, child slots),
+    so callers must snapshot and restore them before falling back."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(SA)
+    dt = np.int32 if SA.dtype == np.int32 else np.int64
+    if (
+        LCP.dtype != dt
+        or SAi.dtype != dt
+        or not SA.flags["C_CONTIGUOUS"]
+        or not LCP.flags["C_CONTIGUOUS"]
+        or not SAi.flags["C_CONTIGUOUS"]
+        or not T.flags["C_CONTIGUOUS"]
+    ):
+        return None
+    fn = (
+        lib.rtpu_rem2_defer32 if dt == np.int32 else lib.rtpu_rem2_defer64
+    )
+    out_ptr = ctypes.c_void_p()
+    def_ptr = ctypes.c_void_p()
+    def_len = np.zeros(1, dtype=np.int64)
+    na = fn(
+        T.ctypes.data,
+        SA.ctypes.data,
+        LCP.ctypes.data,
+        SAi.ctypes.data,
+        ctypes.c_int64(n),
+        ctypes.c_int64(nsep0),
+        ctypes.c_int64(minlength),
+        ctypes.c_int(1 if trim else 0),
+        ctypes.c_int64(maxmums),
+        ctypes.c_int64(wscore),
+        ctypes.c_double(wpen),
+        ctypes.c_double(pcutoff),
+        ctypes.c_int64(defer_max),
+        ctypes.byref(out_ptr),
+        ctypes.byref(def_ptr),
+        def_len.ctypes.data,
+    )
+    if na < 0:
+        if def_ptr.value:
+            lib.rtpu_free(def_ptr)
+        return None
+    try:
+        if na == 0:
+            anchors = np.empty((0, 7), dtype=np.int64)
+        else:
+            buf = (ctypes.c_int64 * (na * 7)).from_address(out_ptr.value)
+            anchors = np.array(buf, dtype=np.int64).reshape(na, 7)
+        dlen = int(def_len[0])
+        defers = []
+        if dlen:
+            dbuf = np.frombuffer(
+                (ctypes.c_int64 * dlen).from_address(def_ptr.value),
+                dtype=np.int64,
+            )
+            off = 0
+            while off < dlen:
+                sn = int(dbuf[off])
+                k, ab, ae, bb, be = (int(v) for v in dbuf[off + 1:off + 6])
+                sa = dbuf[off + 6:off + 6 + sn].copy()
+                lcp = dbuf[off + 6 + sn:off + 6 + 2 * sn].copy()
+                defers.append((k, ab, ae, bb, be, sa, lcp))
+                off += 6 + 2 * sn
+        return anchors, defers
+    finally:
+        lib.rtpu_free(out_ptr)
+        if def_ptr.value:
+            lib.rtpu_free(def_ptr)
 
 
 def split3_native(SA, LCP, D_sa, SAi):

@@ -1272,7 +1272,17 @@ template <typename Index>
 int64_t rem2_loop(uint8_t* T, const Index* SA, const Index* LCP,
                   Index* SAi, int64_t n, int64_t nsep0, int64_t minlength,
                   int do_trim, int64_t maxmums, int64_t wscore,
-                  double wpen, double pcutoff, int64_t** out_anchors) {
+                  double wpen, double pcutoff, int64_t** out_anchors,
+                  // defer_max > 0: segments whose candidate count is
+                  // <= defer_max are NOT recursed into; instead a
+                  // placeholder record {defer_id, -1, -1, bounds} goes
+                  // into the anchor stream (marking the serial pop
+                  // position) and the segment's state is appended to
+                  // *out_defer as [n, k, aBeg, aEnd, bBeg, bEnd, SA[n],
+                  // LCP[n]] — the device whole-recursion kernel takes
+                  // the deferred forest as its level-0 frontier.
+                  int64_t defer_max = 0,
+                  std::vector<int64_t>* out_defer = nullptr) {
   const int64_t lenA = nsep0;              // A = T[0, nsep0), '$' at nsep0
   const int64_t lenB = n - nsep0 - 2;      // B = T[nsep0+1, n-1)
   const int64_t bOff = nsep0 + 1;          // B text start
@@ -1284,6 +1294,7 @@ int64_t rem2_loop(uint8_t* T, const Index* SA, const Index* LCP,
   std::vector<int64_t> l64, a64, b64;       // pick scratch (int64 view)
   std::vector<Index> eml, ema, emb;         // enum scratch
   int64_t skip_counts[2];
+  int64_t n_defer = 0;
 
   stack.push_back(Rem2Seg<Index>{nullptr, nullptr, nullptr, n, 0, lenA,
                                  bOff, bOff + lenB, -1, -1, lenA, lenB,
@@ -1329,6 +1340,21 @@ int64_t rem2_loop(uint8_t* T, const Index* SA, const Index* LCP,
       cb = emb.data();
     }
     if (k == 0) {
+      seg_free(seg);
+      continue;
+    }
+
+    if (defer_max > 0 && k <= defer_max && out_defer != nullptr) {
+      const int64_t did = n_defer++;
+      anchors.insert(anchors.end(), {did, -1, -1, seg.aBeg, seg.aEnd,
+                                     seg.bBeg, seg.bEnd});
+      out_defer->insert(out_defer->end(),
+                        {seg.n, k, seg.aBeg, seg.aEnd, seg.bBeg,
+                         seg.bEnd});
+      for (int64_t i = 0; i < seg.n; i++)
+        out_defer->push_back((int64_t)ssa[i]);
+      for (int64_t i = 0; i < seg.n; i++)
+        out_defer->push_back((int64_t)slcp[i]);
       seg_free(seg);
       continue;
     }
@@ -2708,6 +2734,58 @@ int64_t rtpu_rem2_loop32(uint8_t* T, const int32_t* SA, const int32_t* LCP,
   }
   return rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim, maxmums,
                    wscore, wpen, pcutoff, out_anchors);
+}
+
+// rem2 with deferral: the host runs the big-candidate prefix of the
+// recursion, small segments are returned for the device kernel.
+// out_defer gets a malloc'd flat buffer (caller frees via rtpu_free):
+// per deferred segment [n, k, aBeg, aEnd, bBeg, bEnd, SA[n], LCP[n]].
+int64_t rtpu_rem2_defer32(uint8_t* T, const int32_t* SA,
+                          const int32_t* LCP, int32_t* SAi, int64_t n,
+                          int64_t nsep0, int64_t minlength, int do_trim,
+                          int64_t maxmums, int64_t wscore, double wpen,
+                          double pcutoff, int64_t defer_max,
+                          int64_t** out_anchors, int64_t** out_defer,
+                          int64_t* out_defer_len) {
+  std::vector<int64_t> defer;
+  int64_t na = rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim,
+                         maxmums, wscore, wpen, pcutoff, out_anchors,
+                         defer_max, &defer);
+  if (na < 0) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return na;
+  }
+  int64_t* buf = (int64_t*)std::malloc(
+      (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
+  *out_defer = buf;
+  *out_defer_len = (int64_t)defer.size();
+  return na;
+}
+
+int64_t rtpu_rem2_defer64(uint8_t* T, const int64_t* SA,
+                          const int64_t* LCP, int64_t* SAi, int64_t n,
+                          int64_t nsep0, int64_t minlength, int do_trim,
+                          int64_t maxmums, int64_t wscore, double wpen,
+                          double pcutoff, int64_t defer_max,
+                          int64_t** out_anchors, int64_t** out_defer,
+                          int64_t* out_defer_len) {
+  std::vector<int64_t> defer;
+  int64_t na = rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim,
+                         maxmums, wscore, wpen, pcutoff, out_anchors,
+                         defer_max, &defer);
+  if (na < 0) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return na;
+  }
+  int64_t* buf = (int64_t*)std::malloc(
+      (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
+  *out_defer = buf;
+  *out_defer_len = (int64_t)defer.size();
+  return na;
 }
 
 void rtpu_free(void* p) { std::free(p); }

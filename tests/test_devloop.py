@@ -39,7 +39,12 @@ def _mutate(base, rng, nmut, indels=True):
     return "".join(mut)
 
 
-def _run_both(tmp_path, seqa, seqb, **kw):
+def _run_both(tmp_path, seqa, seqb, mode="full", **kw):
+    """Host-engine vs device GFA bytes; mode selects the device path
+    (full = one-dispatch whole recursion, hybrid = host prefix +
+    deferred device forest)."""
+    import reveal_tpu.align.rem as remmod
+
     fa1 = str(tmp_path / "a.fa")
     fa2 = str(tmp_path / "b.fa")
     fasta_writer(fa1, [("a", seqa)])
@@ -53,56 +58,77 @@ def _run_both(tmp_path, seqa, seqb, **kw):
     b1 = _gfa_bytes(G1, idx1.main.T, tmp_path, "h.gfa")
 
     calls = []
-    orig = devloop.rem_device_loop
+    if mode == "hybrid":
+        orig = remmod._rem_device_hybrid
 
-    def spy(*a, **k):
-        res = orig(*a, **k)
-        calls.append(res is not None)
-        return res
+        def spy(*a, **k):
+            res = orig(*a, **k)
+            calls.append(res is not None)
+            return res
 
-    devloop.rem_device_loop = spy
+        remmod._rem_device_hybrid = spy
+    else:
+        orig = devloop.rem_device_loop
+
+        def spy(*a, **k):
+            res = orig(*a, **k)
+            calls.append(res is not None)
+            return res
+
+        devloop.rem_device_loop = spy
+    os.environ["REVEAL_TPU_DEVLOOP_MODE"] = mode
     try:
         G2, idx2 = align_genomes(
             [fa1, fa2], backend="np", frontier=True, **kw
         )
     finally:
-        devloop.rem_device_loop = orig
+        del os.environ["REVEAL_TPU_DEVLOOP_MODE"]
+        if mode == "hybrid":
+            remmod._rem_device_hybrid = orig
+        else:
+            devloop.rem_device_loop = orig
     b2 = _gfa_bytes(G2, idx2.main.T, tmp_path, "d.gfa")
     return b1, b2, idx1, idx2, calls
 
 
+@pytest.mark.parametrize("mode", ["full", "hybrid"])
 @pytest.mark.parametrize("seed,n,nmut", [(3, 2000, 25), (7, 5000, 60)])
-def test_devloop_gfa_byte_identical(tmp_path, seed, n, nmut):
+def test_devloop_gfa_byte_identical(tmp_path, seed, n, nmut, mode):
     rng = np.random.default_rng(seed)
     base = "".join(rng.choice(list("ACGT"), size=n))
     mut = _mutate(base, rng, nmut)
-    b1, b2, idx1, idx2, calls = _run_both(tmp_path, base, mut)
+    b1, b2, idx1, idx2, calls = _run_both(tmp_path, base, mut, mode=mode)
     assert calls == [True], "device loop did not engage"
     assert b1 == b2
     assert np.array_equal(idx1.main.T, idx2.main.T)
 
 
-def test_devloop_identical_sequences(tmp_path):
+@pytest.mark.parametrize("mode", ["full", "hybrid"])
+def test_devloop_identical_sequences(tmp_path, mode):
     rng = np.random.default_rng(11)
     s = "".join(rng.choice(list("ACGT"), size=800))
-    b1, b2, _, _, calls = _run_both(tmp_path, s, s)
+    b1, b2, _, _, calls = _run_both(tmp_path, s, s, mode=mode)
     assert calls == [True]
     assert b1 == b2
 
 
-def test_devloop_no_matches(tmp_path):
+@pytest.mark.parametrize("mode", ["full", "hybrid"])
+def test_devloop_no_matches(tmp_path, mode):
     # no shared 20-mers: nothing to anchor, zero-anchor replay
-    b1, b2, _, _, calls = _run_both(tmp_path, "A" * 400, "C" * 400)
+    b1, b2, _, _, calls = _run_both(
+        tmp_path, "A" * 400, "C" * 400, mode=mode
+    )
     assert calls == [True]
     assert b1 == b2
 
 
-def test_devloop_short_minlength(tmp_path):
+@pytest.mark.parametrize("mode", ["full", "hybrid"])
+def test_devloop_short_minlength(tmp_path, mode):
     rng = np.random.default_rng(13)
     base = "".join(rng.choice(list("ACGT"), size=600))
     mut = _mutate(base, rng, 12)
     b1, b2, _, _, calls = _run_both(
-        tmp_path, base, mut, minlength=8
+        tmp_path, base, mut, minlength=8, mode=mode
     )
     assert calls == [True]
     assert b1 == b2
@@ -141,7 +167,8 @@ def test_pop_order_tree():
     assert devloop.pop_order(parents, cls).tolist() == [0, 2, 3, 1, 4]
 
 
-def test_devloop_fixture_1a1b(tmp_path):
+@pytest.mark.parametrize("mode", ["full", "hybrid"])
+def test_devloop_fixture_1a1b(tmp_path, mode):
     fa1 = "/root/reference/tests/1a.fa"
     fa2 = "/root/reference/tests/1b.fa"
     if not os.path.exists(fa1):  # pragma: no cover
@@ -153,7 +180,11 @@ def test_devloop_fixture_1a1b(tmp_path):
     finally:
         del os.environ["REVEAL_TPU_DISABLE_DEVLOOP"]
     b1 = _gfa_bytes(G1, idx1.main.T, tmp_path, "h.gfa")
-    G2, idx2 = align_genomes([fa1, fa2], backend="np", frontier=True)
+    os.environ["REVEAL_TPU_DEVLOOP_MODE"] = mode
+    try:
+        G2, idx2 = align_genomes([fa1, fa2], backend="np", frontier=True)
+    finally:
+        del os.environ["REVEAL_TPU_DEVLOOP_MODE"]
     b2 = _gfa_bytes(G2, idx2.main.T, tmp_path, "d.gfa")
     # the device loop must actually have run (abort falls back to the
     # host engine and would make this test pass vacuously)
@@ -162,8 +193,9 @@ def test_devloop_fixture_1a1b(tmp_path):
     assert np.array_equal(idx1.main.T, idx2.main.T)
 
 
+@pytest.mark.parametrize("mode", ["full", "hybrid"])
 @pytest.mark.parametrize("seed", [5, 19])
-def test_devloop_repetitive_content(tmp_path, seed):
+def test_devloop_repetitive_content(tmp_path, seed, mode):
     """Tandem repeats stress the deep repair-lookback path (long
     LCP>=thr runs force the whole-array cond fallback) and tmpw ties in
     the chain winner selection; output must stay byte-identical and
@@ -175,7 +207,7 @@ def test_devloop_repetitive_content(tmp_path, seed):
     base = (unit * 120) + "".join(rng.choice(list("ACGT"), size=1500))
     base += unit * 10
     mut = _mutate(base, rng, 60)
-    b1, b2, _, _, calls = _run_both(tmp_path, base, mut)
+    b1, b2, _, _, calls = _run_both(tmp_path, base, mut, mode=mode)
     assert calls == [True]
     assert devloop.LAST_STATS.get("abort") == 0, devloop.LAST_STATS
     assert b1 == b2
