@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 
 import numpy as np
 
@@ -78,11 +79,15 @@ ABORT_REPAIR_OVERFLOW = 6   # more repair candidates than CCAP in a pass
 ABORT_MAXMUMS = 7           # a segment exceeded maxmums candidates
 ABORT_CHAIN_ROUNDS = 8      # chain wavefront exceeded the round cap
 ABORT_REPAIR_WINDOW = 9     # a repair insertion point escaped the window
+ABORT_SEG_WIDTH = 10        # a segment exceeded the dense chain width CW
 
 _LMAX = 512
 _RMAX = 384     # chain wavefront rounds per level
 _WREP = 4096    # repair window lookback (insertion point must be inside)
-_RB = 8         # repair candidates resolved per iteration
+_RB = 32        # repair candidates resolved per iteration (crossing
+                # suffixes are spread over disjoint segments, so the
+                # ascending-q disjointness filter accepts nearly the
+                # whole batch; 8 -> 32 cut 2a2b repair iterations ~4x)
 
 # capacity aborts that a re-dispatch with a doubled capacity can fix
 _RETRYABLE = {
@@ -90,6 +95,7 @@ _RETRYABLE = {
     ABORT_SEG_OVERFLOW: "SMAX",
     ABORT_ANCHOR_OVERFLOW: "ACAP",
     ABORT_REPAIR_OVERFLOW: "CCAP",
+    ABORT_SEG_WIDTH: "CW",
 }
 
 # stats of the most recent rem_device_loop call (bench/diagnostics):
@@ -105,17 +111,22 @@ def _next_pow2(x: int) -> int:
 
 
 def _build_kernel(
-    npad: int, K: int, SMAX: int, ACAP: int, CCAP: int, ntext=None
+    npad: int, K: int, SMAX: int, ACAP: int, CCAP: int, ntext=None,
+    chain_width=None,
 ):
-    """One compiled variant per (npad, K, SMAX, ACAP, CCAP, ntext).
+    """One compiled variant per (npad, K, SMAX, ACAP, CCAP, ntext,
+    chain_width).
 
     npad is the SA/LCP slot count; ntext (defaults to npad) is the
     padded text length — they differ in the forest case, where the
     packed deferred slots are far fewer than the text positions they
-    point into."""
+    point into.  chain_width selects the dense (SMAX, CW+1) chain/pick
+    formulation (forest path, every segment bounded by CW candidates);
+    None keeps the flat M-row wavefront (single-root path)."""
     if ntext is None:
         ntext = npad
-    key = (npad, K, SMAX, ACAP, CCAP, ntext)
+    CW = chain_width
+    key = (npad, K, SMAX, ACAP, CCAP, ntext, CW)
     fn = _kern_cache.get(key)
     if fn is not None:
         return fn
@@ -283,11 +294,575 @@ def _build_kernel(
         return seg, newl, a + front, b + front, n_alive
 
     # ------------------------------------------------------------------
+    # chain + pick, flat M-row formulation (single-root path: one
+    # segment may hold thousands of candidates, so per-segment rows
+    # are unbounded and the wavefront/runs machinery is required)
+    # ------------------------------------------------------------------
+    def chain_flat(cseg, cl, caa, cbb, seg_tab, seg_live, abort,
+                   steps, ws, wp):
+        iar_m = jnp.arange(M, dtype=i32)
+        sarange = jnp.arange(SMAX, dtype=i32)
+        # ---- chain DP (schemes.py:20-104), values-first -----------
+        # one right-pseudo row per live segment: l=0 at (a_end,
+        # b_end); candidates have a < a_end so the pseudo sorts last
+        # within its segment
+        gseg = jnp.concatenate(
+            [cseg, jnp.where(seg_live, sarange, BIG)]
+        )
+        gl = jnp.concatenate([cl, jnp.zeros(SMAX, i32)])
+        ga = jnp.concatenate(
+            [caa, jnp.where(seg_live, seg_tab[:, 1], 0)]
+        )
+        gb = jnp.concatenate(
+            [cbb, jnp.where(seg_live, seg_tab[:, 3], 0)]
+        )
+        gpseudo = jnp.concatenate(
+            [jnp.zeros(K, i32), jnp.ones(SMAX, i32)]
+        )
+        gseg, gl, ga, gb, gpseudo = sort_by(
+            (gseg, jnp.where(gseg < BIG, ga, BIG), iar_m),
+            (gseg, gl, ga, gb, gpseudo),
+        )
+        galive = gseg < BIG
+        # duplicate ref starts within a segment: the host resolves
+        # them through its dict-aliasing path; abort instead
+        dup = (
+            (gseg[1:] == gseg[:-1]) & (ga[1:] == ga[:-1])
+            & (gseg[1:] < BIG) & (gpseudo[1:] == 0)
+            & (gpseudo[:-1] == 0)
+        )
+        abort = jnp.where(
+            jnp.any(dup), jnp.int32(ABORT_DUP_REF), abort
+        )
+
+        gea = ga + gl
+        geb = gb + gl
+        gu = gea - geb
+        gv = ga - gb
+        gsc = jnp.clip(gseg, 0, SMAX - 1)
+        gla = seg_tab[gsc, 0] - 1   # left pseudo (text coords;
+        glb = seg_tab[gsc, 2] - 1   # gap costs shift-invariant)
+        gmul = ws * gl
+        dl_ = (ga - gla) - (gb - glb)
+        gwl = jnp.where(galive, gmul - wp * jnp.abs(dl_), NEG)
+
+        # runs: maximal blocks of consecutively-chainable rows where
+        # every in-run predecessor pair is exactly branch-1 of the
+        # |gap| split (u_j <= v_i with dominance, transitively)
+        gfirst = (gseg != shift1(gseg, -9)) & galive
+        chain_ok = (
+            (shift1(gea, BIG) <= ga) & (shift1(geb, BIG) <= gb)
+            & (shift1(gu, BIG) <= gv)
+        )
+        brk0 = (gfirst | ~chain_ok) & galive
+        pmu = seg_max_scan(gu, brk0)
+        brk = (brk0 | (shift1(pmu, BIG) > gv)) & galive
+        runid = jnp.cumsum(brk.astype(i32)) - 1
+        runid = jnp.where(galive, runid, -1)
+
+        # --- wavefront rounds: scores only -------------------------
+        def cc_blocked_out(score, done):
+            """Chunked candidate-x-candidate pass: per row i,
+            blocked = any compat pred neither done nor earlier in
+            i's run; outv = max over done compat preds of
+            score_j - wp*|v_i - u_j|."""
+            blocked = []
+            outv = []
+            for c in range(NCH):
+                sl = slice(c * CH, (c + 1) * CH)
+                seg_i = gseg[sl][:, None]
+                a_i = ga[sl][:, None]
+                b_i = gb[sl][:, None]
+                v_i = gv[sl][:, None]
+                r_i = runid[sl][:, None]
+                i_i = iar_m[sl][:, None]
+                compat = (
+                    (gseg[None, :] == seg_i) & galive[None, :]
+                    & (gea[None, :] <= a_i) & (geb[None, :] <= b_i)
+                    & (iar_m[None, :] < i_i)
+                )
+                inrun = (runid[None, :] == r_i) & (
+                    iar_m[None, :] < i_i
+                )
+                blocked.append(
+                    jnp.any(compat & ~done[None, :] & ~inrun, axis=1)
+                )
+                tw = jnp.where(
+                    compat & done[None, :],
+                    score[None, :]
+                    - wp * jnp.abs(v_i - gu[None, :]),
+                    NEG,
+                )
+                outv.append(jnp.max(tw, axis=1))
+            return jnp.concatenate(blocked), jnp.concatenate(outv)
+
+        def round_body(c):
+            score, done, rnd, rabort = c
+            blocked, outv = cc_blocked_out(score, done)
+            # commit = per-run prefix of unblocked undone rows
+            okrow = done | (~blocked & galive)
+            okpref = seg_min_scan(
+                okrow.astype(i32), brk
+            ) > 0
+            commit = galive & ~done & okpref
+            # value scan in phi-space: f(M) = max(M + P, Q).
+            # Exclusive segmented prefix: elements shift right by
+            # one, and positions at run starts become the reset
+            # element (0, NEG) so a run-start row sees an empty
+            # prefix rather than the previous run's tail.
+            base = jnp.maximum(gwl, outv + gmul)
+            psi = gmul - wp * (gv - gu)
+            P = jnp.where(commit, jnp.maximum(psi, 0), 0)
+            phi_done = score + wp * gu
+            Q = jnp.where(
+                done & galive, phi_done,
+                jnp.where(commit, base + wp * gu, NEG),
+            )
+
+            def comb_aff(x, y):
+                p1, q1, r1 = x
+                p2, q2, r2 = y
+                keep = ~r2
+                return (
+                    jnp.where(keep, jnp.minimum(p1 + p2, A30), p2),
+                    jnp.where(
+                        keep,
+                        jnp.maximum(q1 + p2, q2),
+                        q2,
+                    ),
+                    r1 | r2,
+                )
+
+            Pp = jnp.where(brk, 0, shift1(P, 0))
+            Qp = jnp.where(brk, NEG, shift1(Q, NEG))
+            Rp = brk | (iar_m == 0)
+            _, Qc, _ = jax.lax.associative_scan(
+                comb_aff, (Pp, Qp, Rp)
+            )
+            m_in = Qc  # applied to initial NEG: max(NEG+P, Q) = Q
+            # guard: an empty prefix (m_in = NEG) must not wrap
+            # int32 when the (possibly negative) row offset is added
+            sc_new = jnp.where(
+                m_in > NEG // 2,
+                jnp.maximum(base, m_in + gmul - wp * gv),
+                base,
+            )
+            score = jnp.where(commit, sc_new, score)
+            done = done | commit
+            progress = jnp.any(commit)
+            rabort = jnp.where(
+                progress, rabort, jnp.int32(ABORT_CHAIN_ROUNDS)
+            )
+            return score, done, rnd + 1, rabort
+
+        def round_cond(c):
+            score, done, rnd, rabort = c
+            return (
+                jnp.any(galive & ~done) & (rnd < _RMAX)
+                & (rabort == 0)
+            )
+
+        score, cdone, rounds, rabort = jax.lax.while_loop(
+            round_cond,
+            round_body,
+            (
+                jnp.zeros(M, i32), ~galive, jnp.int32(0),
+                jnp.int32(0),
+            ),
+        )
+        abort = jnp.where(
+            (abort == 0) & (rabort != 0), rabort, abort
+        )
+        abort = jnp.where(
+            (abort == 0) & jnp.any(galive & ~cdone),
+            jnp.int32(ABORT_CHAIN_ROUNDS),
+            abort,
+        )
+        steps = steps.at[1].add(rounds)
+
+        # --- act: geometric activation step (min dominating row) --
+        act_cols = []
+        for c in range(NCH):
+            sl = slice(c * CH, (c + 1) * CH)
+            seg_j = gseg[sl][None, :]
+            ea_j = gea[sl][None, :]
+            eb_j = geb[sl][None, :]
+            dom = (
+                (gseg[:, None] == seg_j) & galive[:, None]
+                & (ga[:, None] >= ea_j) & (gb[:, None] >= eb_j)
+            )
+            act_cols.append(
+                jnp.min(
+                    jnp.where(dom, iar_m[:, None], BIG), axis=0
+                )
+            )
+        act = jnp.concatenate(act_cols)
+        act = jnp.where(galive, act, BIG)
+
+        # --- links: exact winner reconstruction with all scores ----
+        # lex key (tmpw, score_j, -act_j, -row_j); the left pseudo
+        # wins ties per the reference's traversal order
+        # (schemes.py:64-87): wl > mx, or wl == mx and best tied
+        # score <= 0
+        link_parts = []
+        for c in range(NCH):
+            sl = slice(c * CH, (c + 1) * CH)
+            seg_i = gseg[sl][:, None]
+            a_i = ga[sl][:, None]
+            b_i = gb[sl][:, None]
+            v_i = gv[sl][:, None]
+            i_i = iar_m[sl][:, None]
+            compat = (
+                (gseg[None, :] == seg_i) & galive[None, :]
+                & (gea[None, :] <= a_i) & (geb[None, :] <= b_i)
+                & (iar_m[None, :] < i_i)
+            )
+            tw = jnp.where(
+                compat,
+                score[None, :] - wp * jnp.abs(v_i - gu[None, :]),
+                NEG,
+            )
+            mx = jnp.max(tw, axis=1)
+            t1 = tw == mx[:, None]
+            sc2 = jnp.where(t1, score[None, :], NEG)
+            mx2 = jnp.max(sc2, axis=1)
+            t2 = t1 & (sc2 == mx2[:, None])
+            # min (act, row): min act first, then first row among
+            # the act-minimal (argmax picks the first True)
+            a3 = jnp.where(t2, act[None, :], BIG)
+            amn = jnp.min(a3, axis=1)
+            t3 = t2 & (a3 == amn[:, None])
+            brow = jnp.argmax(t3, axis=1).astype(i32)
+            has = mx > NEG
+            wl_i = gwl[sl]
+            mxg = mx + gmul[sl]
+            use_left = (~has) | (wl_i > mxg) | (
+                (wl_i == mxg) & (mx2 <= 0)
+            )
+            link_parts.append(
+                jnp.where(use_left, jnp.int32(-1), brow)
+            )
+        link = jnp.concatenate(link_parts)
+        link = jnp.where(galive, link, jnp.int32(-2))
+
+        # ---- backtrack + largest (schemes.py:298-301) -------------
+        # pointer-doubling along link chains: per row, the best
+        # (strictly-greater wins, nearest wins ties) candidate l on
+        # the path from it to the left pseudo
+        is_pseudo = (gpseudo == 1) & galive
+        pseudo_pos = jax.ops.segment_max(
+            jnp.where(is_pseudo, iar_m, -1),
+            jnp.clip(gseg, 0, SMAX - 1),
+            num_segments=SMAX,
+        )
+        ptr0 = jnp.where(
+            seg_live & (pseudo_pos >= 0),
+            link[jnp.clip(pseudo_pos, 0, M - 1)],
+            jnp.int32(-1),
+        )
+        nxt = jnp.where(link >= 0, link, jnp.int32(M))
+        nxt = jnp.concatenate([nxt, jnp.full(1, M, i32)])
+        bl = jnp.concatenate(
+            [jnp.where(galive & (gpseudo == 0), gl, -1),
+             jnp.full(1, -1, i32)]
+        )
+        bs = jnp.concatenate([iar_m, jnp.full(1, -1, i32)])
+        def dbl_body(c):
+            bl, bs, nxt = c
+            bl2 = bl[nxt]
+            bs2 = bs[nxt]
+            take_far = bl2 > bl
+            bl = jnp.where(take_far, bl2, bl)
+            bs = jnp.where(take_far, bs2, bs)
+            return bl, bs, nxt[nxt]
+
+        # log-depth pointer doubling, stopping as soon as every
+        # chain has collapsed into the sentinel
+        bl, bs, nxt = jax.lax.while_loop(
+            lambda c: jnp.any(c[2][:M] != M),
+            dbl_body,
+            (bl, bs, nxt),
+        )
+        ptr0c = jnp.clip(ptr0, 0, M)
+        blp = jnp.where(ptr0 >= 0, bl[ptr0c], -1)
+        bsp = jnp.where((ptr0 >= 0) & (blp > -1), bs[ptr0c], -1)
+        # v1 semantics: walking from the pseudo, only rows with
+        # l > -1 beat the init; pseudo rows on the path have l=0
+        # which beats -1 — but the path starts at link[pseudo], and
+        # pseudo rows never appear as links of other rows' chains
+        # within a segment (their a >= every candidate end), so the
+        # chain contains candidates only.
+        bs_seg = bsp
+
+        # single-candidate segments bypass the chain entirely
+        # (picker __call__: len(relmums)==1)
+        candrow = jax.ops.segment_max(
+            jnp.where(galive & (gpseudo == 0), iar_m, -1),
+            jnp.clip(gseg, 0, SMAX - 1),
+            num_segments=SMAX,
+        )
+        candcnt = jax.ops.segment_sum(
+            (galive & (gpseudo == 0)).astype(i32),
+            jnp.clip(gseg, 0, SMAX - 1),
+            num_segments=SMAX,
+        )
+        single = seg_live & (candcnt == 1)
+        bs_seg = jnp.where(single, candrow, bs_seg)
+        picked = seg_live & (bs_seg >= 0)
+        bsc = jnp.clip(bs_seg, 0, M - 1)
+        s_l = jnp.where(picked, gl[bsc], 0)
+        s_ma = jnp.where(picked, ga[bsc], 0)
+        s_mb = jnp.where(picked, gb[bsc], 0)
+        return picked, s_l, s_ma, s_mb, abort, steps
+
+
+    # ------------------------------------------------------------------
+    # chain + pick, dense (SMAX, CW+1) formulation (forest path: every
+    # segment holds at most CW candidates, so the whole level's chain
+    # DP is a short sequential column scan advancing the rank-j
+    # candidate of EVERY segment together — no M x M passes, no
+    # wavefront).  Scores, traversal order and tie-breaks are exactly
+    # chain_flat's / the reference's (schemes.py:20-104).
+    # ------------------------------------------------------------------
+    def chain_dense(cseg, cl, caa, cbb, seg_tab, seg_live, abort,
+                    steps, ws, wp):
+        CW1 = CW + 1          # + pseudo column (always last)
+        iar = jnp.arange(K, dtype=i32)
+        cols = jnp.arange(CW1, dtype=i32)
+
+        # stable (seg, a) order; per-segment rank
+        cseg, cl, caa, cbb = sort_by(
+            (cseg, jnp.where(cseg < BIG, caa, BIG), iar),
+            (cseg, cl, caa, cbb),
+        )
+        alive = cseg < BIG
+        dup = (
+            (cseg[1:] == cseg[:-1]) & (caa[1:] == caa[:-1])
+            & (cseg[1:] < BIG)
+        )
+        abort = jnp.where(
+            jnp.any(dup), jnp.int32(ABORT_DUP_REF), abort
+        )
+        first = (cseg != shift1(cseg, -9)) & alive
+        firstpos = last_value_scan(jnp.where(first, iar, 0), first)
+        rank = jnp.where(alive, iar - firstpos, 0)
+        abort = jnp.where(
+            jnp.any(alive & (rank >= CW)),
+            jnp.int32(ABORT_SEG_WIDTH),
+            abort,
+        )
+        csc = jnp.clip(cseg, 0, SMAX - 1)
+        # dead rows get unique spill slots so the scatters stay
+        # honestly unique-indexed (collisions only under the
+        # ABORT_SEG_WIDTH retry, whose results are discarded)
+        didx = jnp.where(
+            alive,
+            csc * CW1 + jnp.minimum(rank, CW - 1),
+            SMAX * CW1 + iar,
+        )
+
+        def scat(v):
+            return (
+                jnp.zeros(SMAX * CW1 + K, i32)
+                .at[didx].set(v, unique_indices=True)[: SMAX * CW1]
+                .reshape(SMAX, CW1)
+            )
+
+        dA = scat(caa)
+        dB = scat(cbb)
+        dL = scat(cl)
+        dal = scat(alive.astype(i32))
+        dA = dA.at[:, CW].set(seg_tab[:, 1])
+        dB = dB.at[:, CW].set(seg_tab[:, 3])
+        dal = dal.at[:, CW].set(seg_live.astype(i32))
+        dalb = dal > 0
+        dEA = dA + dL
+        dEB = dB + dL
+        dU = dEA - dEB
+        dV = dA - dB
+        dmul = ws * dL
+        ddl = (dA - (seg_tab[:, 0] - 1)[:, None]) - (
+            dB - (seg_tab[:, 2] - 1)[:, None]
+        )
+        dwl = jnp.where(dalb, dmul - wp * jnp.abs(ddl), NEG)
+        candb = dalb & (cols[None, :] < CW)
+        candcnt = jnp.sum(candb.astype(i32), axis=1)
+
+        # act: min dominating column (the geometric activation step;
+        # the pseudo always dominates, so act <= CW for live columns)
+        CB = 16
+        act_parts = []
+        for c0 in range(0, CW1, CB):
+            ce = min(c0 + CB, CW1)
+            dom = (
+                (dA[:, None, :] >= dEA[:, c0:ce, None])
+                & (dB[:, None, :] >= dEB[:, c0:ce, None])
+                & dalb[:, None, :]
+            )
+            act_parts.append(
+                jnp.min(
+                    jnp.where(dom, cols[None, None, :], BIG), axis=2
+                )
+            )
+        dact = jnp.concatenate(act_parts, axis=1)
+
+        # scores: sequential pass over candidate columns, early exit
+        # at the widest live segment
+        maxcnt = jnp.max(jnp.where(seg_live, candcnt, 0))
+
+        def col_body(st):
+            score, j = st
+            a_j = jax.lax.dynamic_index_in_dim(
+                dA, j, axis=1, keepdims=False
+            )
+            b_j = jax.lax.dynamic_index_in_dim(
+                dB, j, axis=1, keepdims=False
+            )
+            l_j = jax.lax.dynamic_index_in_dim(
+                dL, j, axis=1, keepdims=False
+            )
+            wl_j = jax.lax.dynamic_index_in_dim(
+                dwl, j, axis=1, keepdims=False
+            )
+            al_j = jax.lax.dynamic_index_in_dim(
+                dalb, j, axis=1, keepdims=False
+            )
+            v_j = a_j - b_j
+            compat = (
+                dalb
+                & (dEA <= a_j[:, None])
+                & (dEB <= b_j[:, None])
+                & (cols[None, :] < j)
+            )
+            tw = jnp.where(
+                compat,
+                score - wp * jnp.abs(v_j[:, None] - dU),
+                NEG,
+            )
+            mx = jnp.max(tw, axis=1)
+            sc_new = jnp.maximum(
+                wl_j,
+                jnp.where(mx > NEG // 2, mx + ws * l_j, NEG),
+            )
+            sc_new = jnp.where(al_j, sc_new, NEG)
+            score = jax.lax.dynamic_update_index_in_dim(
+                score, sc_new, j, axis=1
+            )
+            return score, j + 1
+
+        score, rounds = jax.lax.while_loop(
+            lambda st: st[1] < maxcnt,
+            col_body,
+            (jnp.full((SMAX, CW1), NEG, i32), jnp.int32(0)),
+        )
+        steps = steps.at[1].add(rounds)
+
+        # links: exact winner reconstruction, lex key
+        # (tmpw, score_j, -act_j, -col_j); left pseudo wins per the
+        # reference's traversal order (schemes.py:64-87)
+        link_parts = []
+        for c0 in range(0, CW1, CB):
+            ce = min(c0 + CB, CW1)
+            compat = (
+                dalb[:, None, :]
+                & (dEA[:, None, :] <= dA[:, c0:ce, None])
+                & (dEB[:, None, :] <= dB[:, c0:ce, None])
+                & (cols[None, None, :] < cols[None, c0:ce, None])
+            )
+            tw = jnp.where(
+                compat,
+                score[:, None, :]
+                - wp * jnp.abs(dV[:, c0:ce, None] - dU[:, None, :]),
+                NEG,
+            )
+            mx = jnp.max(tw, axis=2)
+            t1 = tw == mx[:, :, None]
+            sc2 = jnp.where(t1, score[:, None, :], NEG)
+            mx2 = jnp.max(sc2, axis=2)
+            t2 = t1 & (sc2 == mx2[:, :, None])
+            a3 = jnp.where(t2, dact[:, None, :], BIG)
+            amn = jnp.min(a3, axis=2)
+            t3 = t2 & (a3 == amn[:, :, None])
+            brow = jnp.argmax(t3, axis=2).astype(i32)
+            has = mx > NEG
+            wl_b = dwl[:, c0:ce]
+            mxg = mx + dmul[:, c0:ce]
+            use_left = (
+                (~has) | (wl_b > mxg) | ((wl_b == mxg) & (mx2 <= 0))
+            )
+            link_parts.append(
+                jnp.where(use_left, jnp.int32(-1), brow)
+            )
+        dlink = jnp.concatenate(link_parts, axis=1)
+        dlink = jnp.where(dalb, dlink, jnp.int32(-2))
+
+        # backtrack + largest (schemes.py:298-301): pointer doubling
+        # along link chains, sentinel column CW1
+        def pad(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((SMAX, 1), fill, i32)], axis=1
+            )
+
+        nxt = pad(
+            jnp.where(dlink >= 0, dlink, jnp.int32(CW1)), CW1
+        )
+        bl = pad(jnp.where(candb, dL, -1), -1)
+        bs = pad(
+            jnp.broadcast_to(cols[None, :], (SMAX, CW1)).astype(i32),
+            -1,
+        )
+
+        def dbl_body(c):
+            bl, bs, nxt = c
+            bl2 = jnp.take_along_axis(bl, nxt, axis=1)
+            bs2 = jnp.take_along_axis(bs, nxt, axis=1)
+            take_far = bl2 > bl
+            bl = jnp.where(take_far, bl2, bl)
+            bs = jnp.where(take_far, bs2, bs)
+            return bl, bs, jnp.take_along_axis(nxt, nxt, axis=1)
+
+        bl, bs, nxt = jax.lax.while_loop(
+            lambda c: jnp.any(c[2][:, :CW1] != CW1),
+            dbl_body,
+            (bl, bs, nxt),
+        )
+        ptr0 = jnp.where(seg_live, dlink[:, CW], jnp.int32(-1))
+        ptr0c = jnp.clip(ptr0, 0, CW1)[:, None]
+        blp = jnp.where(
+            ptr0 >= 0,
+            jnp.take_along_axis(bl, ptr0c, axis=1)[:, 0],
+            -1,
+        )
+        bsp = jnp.where(
+            (ptr0 >= 0) & (blp > -1),
+            jnp.take_along_axis(bs, ptr0c, axis=1)[:, 0],
+            -1,
+        )
+        bs_seg = bsp
+        # single-candidate segments bypass the chain entirely
+        # (picker __call__: len(relmums)==1); the candidate is rank 0
+        single = seg_live & (candcnt == 1)
+        bs_seg = jnp.where(single, 0, bs_seg)
+        picked = seg_live & (bs_seg >= 0)
+        bsc = jnp.clip(bs_seg, 0, CW1 - 1)[:, None]
+        s_l = jnp.where(
+            picked, jnp.take_along_axis(dL, bsc, axis=1)[:, 0], 0
+        )
+        s_ma = jnp.where(
+            picked, jnp.take_along_axis(dA, bsc, axis=1)[:, 0], 0
+        )
+        s_mb = jnp.where(
+            picked, jnp.take_along_axis(dB, bsc, axis=1)[:, 0], 0
+        )
+        return picked, s_l, s_ma, s_mb, abort, steps
+
+    # ------------------------------------------------------------------
     # the fused level loop
     # ------------------------------------------------------------------
     @jax.jit
     def run(
-        T, SA, LCP, SEG, seg_tab, nseg0, nsep0, minl, maxmums, ws, wp
+        T, SA, LCP, SEG, seg_tab, nseg0, nsep0, minl, maxmums, ws, wp,
+        dbg,
     ):
         """seg_tab: int32[SMAX, 8]: a_beg a_end b_beg b_end parent cls
         ma mb (ma/mb = the parent's anchor begins, for repair).
@@ -303,7 +878,10 @@ def _build_kernel(
 
         def cond(st):
             nseg, abort, level = st[5], st[8], st[9]
-            return (nseg > 0) & (abort == 0) & (level < _LMAX)
+            # dbg >= 2 caps the level count at dbg-2 (timing
+            # attribution only — output is truncated)
+            lcap = jnp.where(dbg >= 2, dbg - 2, jnp.int32(_LMAX))
+            return (nseg > 0) & (abort == 0) & (level < lcap)
 
         def body(st):
             (T, SA, LCP, SEG, seg_tab, nseg, anchors, acount, abort,
@@ -360,318 +938,12 @@ def _build_kernel(
             cseg, cl, caa, cbb, na1 = trim_dim(cseg, cl, caa, cbb, 1)
             steps = steps.at[0].add(na1)
 
-            # ---- chain DP (schemes.py:20-104), values-first -----------
-            # one right-pseudo row per live segment: l=0 at (a_end,
-            # b_end); candidates have a < a_end so the pseudo sorts last
-            # within its segment
             seg_live = sarange < nseg
-            gseg = jnp.concatenate(
-                [cseg, jnp.where(seg_live, sarange, BIG)]
+            chain = chain_flat if CW is None else chain_dense
+            (picked, s_l, s_ma, s_mb, abort, steps) = chain(
+                cseg, cl, caa, cbb, seg_tab, seg_live, abort, steps,
+                ws, wp,
             )
-            gl = jnp.concatenate([cl, jnp.zeros(SMAX, i32)])
-            ga = jnp.concatenate(
-                [caa, jnp.where(seg_live, seg_tab[:, 1], 0)]
-            )
-            gb = jnp.concatenate(
-                [cbb, jnp.where(seg_live, seg_tab[:, 3], 0)]
-            )
-            gpseudo = jnp.concatenate(
-                [jnp.zeros(K, i32), jnp.ones(SMAX, i32)]
-            )
-            gseg, gl, ga, gb, gpseudo = sort_by(
-                (gseg, jnp.where(gseg < BIG, ga, BIG), iar_m),
-                (gseg, gl, ga, gb, gpseudo),
-            )
-            galive = gseg < BIG
-            # duplicate ref starts within a segment: the host resolves
-            # them through its dict-aliasing path; abort instead
-            dup = (
-                (gseg[1:] == gseg[:-1]) & (ga[1:] == ga[:-1])
-                & (gseg[1:] < BIG) & (gpseudo[1:] == 0)
-                & (gpseudo[:-1] == 0)
-            )
-            abort = jnp.where(
-                jnp.any(dup), jnp.int32(ABORT_DUP_REF), abort
-            )
-
-            gea = ga + gl
-            geb = gb + gl
-            gu = gea - geb
-            gv = ga - gb
-            gsc = jnp.clip(gseg, 0, SMAX - 1)
-            gla = seg_tab[gsc, 0] - 1   # left pseudo (text coords;
-            glb = seg_tab[gsc, 2] - 1   # gap costs shift-invariant)
-            gmul = ws * gl
-            dl_ = (ga - gla) - (gb - glb)
-            gwl = jnp.where(galive, gmul - wp * jnp.abs(dl_), NEG)
-
-            # runs: maximal blocks of consecutively-chainable rows where
-            # every in-run predecessor pair is exactly branch-1 of the
-            # |gap| split (u_j <= v_i with dominance, transitively)
-            gfirst = (gseg != shift1(gseg, -9)) & galive
-            chain_ok = (
-                (shift1(gea, BIG) <= ga) & (shift1(geb, BIG) <= gb)
-                & (shift1(gu, BIG) <= gv)
-            )
-            brk0 = (gfirst | ~chain_ok) & galive
-            pmu = seg_max_scan(gu, brk0)
-            brk = (brk0 | (shift1(pmu, BIG) > gv)) & galive
-            runid = jnp.cumsum(brk.astype(i32)) - 1
-            runid = jnp.where(galive, runid, -1)
-
-            # --- wavefront rounds: scores only -------------------------
-            def cc_blocked_out(score, done):
-                """Chunked candidate-x-candidate pass: per row i,
-                blocked = any compat pred neither done nor earlier in
-                i's run; outv = max over done compat preds of
-                score_j - wp*|v_i - u_j|."""
-                blocked = []
-                outv = []
-                for c in range(NCH):
-                    sl = slice(c * CH, (c + 1) * CH)
-                    seg_i = gseg[sl][:, None]
-                    a_i = ga[sl][:, None]
-                    b_i = gb[sl][:, None]
-                    v_i = gv[sl][:, None]
-                    r_i = runid[sl][:, None]
-                    i_i = iar_m[sl][:, None]
-                    compat = (
-                        (gseg[None, :] == seg_i) & galive[None, :]
-                        & (gea[None, :] <= a_i) & (geb[None, :] <= b_i)
-                        & (iar_m[None, :] < i_i)
-                    )
-                    inrun = (runid[None, :] == r_i) & (
-                        iar_m[None, :] < i_i
-                    )
-                    blocked.append(
-                        jnp.any(compat & ~done[None, :] & ~inrun, axis=1)
-                    )
-                    tw = jnp.where(
-                        compat & done[None, :],
-                        score[None, :]
-                        - wp * jnp.abs(v_i - gu[None, :]),
-                        NEG,
-                    )
-                    outv.append(jnp.max(tw, axis=1))
-                return jnp.concatenate(blocked), jnp.concatenate(outv)
-
-            def round_body(c):
-                score, done, rnd, rabort = c
-                blocked, outv = cc_blocked_out(score, done)
-                # commit = per-run prefix of unblocked undone rows
-                okrow = done | (~blocked & galive)
-                okpref = seg_min_scan(
-                    okrow.astype(i32), brk
-                ) > 0
-                commit = galive & ~done & okpref
-                # value scan in phi-space: f(M) = max(M + P, Q).
-                # Exclusive segmented prefix: elements shift right by
-                # one, and positions at run starts become the reset
-                # element (0, NEG) so a run-start row sees an empty
-                # prefix rather than the previous run's tail.
-                base = jnp.maximum(gwl, outv + gmul)
-                psi = gmul - wp * (gv - gu)
-                P = jnp.where(commit, jnp.maximum(psi, 0), 0)
-                phi_done = score + wp * gu
-                Q = jnp.where(
-                    done & galive, phi_done,
-                    jnp.where(commit, base + wp * gu, NEG),
-                )
-
-                def comb_aff(x, y):
-                    p1, q1, r1 = x
-                    p2, q2, r2 = y
-                    keep = ~r2
-                    return (
-                        jnp.where(keep, jnp.minimum(p1 + p2, A30), p2),
-                        jnp.where(
-                            keep,
-                            jnp.maximum(q1 + p2, q2),
-                            q2,
-                        ),
-                        r1 | r2,
-                    )
-
-                Pp = jnp.where(brk, 0, shift1(P, 0))
-                Qp = jnp.where(brk, NEG, shift1(Q, NEG))
-                Rp = brk | (iar_m == 0)
-                _, Qc, _ = jax.lax.associative_scan(
-                    comb_aff, (Pp, Qp, Rp)
-                )
-                m_in = Qc  # applied to initial NEG: max(NEG+P, Q) = Q
-                # guard: an empty prefix (m_in = NEG) must not wrap
-                # int32 when the (possibly negative) row offset is added
-                sc_new = jnp.where(
-                    m_in > NEG // 2,
-                    jnp.maximum(base, m_in + gmul - wp * gv),
-                    base,
-                )
-                score = jnp.where(commit, sc_new, score)
-                done = done | commit
-                progress = jnp.any(commit)
-                rabort = jnp.where(
-                    progress, rabort, jnp.int32(ABORT_CHAIN_ROUNDS)
-                )
-                return score, done, rnd + 1, rabort
-
-            def round_cond(c):
-                score, done, rnd, rabort = c
-                return (
-                    jnp.any(galive & ~done) & (rnd < _RMAX)
-                    & (rabort == 0)
-                )
-
-            score, cdone, rounds, rabort = jax.lax.while_loop(
-                round_cond,
-                round_body,
-                (
-                    jnp.zeros(M, i32), ~galive, jnp.int32(0),
-                    jnp.int32(0),
-                ),
-            )
-            abort = jnp.where(
-                (abort == 0) & (rabort != 0), rabort, abort
-            )
-            abort = jnp.where(
-                (abort == 0) & jnp.any(galive & ~cdone),
-                jnp.int32(ABORT_CHAIN_ROUNDS),
-                abort,
-            )
-            steps = steps.at[1].add(rounds)
-
-            # --- act: geometric activation step (min dominating row) --
-            act_cols = []
-            for c in range(NCH):
-                sl = slice(c * CH, (c + 1) * CH)
-                seg_j = gseg[sl][None, :]
-                ea_j = gea[sl][None, :]
-                eb_j = geb[sl][None, :]
-                dom = (
-                    (gseg[:, None] == seg_j) & galive[:, None]
-                    & (ga[:, None] >= ea_j) & (gb[:, None] >= eb_j)
-                )
-                act_cols.append(
-                    jnp.min(
-                        jnp.where(dom, iar_m[:, None], BIG), axis=0
-                    )
-                )
-            act = jnp.concatenate(act_cols)
-            act = jnp.where(galive, act, BIG)
-
-            # --- links: exact winner reconstruction with all scores ----
-            # lex key (tmpw, score_j, -act_j, -row_j); the left pseudo
-            # wins ties per the reference's traversal order
-            # (schemes.py:64-87): wl > mx, or wl == mx and best tied
-            # score <= 0
-            link_parts = []
-            for c in range(NCH):
-                sl = slice(c * CH, (c + 1) * CH)
-                seg_i = gseg[sl][:, None]
-                a_i = ga[sl][:, None]
-                b_i = gb[sl][:, None]
-                v_i = gv[sl][:, None]
-                i_i = iar_m[sl][:, None]
-                compat = (
-                    (gseg[None, :] == seg_i) & galive[None, :]
-                    & (gea[None, :] <= a_i) & (geb[None, :] <= b_i)
-                    & (iar_m[None, :] < i_i)
-                )
-                tw = jnp.where(
-                    compat,
-                    score[None, :] - wp * jnp.abs(v_i - gu[None, :]),
-                    NEG,
-                )
-                mx = jnp.max(tw, axis=1)
-                t1 = tw == mx[:, None]
-                sc2 = jnp.where(t1, score[None, :], NEG)
-                mx2 = jnp.max(sc2, axis=1)
-                t2 = t1 & (sc2 == mx2[:, None])
-                # min (act, row): min act first, then first row among
-                # the act-minimal (argmax picks the first True)
-                a3 = jnp.where(t2, act[None, :], BIG)
-                amn = jnp.min(a3, axis=1)
-                t3 = t2 & (a3 == amn[:, None])
-                brow = jnp.argmax(t3, axis=1).astype(i32)
-                has = mx > NEG
-                wl_i = gwl[sl]
-                mxg = mx + gmul[sl]
-                use_left = (~has) | (wl_i > mxg) | (
-                    (wl_i == mxg) & (mx2 <= 0)
-                )
-                link_parts.append(
-                    jnp.where(use_left, jnp.int32(-1), brow)
-                )
-            link = jnp.concatenate(link_parts)
-            link = jnp.where(galive, link, jnp.int32(-2))
-
-            # ---- backtrack + largest (schemes.py:298-301) -------------
-            # pointer-doubling along link chains: per row, the best
-            # (strictly-greater wins, nearest wins ties) candidate l on
-            # the path from it to the left pseudo
-            is_pseudo = (gpseudo == 1) & galive
-            pseudo_pos = jax.ops.segment_max(
-                jnp.where(is_pseudo, iar_m, -1),
-                jnp.clip(gseg, 0, SMAX - 1),
-                num_segments=SMAX,
-            )
-            ptr0 = jnp.where(
-                seg_live & (pseudo_pos >= 0),
-                link[jnp.clip(pseudo_pos, 0, M - 1)],
-                jnp.int32(-1),
-            )
-            nxt = jnp.where(link >= 0, link, jnp.int32(M))
-            nxt = jnp.concatenate([nxt, jnp.full(1, M, i32)])
-            bl = jnp.concatenate(
-                [jnp.where(galive & (gpseudo == 0), gl, -1),
-                 jnp.full(1, -1, i32)]
-            )
-            bs = jnp.concatenate([iar_m, jnp.full(1, -1, i32)])
-            def dbl_body(c):
-                bl, bs, nxt = c
-                bl2 = bl[nxt]
-                bs2 = bs[nxt]
-                take_far = bl2 > bl
-                bl = jnp.where(take_far, bl2, bl)
-                bs = jnp.where(take_far, bs2, bs)
-                return bl, bs, nxt[nxt]
-
-            # log-depth pointer doubling, stopping as soon as every
-            # chain has collapsed into the sentinel
-            bl, bs, nxt = jax.lax.while_loop(
-                lambda c: jnp.any(c[2][:M] != M),
-                dbl_body,
-                (bl, bs, nxt),
-            )
-            ptr0c = jnp.clip(ptr0, 0, M)
-            blp = jnp.where(ptr0 >= 0, bl[ptr0c], -1)
-            bsp = jnp.where((ptr0 >= 0) & (blp > -1), bs[ptr0c], -1)
-            # v1 semantics: walking from the pseudo, only rows with
-            # l > -1 beat the init; pseudo rows on the path have l=0
-            # which beats -1 — but the path starts at link[pseudo], and
-            # pseudo rows never appear as links of other rows' chains
-            # within a segment (their a >= every candidate end), so the
-            # chain contains candidates only.
-            bs_seg = bsp
-
-            # single-candidate segments bypass the chain entirely
-            # (picker __call__: len(relmums)==1)
-            candrow = jax.ops.segment_max(
-                jnp.where(galive & (gpseudo == 0), iar_m, -1),
-                jnp.clip(gseg, 0, SMAX - 1),
-                num_segments=SMAX,
-            )
-            candcnt = jax.ops.segment_sum(
-                (galive & (gpseudo == 0)).astype(i32),
-                jnp.clip(gseg, 0, SMAX - 1),
-                num_segments=SMAX,
-            )
-            single = seg_live & (candcnt == 1)
-            bs_seg = jnp.where(single, candrow, bs_seg)
-            picked = seg_live & (bs_seg >= 0)
-            bsc = jnp.clip(bs_seg, 0, M - 1)
-            s_l = jnp.where(picked, gl[bsc], 0)
-            s_ma = jnp.where(picked, ga[bsc], 0)
-            s_mb = jnp.where(picked, gb[bsc], 0)
 
             # ---- anchor log -------------------------------------------
             npicked = jnp.sum(picked.astype(i32))
@@ -693,6 +965,8 @@ def _build_kernel(
                 ],
                 axis=1,
             )
+            # (not unique_indices: every non-picked row shares the
+            # ACAP spill slot)
             anchors = anchors.at[lslot].set(
                 jnp.where(picked[:, None], rows, anchors[lslot])
             )
@@ -772,20 +1046,68 @@ def _build_kernel(
             # layout (split(), reveal.c:582-664; devfrontier apply)
             segstart = SEG != shift1(SEG, -9)
             cls_prev = shift1(cls, 0)
-            newlcp = jnp.zeros_like(LCP)
-            for c in (1, 2):
-                reset = segstart | ((cls_prev == c) & ~segstart)
-                mm = seg_min_scan(LCP, reset)
-                newlcp = jnp.where(cls == c, mm, newlcp)
+            # both classes in ONE packed scan (the two resets differ,
+            # the combine is elementwise-independent per class)
+            reset1 = segstart | ((cls_prev == 1) & ~segstart)
+            reset2 = segstart | ((cls_prev == 2) & ~segstart)
 
-            sortkey = jnp.where(nsg < 0, jnp.int32(SMAX), nsg)
-            skey, _slot, SA, newlcp2 = jax.lax.sort(
-                (sortkey, iar_n, SA, newlcp), num_keys=2
+            def comb_min2(x, y):
+                m1, f1, m2, f2 = x
+                n1, g1, n2, g2 = y
+                return (
+                    jnp.where(g1, n1, jnp.minimum(m1, n1)), f1 | g1,
+                    jnp.where(g2, n2, jnp.minimum(m2, n2)), f2 | g2,
+                )
+
+            mm1, _, mm2, _ = jax.lax.associative_scan(
+                comb_min2, (LCP, reset1, LCP, reset2)
             )
-            SEG = jnp.where(skey >= SMAX, jnp.int32(-1), skey)
+            newlcp = jnp.where(
+                cls == 1, mm1, jnp.where(cls == 2, mm2, 0)
+            )
+
+            # ---- stable partition by new segment id -------------------
+            # The old formulation sorted (nsg, slot) over all npad slots
+            # every level — the kernel's dominant cost (2.7 s/level on
+            # CPU at npad=2^22) and a TPU compile hog.  The permutation
+            # is computable analytically instead: segment ids appear in
+            # slot order (leads in parent order, then trails — an
+            # invariant the partition itself maintains), so each lead
+            # slot's target is the global count of lead slots before it
+            # (the per-run base and in-run rank telescope), trails land
+            # after all leads.  Dead slots are never read again (every
+            # consumer is SEG-gated), so instead of ranking them to the
+            # tail they are dropped: live slots scatter onto a blank
+            # background.  Two global cumsums + one permutation scatter
+            # — live-slot layout is byte-identical to the stable sort's
+            # output.
+            ld = (nsg >= 0) & (cls == 1)
+            tr = (nsg >= 0) & (cls == 2)
+            ldi = ld.astype(i32)
+            tri = tr.astype(i32)
+            egl = jnp.cumsum(ldi) - ldi
+            egt = jnp.cumsum(tri) - tri
+            nlead_tot = egl[-1] + ldi[-1]
+            newpos = jnp.where(
+                ld, egl,
+                jnp.where(tr, nlead_tot + egt, jnp.int32(npad)),
+            )
+            # unique_indices: newpos is a (partial) permutation —
+            # without the hint the TPU scatter lowering is ~500x slower
+            # (55 ms vs 0.11 ms at 2M elements, measured)
+            SA = jnp.zeros(npad, i32).at[newpos].set(
+                SA, mode="drop", unique_indices=True
+            )
+            lcp_p = jnp.zeros(npad, i32).at[newpos].set(
+                newlcp, mode="drop", unique_indices=True
+            )
+            segk = jnp.full(npad, SMAX, i32).at[newpos].set(
+                jnp.clip(nsg, 0, SMAX), mode="drop", unique_indices=True
+            )
+            SEG = jnp.where(segk >= SMAX, jnp.int32(-1), segk)
             sprev = shift1(SEG, -9)
             firstslot = SEG != sprev
-            LCP = jnp.where(firstslot | (SEG < 0), 0, newlcp2)
+            LCP = jnp.where(firstslot | (SEG < 0), 0, lcp_p)
 
             # lowercase matched text (pre-sort slot views; every live
             # text position is exactly one slot's SA)
@@ -795,7 +1117,7 @@ def _build_kernel(
             )
             upmask = jnp.zeros(ntext, dtype=bool)
             upmask = upmask.at[jnp.where(in_match, pos, ntext)].set(
-                True, mode="drop"
+                True, mode="drop", unique_indices=True
             )
             isup = (T >= ord("A")) & (T <= ord("Z"))
             T = jnp.where(upmask & isup, T + 32, T)
@@ -970,7 +1292,11 @@ def _build_kernel(
 
                 def rcond(c):
                     _, _, pend, it = c
-                    return jnp.any(pend) & (it < CCAP)
+                    # dbg bit 0: skip repair at runtime (timing
+                    # attribution only — output is wrong)
+                    return (
+                        jnp.any(pend) & (it < CCAP) & (dbg != 1)
+                    )
 
                 SA, LCP, _, iters = jax.lax.while_loop(
                     rcond,
@@ -1104,6 +1430,7 @@ def rem_device_loop(
             T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(1),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
+            np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),
         )
         dispatches += 1
         abort = int(abort)
@@ -1213,11 +1540,17 @@ def rem_device_forest(
     npad = _next_pow2(max(total, 2))
     ntext = _next_pow2(n)
     sum_k = int(sum(d[0] for d in defers))
+    max_k = int(max(d[0] for d in defers))
     caps = {
         "K": _next_pow2(max(1024, sum_k)),
-        "SMAX": _next_pow2(max(1024, 2 * F)),
-        "ACAP": max(4096, npad),
+        # the frontier widens well past the forest size as subtrees
+        # branch (2a2b: F=159 but >1024 live segments mid-recursion)
+        "SMAX": _next_pow2(max(2048, 8 * F)),
+        "ACAP": max(8192, npad // 64),
         "CCAP": max(1024, npad // 256),
+        # dense chain width: deferred roots hold <= defer_max
+        # candidates; children occasionally widen past the parent
+        "CW": _next_pow2(max(32, 2 * max_k)),
     }
 
     T_p = np.zeros(ntext, dtype=np.uint8)
@@ -1243,12 +1576,13 @@ def rem_device_forest(
             seg_tab[sid] = (ab, ae, bb, be, -2 - sid, 0, -1, -1)
         fn = _build_kernel(
             npad, caps["K"], caps["SMAX"], caps["ACAP"], caps["CCAP"],
-            ntext=ntext,
+            ntext=ntext, chain_width=caps["CW"],
         )
         T_out, anchors, acount, abort, level, steps = fn(
             T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(F),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
+            np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),
         )
         dispatches += 1
         abort = int(abort)
