@@ -811,15 +811,22 @@ def _build_kernel(
             jnp.broadcast_to(cols[None, :], (SMAX, CW1)).astype(i32),
             -1,
         )
+        cols2 = jnp.arange(CW1 + 1, dtype=i32)
+
+        def gsel(x, idx):
+            # y[s, i] = x[s, idx[s, i]] as a one-hot select (exact
+            # int32; take_along_axis gathers profiled ~0.2 GB/s here)
+            oh = idx[:, :, None] == cols2[None, None, :]
+            return jnp.sum(jnp.where(oh, x[:, None, :], 0), axis=2)
 
         def dbl_body(c):
             bl, bs, nxt = c
-            bl2 = jnp.take_along_axis(bl, nxt, axis=1)
-            bs2 = jnp.take_along_axis(bs, nxt, axis=1)
+            bl2 = gsel(bl, nxt)
+            bs2 = gsel(bs, nxt)
             take_far = bl2 > bl
             bl = jnp.where(take_far, bl2, bl)
             bs = jnp.where(take_far, bs2, bs)
-            return bl, bs, jnp.take_along_axis(nxt, nxt, axis=1)
+            return bl, bs, gsel(nxt, nxt)
 
         bl, bs, nxt = jax.lax.while_loop(
             lambda c: jnp.any(c[2][:, :CW1] != CW1),
@@ -828,15 +835,9 @@ def _build_kernel(
         )
         ptr0 = jnp.where(seg_live, dlink[:, CW], jnp.int32(-1))
         ptr0c = jnp.clip(ptr0, 0, CW1)[:, None]
-        blp = jnp.where(
-            ptr0 >= 0,
-            jnp.take_along_axis(bl, ptr0c, axis=1)[:, 0],
-            -1,
-        )
+        blp = jnp.where(ptr0 >= 0, gsel(bl, ptr0c)[:, 0], -1)
         bsp = jnp.where(
-            (ptr0 >= 0) & (blp > -1),
-            jnp.take_along_axis(bs, ptr0c, axis=1)[:, 0],
-            -1,
+            (ptr0 >= 0) & (blp > -1), gsel(bs, ptr0c)[:, 0], -1
         )
         bs_seg = bsp
         # single-candidate segments bypass the chain entirely
@@ -845,15 +846,16 @@ def _build_kernel(
         bs_seg = jnp.where(single, 0, bs_seg)
         picked = seg_live & (bs_seg >= 0)
         bsc = jnp.clip(bs_seg, 0, CW1 - 1)[:, None]
-        s_l = jnp.where(
-            picked, jnp.take_along_axis(dL, bsc, axis=1)[:, 0], 0
-        )
-        s_ma = jnp.where(
-            picked, jnp.take_along_axis(dA, bsc, axis=1)[:, 0], 0
-        )
-        s_mb = jnp.where(
-            picked, jnp.take_along_axis(dB, bsc, axis=1)[:, 0], 0
-        )
+        ohp = bsc[:, :, None] == cols[None, None, :]
+
+        def psel(x):
+            return jnp.sum(jnp.where(ohp, x[:, None, :], 0), axis=2)[
+                :, 0
+            ]
+
+        s_l = jnp.where(picked, psel(dL), 0)
+        s_ma = jnp.where(picked, psel(dA), 0)
+        s_mb = jnp.where(picked, psel(dB), 0)
         return picked, s_l, s_ma, s_mb, abort, steps
 
     # ------------------------------------------------------------------
@@ -861,8 +863,8 @@ def _build_kernel(
     # ------------------------------------------------------------------
     @jax.jit
     def run(
-        T, SA, LCP, SEG, seg_tab, nseg0, nsep0, minl, maxmums, ws, wp,
-        dbg,
+        T, SA, LCP, BWT, SEG, seg_tab, nseg0, nsep0, minl, maxmums,
+        ws, wp, dbg,
     ):
         """seg_tab: int32[SMAX, 8]: a_beg a_end b_beg b_end parent cls
         ma mb (ma/mb = the parent's anchor begins, for repair).
@@ -877,15 +879,15 @@ def _build_kernel(
         sarange = jnp.arange(SMAX, dtype=i32)
 
         def cond(st):
-            nseg, abort, level = st[5], st[8], st[9]
+            nseg, abort, level = st[6], st[9], st[10]
             # dbg >= 2 caps the level count at dbg-2 (timing
             # attribution only — output is truncated)
             lcap = jnp.where(dbg >= 2, dbg - 2, jnp.int32(_LMAX))
             return (nseg > 0) & (abort == 0) & (level < lcap)
 
         def body(st):
-            (T, SA, LCP, SEG, seg_tab, nseg, anchors, acount, abort,
-             level, steps) = st
+            (T, SA, LCP, BWT, SEG, seg_tab, nseg, anchors, acount,
+             abort, level, steps) = st
 
             # ---- enumerate (reveal.c:119-180 conditions) --------------
             prev = jnp.roll(SA, 1)
@@ -894,16 +896,21 @@ def _build_kernel(
             straddle = (SA > nsep0) != (prev > nsep0)
             a_ = jnp.minimum(SA, prev)
             b_ = jnp.maximum(SA, prev)
-            ta = T[jnp.maximum(a_ - 1, 0)]
-            tb = T[jnp.maximum(b_ - 1, 0)]
+            lcp_nx = jnp.concatenate([LCP[1:], jnp.zeros(1, LCP.dtype)])
+            lcp_pv = jnp.roll(LCP, 1)
+            unique = (lcp_pv < lv) & (lcp_nx < lv)
+            # left chars from the carried BWT (BWT[i] = T[SA[i]-1],
+            # permuted with SA and lowercased alongside T) — the
+            # direct text gathers ran at ~0.5 GB/s in-kernel
+            bwtp = jnp.roll(BWT, 1)
+            cur_is_a = SA < prev
+            ta = jnp.where(cur_is_a, BWT, bwtp)
+            tb = jnp.where(cur_is_a, bwtp, BWT)
             lower = (ta >= ord("a")) & (ta <= ord("z"))
             leftmax = (
                 (a_ == 0) | (b_ == 0) | (ta != tb)
                 | (ta == N_BYTE) | (ta == SENTINEL) | lower
             )
-            lcp_nx = jnp.concatenate([LCP[1:], jnp.zeros(1, LCP.dtype)])
-            lcp_pv = jnp.roll(LCP, 1)
-            unique = (lcp_pv < lv) & (lcp_nx < lv)
             mask = (
                 (iar_n >= 1) & (SEG >= 0) & (SEG == seg_prev)
                 & (lv >= minl) & (lv > 0) & straddle & leftmax & unique
@@ -912,7 +919,16 @@ def _build_kernel(
             abort = jnp.where(
                 ccount > K, jnp.int32(ABORT_CAND_OVERFLOW), abort
             )
-            (slots,) = jnp.nonzero(mask, size=K, fill_value=npad - 1)
+            # compaction via rank scatter (jnp.nonzero lowers ~40x
+            # slower in-kernel, profiled); rank>=K collisions only
+            # under the abort whose results are discarded
+            rankm = jnp.cumsum(mask.astype(i32)) - 1
+            sidx = jnp.where(mask, rankm, K + iar_n)
+            slots = (
+                jnp.full(K + npad, npad - 1, i32)
+                .at[sidx].set(iar_n, mode="drop", unique_indices=True)
+                [:K]
+            )
             valid = iar_k < jnp.minimum(ccount, K)
             cseg = jnp.where(valid, SEG[slots], BIG)
             cl = jnp.where(valid, lv[slots], 0)
@@ -1010,41 +1026,74 @@ def _build_kernel(
             new_tab = new_tab_w[:SMAX]
 
             # ---- classify + split + lowercase -------------------------
-            sc = jnp.clip(SEG, 0, SMAX - 1)
-            pos = SA
-            pma = jnp.where(picked[sc], s_ma[sc], -1)
-            pmb = jnp.where(picked[sc], s_mb[sc], -1)
-            pl = s_l[sc]
-            in_lead = ((pos >= seg_tab[sc, 0]) & (pos < pma)) | (
-                (pos >= seg_tab[sc, 2]) & (pos < pmb)
+            # per-slot views of per-segment values.  A direct table
+            # gather (x[sc] with 2M slot indices) runs at ~0.7-1.4 GB/s
+            # on TPU (profiled: the seg_tab/picked gathers were ~4.3 s
+            # of the 8.8 s dispatch); every such value is constant over
+            # a segment's contiguous slot run, so broadcast it with an
+            # SMAX-sized scatter to the run starts + one forward-fill
+            # scan instead (~0.3 ms).  Segment ids ascend in slot
+            # order (partition invariant), so row i of a table belongs
+            # to the i-th run.
+            segstart = SEG != shift1(SEG, -9)
+            liveseg = segstart & (SEG >= 0)
+            rnks = jnp.cumsum(liveseg.astype(i32)) - 1
+            starts = (
+                jnp.full(SMAX + npad, npad, i32)
+                .at[jnp.where(liveseg, rnks, SMAX + iar_n)]
+                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
             )
-            in_trail = (
-                (pos >= pma + pl) & (pos < seg_tab[sc, 1])
-            ) | ((pos >= pmb + pl) & (pos < seg_tab[sc, 3]))
-            live_parent = (SEG >= 0) & picked[sc]
+
+            def segbcast(col):
+                tmp = jnp.zeros(npad, i32).at[starts].set(
+                    col.astype(i32), mode="drop", unique_indices=True
+                )
+                return last_value_scan(tmp, segstart)
+
+            pos = SA
+            pickedb = segbcast(picked) > 0
+            b_sma = segbcast(s_ma)
+            b_smb = segbcast(s_mb)
+            pl = segbcast(s_l)
+            b_t0 = segbcast(seg_tab[:, 0])
+            b_t1 = segbcast(seg_tab[:, 1])
+            b_t2 = segbcast(seg_tab[:, 2])
+            b_t3 = segbcast(seg_tab[:, 3])
+            b_ll = segbcast(lead_live) > 0
+            b_tl = segbcast(trail_live) > 0
+            b_lid = segbcast(lead_id)
+            b_tid = segbcast(trail_id)
+            pma = jnp.where(pickedb, b_sma, -1)
+            pmb = jnp.where(pickedb, b_smb, -1)
+            in_lead = ((pos >= b_t0) & (pos < pma)) | (
+                (pos >= b_t2) & (pos < pmb)
+            )
+            in_trail = ((pos >= pma + pl) & (pos < b_t1)) | (
+                (pos >= pmb + pl) & (pos < b_t3)
+            )
+            live_parent = (SEG >= 0) & pickedb
             nsg = jnp.where(
-                live_parent & in_lead & lead_live[sc],
-                jnp.minimum(lead_id[sc], SMAX - 1),
+                live_parent & in_lead & b_ll,
+                jnp.minimum(b_lid, SMAX - 1),
                 jnp.int32(-1),
             )
             nsg = jnp.where(
-                live_parent & in_trail & trail_live[sc],
-                jnp.minimum(trail_id[sc], SMAX - 1),
+                live_parent & in_trail & b_tl,
+                jnp.minimum(b_tid, SMAX - 1),
                 nsg,
             )
             # guard: lead_id/trail_id == SMAX only for dead children
             nsg = jnp.where(
-                live_parent & in_lead & ~lead_live[sc], -1, nsg
+                live_parent & in_lead & ~b_ll, -1, nsg
             )
             nsg = jnp.where(
-                live_parent & in_trail & ~trail_live[sc], -1, nsg
+                live_parent & in_trail & ~b_tl, -1, nsg
             )
             cls = jnp.where(live_parent & in_lead, 1, 0)
             cls = jnp.where(live_parent & in_trail, 2, cls)
 
             # child LCP: per-class segmented running-min over the parent
             # layout (split(), reveal.c:582-664; devfrontier apply)
-            segstart = SEG != shift1(SEG, -9)
             cls_prev = shift1(cls, 0)
             # both classes in ONE packed scan (the two resets differ,
             # the combine is elementwise-independent per class)
@@ -1095,6 +1144,22 @@ def _build_kernel(
             # unique_indices: newpos is a (partial) permutation —
             # without the hint the TPU scatter lowering is ~500x slower
             # (55 ms vs 0.11 ms at 2M elements, measured)
+            # lowercase the BWT entries whose text position (pos-1)
+            # falls in this level's matched regions of the slot's own
+            # parent (positions left of a live interval belong either
+            # to this parent's match — handled here — or to an
+            # ancestor match lowercased at an earlier level, when this
+            # same slot's entry was updated; other same-level parents
+            # are never text-adjacent)
+            pm1 = pos - 1
+            bwt_m = ((pm1 >= pma) & (pm1 < pma + pl)) | (
+                (pm1 >= pmb) & (pm1 < pmb + pl)
+            )
+            bwt_up = (BWT >= ord("A")) & (BWT <= ord("Z"))
+            BWT = jnp.where(bwt_m & bwt_up, BWT + 32, BWT)
+            BWT = jnp.zeros(npad, i32).at[newpos].set(
+                BWT, mode="drop", unique_indices=True
+            )
             SA = jnp.zeros(npad, i32).at[newpos].set(
                 SA, mode="drop", unique_indices=True
             )
@@ -1129,10 +1194,32 @@ def _build_kernel(
             # live SA/LCP, mutually-independent ones (disjoint edit
             # windows [x-1, q+1]) apply at once via fixed-width window
             # updates; window escapes abort.
-            def repair_pass(T, SA, LCP, which, abort, steps):
-                scn = jnp.clip(SEG, 0, SMAX - 1)
-                is_lead = (SEG >= 0) & (new_tab[scn, 5] == 1)
-                beg = jnp.where(is_lead, new_tab[scn, 6 + which], -1)
+            # per-slot new_tab views over the POST-partition layout —
+            # same scatter+forward-fill trick as segbcast above (new
+            # child ids ascend in slot order too)
+            liveseg2 = firstslot & (SEG >= 0)
+            rnks2 = jnp.cumsum(liveseg2.astype(i32)) - 1
+            starts2 = (
+                jnp.full(SMAX + npad, npad, i32)
+                .at[jnp.where(liveseg2, rnks2, SMAX + iar_n)]
+                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
+            )
+
+            def segbcast2(col):
+                tmp = jnp.zeros(npad, i32).at[starts2].set(
+                    col.astype(i32), mode="drop", unique_indices=True
+                )
+                return last_value_scan(tmp, firstslot)
+
+            is_lead_b = (SEG >= 0) & (segbcast2(new_tab[:, 5]) == 1)
+            beg_both = (
+                jnp.where(is_lead_b, segbcast2(new_tab[:, 6]), -1),
+                jnp.where(is_lead_b, segbcast2(new_tab[:, 7]), -1),
+            )
+
+            def repair_pass(T, SA, LCP, BWT, which, abort, steps):
+                is_lead = is_lead_b
+                beg = beg_both[which]
                 lcpn = jnp.concatenate(
                     [LCP[1:], jnp.zeros(1, LCP.dtype)]
                 )
@@ -1143,15 +1230,19 @@ def _build_kernel(
                 abort = jnp.where(
                     rc > CCAP, jnp.int32(ABORT_REPAIR_OVERFLOW), abort
                 )
-                (cq,) = jnp.nonzero(
-                    cross0, size=CCAP, fill_value=npad - 1
+                rankc = jnp.cumsum(cross0.astype(i32)) - 1
+                cq = (
+                    jnp.full(CCAP + npad, npad - 1, i32)
+                    .at[jnp.where(cross0, rankc, CCAP + iar_n)]
+                    .set(iar_n, mode="drop", unique_indices=True)
+                    [:CCAP]
                 )
                 centry_next = lcpn[cq]
                 iar_c = jnp.arange(CCAP, dtype=i32)
                 pend0 = iar_c < jnp.minimum(rc, CCAP)
                 warr = jnp.arange(WREP + 2, dtype=i32)
 
-                def resolve(SA_, LCP_, j):
+                def resolve(SA_, LCP_, j):  # (BWT not read)
                     """One pending candidate on the live state: returns
                     (q, x, move, thr, saq, lcq).  The insertion-point
                     search (x = max y < q with LCP[y] < thr) is a cheap
@@ -1183,16 +1274,17 @@ def _build_kernel(
                     x = jnp.maximum(y, 0)
                     return q, x, move, thr, saq, lcq
 
-                def apply_one(SA_, LCP_, q, x, move, thr, saq, lcq,
-                              cj, acc):
+                def apply_one(SA_, LCP_, BWT_, q, x, move, thr, saq,
+                              lcq, bwq, cj, acc):
                     """Masked application of one accepted candidate:
                     window updates anchored at q, with a whole-array
-                    cond path when the insertion point is deep."""
+                    cond path when the insertion point is deep.  The
+                    BWT column moves with SA (same permutation)."""
                     do_mv = acc & move
                     shallow = (q - x) <= WREP
 
                     def apply_win(args):
-                        SA_, LCP_ = args
+                        SA_, LCP_, BWT_ = args
                         s0 = jnp.maximum(q - (WREP + 1), 0)
                         sa_w = jax.lax.dynamic_slice(
                             SA_, (s0,), (WREP + 2,)
@@ -1200,40 +1292,51 @@ def _build_kernel(
                         lcp_w = jax.lax.dynamic_slice(
                             LCP_, (s0,), (WREP + 2,)
                         )
+                        bw_w = jax.lax.dynamic_slice(
+                            BWT_, (s0,), (WREP + 2,)
+                        )
                         widx = s0 + warr
                         inwin = (widx > x) & (widx <= q)
                         sa_sh = jnp.concatenate([sa_w[:1], sa_w[:-1]])
                         lcp_sh = jnp.concatenate(
                             [lcp_w[:1], lcp_w[:-1]]
                         )
+                        bw_sh = jnp.concatenate([bw_w[:1], bw_w[:-1]])
                         sa_n = jnp.where(inwin, sa_sh, sa_w)
                         lcp_n = jnp.where(inwin, lcp_sh, lcp_w)
+                        bw_n = jnp.where(inwin, bw_sh, bw_w)
                         sa_n = jnp.where(widx == x, saq, sa_n)
                         lcp_n = jnp.where(widx == x + 1, thr, lcp_n)
+                        bw_n = jnp.where(widx == x, bwq, bw_n)
                         SA_ = jax.lax.dynamic_update_slice(
                             SA_, sa_n, (s0,)
                         )
                         LCP_ = jax.lax.dynamic_update_slice(
                             LCP_, lcp_n, (s0,)
                         )
-                        return SA_, LCP_
+                        BWT_ = jax.lax.dynamic_update_slice(
+                            BWT_, bw_n, (s0,)
+                        )
+                        return SA_, LCP_, BWT_
 
                     def apply_glob(args):
-                        SA_, LCP_ = args
+                        SA_, LCP_, BWT_ = args
                         inwin = (iar_n > x) & (iar_n <= q)
                         SA_n = jnp.where(inwin, jnp.roll(SA_, 1), SA_)
                         LCP_n = jnp.where(inwin, jnp.roll(LCP_, 1), LCP_)
+                        BWT_n = jnp.where(inwin, jnp.roll(BWT_, 1), BWT_)
                         SA_n = SA_n.at[x].set(saq)
                         LCP_n = LCP_n.at[x + 1].set(thr)
-                        return SA_n, LCP_n
+                        BWT_n = BWT_n.at[x].set(bwq)
+                        return SA_n, LCP_n, BWT_n
 
-                    SA_, LCP_ = jax.lax.cond(
+                    SA_, LCP_, BWT_ = jax.lax.cond(
                         do_mv,
                         lambda args: jax.lax.cond(
                             shallow, apply_win, apply_glob, args
                         ),
                         lambda args: args,
-                        (SA_, LCP_),
+                        (SA_, LCP_, BWT_),
                     )
                     # LCP[q+1] updates (may sit beyond the window)
                     qn = jnp.minimum(q + 1, npad - 1)
@@ -1248,10 +1351,10 @@ def _build_kernel(
                         jnp.where(lcponly, beg[q] - saq, LCP_[qn]),
                     )
                     LCP_ = LCP_.at[qn].set(newv)
-                    return SA_, LCP_
+                    return SA_, LCP_, BWT_
 
                 def rbody(c):
-                    SA_, LCP_, pend, it = c
+                    SA_, LCP_, BWT_, pend, it = c
                     (heads,) = jnp.nonzero(
                         pend, size=_RB, fill_value=CCAP - 1
                     )
@@ -1279,56 +1382,57 @@ def _build_kernel(
                     # apply accepted (disjoint -> order-free)
                     for k in range(_RB):
                         q, x, move, thr, saq, lcq = res[k]
-                        SA_, LCP_ = apply_one(
-                            SA_, LCP_, q, x, move, thr, saq, lcq,
-                            heads[k], accs[k],
+                        bwq = BWT_[q]
+                        SA_, LCP_, BWT_ = apply_one(
+                            SA_, LCP_, BWT_, q, x, move, thr, saq,
+                            lcq, bwq, heads[k], accs[k],
                         )
                     newpend = pend
                     for k in range(_RB):
                         newpend = newpend.at[heads[k]].set(
                             jnp.where(accs[k], False, newpend[heads[k]])
                         )
-                    return SA_, LCP_, newpend, it + 1
+                    return SA_, LCP_, BWT_, newpend, it + 1
 
                 def rcond(c):
-                    _, _, pend, it = c
+                    _, _, _, pend, it = c
                     # dbg bit 0: skip repair at runtime (timing
                     # attribution only — output is wrong)
                     return (
                         jnp.any(pend) & (it < CCAP) & (dbg != 1)
                     )
 
-                SA, LCP, _, iters = jax.lax.while_loop(
+                SA, LCP, BWT, _, iters = jax.lax.while_loop(
                     rcond,
                     rbody,
-                    (SA, LCP, pend0, jnp.int32(0)),
+                    (SA, LCP, BWT, pend0, jnp.int32(0)),
                 )
                 steps = steps.at[2].add(iters)
-                return SA, LCP, abort, steps
+                return SA, LCP, BWT, abort, steps
 
-            SA, LCP, abort, steps = repair_pass(
-                T, SA, LCP, 0, abort, steps
+            SA, LCP, BWT, abort, steps = repair_pass(
+                T, SA, LCP, BWT, 0, abort, steps
             )
-            SA, LCP, abort, steps = repair_pass(
-                T, SA, LCP, 1, abort, steps
+            SA, LCP, BWT, abort, steps = repair_pass(
+                T, SA, LCP, BWT, 1, abort, steps
             )
 
             acount = jnp.minimum(acount + npicked, ACAP)
             return (
-                T, SA, LCP, SEG, new_tab, nseg_new, anchors, acount,
-                abort, level + 1, steps,
+                T, SA, LCP, BWT, SEG, new_tab, nseg_new, anchors,
+                acount, abort, level + 1, steps,
             )
 
         st = jax.lax.while_loop(
             cond,
             body,
             (
-                T, SA, LCP, SEG, seg_tab, jnp.int32(nseg0), anchors0,
-                jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                T, SA, LCP, BWT, SEG, seg_tab, jnp.int32(nseg0),
+                anchors0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.zeros(3, i32),
             ),
         )
-        (T, SA, LCP, SEG, seg_tab, nseg, anchors, acount, abort,
+        (T, SA, LCP, BWT, SEG, seg_tab, nseg, anchors, acount, abort,
          level, steps) = st
         abort = jnp.where(
             (abort == 0) & (level >= _LMAX),
@@ -1409,7 +1513,8 @@ def rem_device_loop(
         "CCAP": max(1024, npad // 1024),
     }
 
-    T_p = np.zeros(npad, dtype=np.uint8)
+    # int32 text: u8 gathers run ~100x slower on TPU (profiled)
+    T_p = np.zeros(npad, dtype=np.int32)
     T_p[: len(T)] = np.asarray(T, dtype=np.uint8)
     SA_p = np.full(npad, n - 1, dtype=np.int32)
     SA_p[:n] = np.asarray(SA, dtype=np.int32)
@@ -1417,6 +1522,10 @@ def rem_device_loop(
     LCP_p[:n] = np.asarray(LCP, dtype=np.int32)
     SEG_p = np.full(npad, -1, dtype=np.int32)
     SEG_p[:n] = 0
+    # BWT column (T[SA-1]; SA=0 wraps to the final sentinel — the
+    # a_==0 guard makes the value irrelevant), carried through the
+    # kernel so enumerate needs no text gathers
+    BWT_p = T_p[np.where(SA_p > 0, SA_p - 1, len(T) - 1)]
 
     dispatches = 0
     for _attempt in range(5):
@@ -1427,7 +1536,7 @@ def rem_device_loop(
             npad, caps["K"], caps["SMAX"], caps["ACAP"], caps["CCAP"]
         )
         T_out, anchors, acount, abort, level, steps = fn(
-            T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(1),
+            T_p, SA_p, LCP_p, BWT_p, SEG_p, seg_tab, np.int32(1),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
             np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),
@@ -1459,7 +1568,7 @@ def rem_device_loop(
     anchors = np.asarray(jax.device_get(anchors))[:acount].astype(
         np.int64
     )
-    T_out = np.asarray(jax.device_get(T_out))[:n]
+    T_out = np.asarray(jax.device_get(T_out))[:n].astype(np.uint8)
     if acount == 0:
         return np.zeros((0, 7), np.int64), T_out, 0
     order = pop_order(anchors[:, 7], anchors[:, 8])
@@ -1553,7 +1662,8 @@ def rem_device_forest(
         "CW": _next_pow2(max(32, 2 * max_k)),
     }
 
-    T_p = np.zeros(ntext, dtype=np.uint8)
+    # int32 text: u8 gathers run ~100x slower on TPU (profiled)
+    T_p = np.zeros(ntext, dtype=np.int32)
     T_p[:n] = np.asarray(T, dtype=np.uint8)
     SA_p = np.full(npad, n - 1, dtype=np.int32)
     LCP_p = np.zeros(npad, dtype=np.int32)
@@ -1566,6 +1676,8 @@ def rem_device_forest(
         LCP_p[off] = 0  # first-slot LCP is per-segment 0 (split3)
         SEG_p[off:off + sn] = sid
         off += sn
+    # BWT column (see rem_device_loop)
+    BWT_p = T_p[np.where(SA_p > 0, SA_p - 1, n - 1)]
 
     dispatches = 0
     for _attempt in range(5):
@@ -1579,7 +1691,7 @@ def rem_device_forest(
             ntext=ntext, chain_width=caps["CW"],
         )
         T_out, anchors, acount, abort, level, steps = fn(
-            T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(F),
+            T_p, SA_p, LCP_p, BWT_p, SEG_p, seg_tab, np.int32(F),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
             np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),
@@ -1613,7 +1725,7 @@ def rem_device_forest(
     anchors = np.asarray(jax.device_get(anchors))[:acount].astype(
         np.int64
     )
-    T_out = np.asarray(jax.device_get(T_out))[:n]
+    T_out = np.asarray(jax.device_get(T_out))[:n].astype(np.uint8)
     if acount == 0:
         return {}, T_out, 0
     orders = forest_pop_order(anchors[:, 7], anchors[:, 8])
