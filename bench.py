@@ -438,7 +438,9 @@ def main():
                     # (trim + chain + repair) — the kernel's cost model
                     # is ~137us per sequential step (TODO.md r3 notes)
                     for k in (
-                        "trim_steps", "chain_steps", "repair_steps"
+                        "trim_steps", "chain_steps", "repair_steps",
+                        "forest", "slots", "host_prefix_seconds",
+                        "forest_seconds", "defer_max",
                     ):
                         if k in devloop.LAST_STATS:
                             extra[tag + "_" + k] = devloop.LAST_STATS[k]

@@ -239,26 +239,45 @@ def _rem_device_hybrid(
 
     main = root.main
     nsep0 = int(main.nsep[0])
-    defer_max = int(os.environ.get("REVEAL_TPU_DEFER_MAX", "96"))
+    # dm=16 measured best on 2a2b (12 device levels vs 22 at dm=96;
+    # narrower dense-chain rows): scripts/forest_attrib.py sweep
+    defer_max = int(os.environ.get("REVEAL_TPU_DEFER_MAX", "16"))
     if cfg.maxmums > 0:
         defer_max = min(defer_max, int(cfg.maxmums))
     T = main.T
     SAi = main.SAi
     t_snap = T.copy()
     sai_snap = SAi.copy()
+    dthreads = int(
+        os.environ.get(
+            "REVEAL_TPU_DEFER_THREADS", min(os.cpu_count() or 1, 8)
+        )
+    )
+    import time as _time
+
+    t0 = _time.time()
     res = rem2_defer_native(
         T, root.SA, root.LCP, SAi, nsep0, cfg.minlength, cfg.trim,
         cfg.maxmums, int(cfg.wscore), float(cfg.wpen), cfg.pcutoff,
-        defer_max,
+        defer_max, threads=dthreads,
     )
+    t_host = _time.time() - t0
     if res is None:
         T[:] = t_snap
         SAi[:] = sai_snap
         return None
     anchors, defers = res
+    t0 = _time.time()
     dres = rem_device_forest(
         T, defers, nsep0, cfg.minlength, cfg.maxmums,
         int(cfg.wscore), int(cfg.wpen),
+    )
+    from ..index import devloop as _devloop
+
+    _devloop.LAST_STATS.update(
+        host_prefix_seconds=round(t_host, 3),
+        forest_seconds=round(_time.time() - t0, 3),
+        defer_max=defer_max,
     )
     if dres is None:
         T[:] = t_snap

@@ -84,10 +84,11 @@ ABORT_SEG_WIDTH = 10        # a segment exceeded the dense chain width CW
 _LMAX = 512
 _RMAX = 384     # chain wavefront rounds per level
 _WREP = 4096    # repair window lookback (insertion point must be inside)
-_RB = 32        # repair candidates resolved per iteration (crossing
-                # suffixes are spread over disjoint segments, so the
-                # ascending-q disjointness filter accepts nearly the
-                # whole batch; 8 -> 32 cut 2a2b repair iterations ~4x)
+_WRV = 256      # vectorized repair resolve window: the insertion-point
+                # search looks back this many slots per candidate (p90
+                # lookback is a few hundred on real genomes);
+                # window-miss movers fall back to the exact sequential
+                # resolve (full WREP window + whole-array deep scan)
 
 # capacity aborts that a re-dispatch with a doubled capacity can fix
 _RETRYABLE = {
@@ -863,14 +864,24 @@ def _build_kernel(
     # ------------------------------------------------------------------
     @jax.jit
     def run(
-        T, SA, LCP, BWT, SEG, seg_tab, nseg0, nsep0, minl, maxmums,
+        Tu8, SA, LCP, SEG, seg_tab, nseg0, nsep0, minl, maxmums,
         ws, wp, dbg,
     ):
         """seg_tab: int32[SMAX, 8]: a_beg a_end b_beg b_end parent cls
         ma mb (ma/mb = the parent's anchor begins, for repair).
         nseg0 = live initial segments (1 for the root case, the forest
         size in the deferred-hybrid case; roots carry parent = -2-did
-        so the host can splice each subtree at its placeholder)."""
+        so the host can splice each subtree at its placeholder).
+
+        The text crosses the link as uint8 both ways (4x less tunnel
+        volume than the int32 working form) and is widened on device;
+        the BWT column is one device gather off the widened text —
+        u8 GATHERS are the slow path on TPU (~100x, profiled), a u8
+        elementwise widen is free."""
+        T = Tu8.astype(i32)
+        # BWT column (T[SA-1]; SA==0 wraps to slot 0 — the a_==0 guard
+        # in enumerate makes the value irrelevant, in-bounds is enough)
+        BWT = T[jnp.maximum(SA - 1, 0)]
 
         anchors0 = jnp.zeros((ACAP + 1, 9), i32)
         iar_n = jnp.arange(npad, dtype=i32)
@@ -1241,6 +1252,8 @@ def _build_kernel(
                 iar_c = jnp.arange(CCAP, dtype=i32)
                 pend0 = iar_c < jnp.minimum(rc, CCAP)
                 warr = jnp.arange(WREP + 2, dtype=i32)
+                RBV = min(CCAP, 1024)
+                offs1 = jnp.arange(1, _WRV + 1, dtype=i32)
 
                 def resolve(SA_, LCP_, j):  # (BWT not read)
                     """One pending candidate on the live state: returns
@@ -1354,45 +1367,129 @@ def _build_kernel(
                     return SA_, LCP_, BWT_
 
                 def rbody(c):
+                    """One WHOLE-BATCH repair round.
+
+                    All pending crossing suffixes are resolved at once
+                    (a (RBV, WR) window gather off the live LCP); the
+                    accepted set is the FIRST pending candidate of
+                    every segment — the insertion window [x, q] never
+                    escapes the candidate's own segment (the segment's
+                    first-slot LCP is 0 < thr), so candidates in
+                    different segments commute and within a segment
+                    ascending-q one-per-round reproduces the serial
+                    bubble_sort order exactly.  All accepted rotations
+                    apply in ONE masked-shift + scatter pass (disjoint
+                    windows -> order-free).  A round that accepts
+                    nothing (window-miss movers, q-WR > 0) falls back
+                    to the exact sequential resolve/apply for the head
+                    candidate, so progress is guaranteed."""
                     SA_, LCP_, BWT_, pend, it = c
+                    npend = jnp.sum(pend.astype(i32))
                     (heads,) = jnp.nonzero(
-                        pend, size=_RB, fill_value=CCAP - 1
+                        pend, size=RBV, fill_value=CCAP - 1
                     )
-                    hvalid = jnp.arange(_RB, dtype=i32) < jnp.sum(
-                        pend.astype(i32)
+                    iar_r = jnp.arange(RBV, dtype=i32)
+                    hvalid = iar_r < npend
+                    q = cq[heads]
+                    b = beg[q]
+                    saq = SA_[q]
+                    lcq = LCP_[q]
+                    thr = b - saq
+                    move = (saq < b) & (saq + lcq > b)
+                    widx = q[:, None] - offs1[None, :]
+                    lcpw = LCP_[jnp.maximum(widx, 0)]
+                    candw = (widx >= 0) & (lcpw < thr[:, None])
+                    y = jnp.max(jnp.where(candw, widx, -1), axis=1)
+                    # a window hit IS the global max y (anything later
+                    # would be in the window too); a clipped window
+                    # (q <= WR) that misses means x = 0 exactly
+                    resolved = (y >= 0) | (q - _WRV <= 0)
+                    x = jnp.maximum(y, 0)
+                    ok = ~move | resolved
+                    sid = jnp.clip(SEG[q], 0, SMAX - 1)
+                    qbig = jnp.where(hvalid, q, jnp.int32(npad))
+                    qmin = (
+                        jnp.full(SMAX, npad, i32)
+                        .at[sid]
+                        .min(qbig, mode="drop")
                     )
-                    # resolve the batch on the live state
-                    res = [
-                        resolve(SA_, LCP_, heads[k]) for k in range(_RB)
-                    ]
-                    # accept mutually-independent candidates: edit+read
-                    # regions [x-1, q+1] pairwise disjoint (q ascending,
-                    # so a running max of accepted q+1 suffices); the
-                    # head always advances
-                    accs = []
-                    endmax = jnp.int32(-5)
-                    for k in range(_RB):
-                        q, x, move, thr, saq, lcq = res[k]
-                        lo = jnp.where(move, x - 1, q - 1)
-                        acc = hvalid[k] & (lo > endmax)
-                        if k == 0:
-                            acc = hvalid[k]
-                        endmax = jnp.where(acc, q + 1, endmax)
-                        accs.append(acc)
-                    # apply accepted (disjoint -> order-free)
-                    for k in range(_RB):
-                        q, x, move, thr, saq, lcq = res[k]
-                        bwq = BWT_[q]
-                        SA_, LCP_, BWT_ = apply_one(
-                            SA_, LCP_, BWT_, q, x, move, thr, saq,
-                            lcq, bwq, heads[k], accs[k],
+                    first = hvalid & (qbig == qmin[sid])
+                    acc = first & ok
+                    nacc = jnp.sum(acc.astype(i32))
+                    fillu = jnp.int32(npad) + iar_r
+
+                    def vec_branch(args):
+                        SA_, LCP_, BWT_, pend = args
+                        accm = acc & move
+                        xs = jnp.where(accm, x, fillu)
+                        d = jnp.zeros(npad, i32)
+                        d = d.at[jnp.where(accm, x + 1, fillu)].add(
+                            1, mode="drop", unique_indices=True
                         )
-                    newpend = pend
-                    for k in range(_RB):
-                        newpend = newpend.at[heads[k]].set(
-                            jnp.where(accs[k], False, newpend[heads[k]])
+                        d = d.at[jnp.where(accm, q + 1, fillu)].add(
+                            -1, mode="drop", unique_indices=True
                         )
-                    return SA_, LCP_, BWT_, newpend, it + 1
+                        inrot = jnp.cumsum(d) > 0
+                        SA2 = jnp.where(inrot, shift1(SA_, 0), SA_)
+                        BWT2 = jnp.where(inrot, shift1(BWT_, 0), BWT_)
+                        LCP2 = jnp.where(inrot, shift1(LCP_, 0), LCP_)
+                        SA2 = SA2.at[xs].set(
+                            saq, mode="drop", unique_indices=True
+                        )
+                        BWT2 = BWT2.at[xs].set(
+                            BWT_[q], mode="drop", unique_indices=True
+                        )
+                        LCP2 = LCP2.at[
+                            jnp.where(accm, x + 1, fillu)
+                        ].set(thr, mode="drop", unique_indices=True)
+                        # LCP[q+1] updates (outside every rotation
+                        # window, so round-start values are live)
+                        qn = jnp.minimum(q + 1, npad - 1)
+                        lcp_qn = LCP_[qn]
+                        mv_upd = accm & (q < npad - 1) & (lcq < lcp_qn)
+                        lcponly = (
+                            acc
+                            & ~move
+                            & (q < npad - 1)
+                            & (saq < b)
+                            & ((saq + centry_next[heads]) > b)
+                            & (lcp_qn > lcq)
+                        )
+                        newv = jnp.where(
+                            mv_upd,
+                            lcq,
+                            jnp.where(lcponly, b - saq, lcp_qn),
+                        )
+                        wr = mv_upd | lcponly
+                        LCP2 = LCP2.at[jnp.where(wr, qn, fillu)].set(
+                            newv, mode="drop", unique_indices=True
+                        )
+                        pend2 = pend.at[
+                            jnp.where(acc, heads, CCAP + iar_r)
+                        ].set(False, mode="drop", unique_indices=True)
+                        return SA2, LCP2, BWT2, pend2
+
+                    def seq_branch(args):
+                        SA_, LCP_, BWT_, pend = args
+                        j = heads[0]
+                        q1, x1, mv1, thr1, saq1, lcq1 = resolve(
+                            SA_, LCP_, j
+                        )
+                        bwq1 = BWT_[q1]
+                        SA2, LCP2, BWT2 = apply_one(
+                            SA_, LCP_, BWT_, q1, x1, mv1, thr1, saq1,
+                            lcq1, bwq1, j, hvalid[0],
+                        )
+                        pend2 = pend.at[j].set(False)
+                        return SA2, LCP2, BWT2, pend2
+
+                    SA_, LCP_, BWT_, pend = jax.lax.cond(
+                        nacc > 0,
+                        vec_branch,
+                        seq_branch,
+                        (SA_, LCP_, BWT_, pend),
+                    )
+                    return SA_, LCP_, BWT_, pend, it + 1
 
                 def rcond(c):
                     _, _, _, pend, it = c
@@ -1439,7 +1536,7 @@ def _build_kernel(
             jnp.int32(ABORT_LEVEL_OVERFLOW),
             abort,
         )
-        return T, anchors, acount, abort, level, steps
+        return T.astype(jnp.uint8), anchors, acount, abort, level, steps
 
     _kern_cache[key] = run
     return run
@@ -1513,8 +1610,9 @@ def rem_device_loop(
         "CCAP": max(1024, npad // 1024),
     }
 
-    # int32 text: u8 gathers run ~100x slower on TPU (profiled)
-    T_p = np.zeros(npad, dtype=np.int32)
+    # text crosses as uint8 (widened to int32 on device — u8 GATHERS
+    # are the TPU slow path, a u8 widen is free); BWT derived on device
+    T_p = np.zeros(npad, dtype=np.uint8)
     T_p[: len(T)] = np.asarray(T, dtype=np.uint8)
     SA_p = np.full(npad, n - 1, dtype=np.int32)
     SA_p[:n] = np.asarray(SA, dtype=np.int32)
@@ -1522,10 +1620,6 @@ def rem_device_loop(
     LCP_p[:n] = np.asarray(LCP, dtype=np.int32)
     SEG_p = np.full(npad, -1, dtype=np.int32)
     SEG_p[:n] = 0
-    # BWT column (T[SA-1]; SA=0 wraps to the final sentinel — the
-    # a_==0 guard makes the value irrelevant), carried through the
-    # kernel so enumerate needs no text gathers
-    BWT_p = T_p[np.where(SA_p > 0, SA_p - 1, len(T) - 1)]
 
     dispatches = 0
     for _attempt in range(5):
@@ -1536,7 +1630,7 @@ def rem_device_loop(
             npad, caps["K"], caps["SMAX"], caps["ACAP"], caps["CCAP"]
         )
         T_out, anchors, acount, abort, level, steps = fn(
-            T_p, SA_p, LCP_p, BWT_p, SEG_p, seg_tab, np.int32(1),
+            T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(1),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
             np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),
@@ -1662,8 +1756,9 @@ def rem_device_forest(
         "CW": _next_pow2(max(32, 2 * max_k)),
     }
 
-    # int32 text: u8 gathers run ~100x slower on TPU (profiled)
-    T_p = np.zeros(ntext, dtype=np.int32)
+    # text crosses as uint8 (widened on device, see run()); BWT
+    # derived on device
+    T_p = np.zeros(ntext, dtype=np.uint8)
     T_p[:n] = np.asarray(T, dtype=np.uint8)
     SA_p = np.full(npad, n - 1, dtype=np.int32)
     LCP_p = np.zeros(npad, dtype=np.int32)
@@ -1676,8 +1771,6 @@ def rem_device_forest(
         LCP_p[off] = 0  # first-slot LCP is per-segment 0 (split3)
         SEG_p[off:off + sn] = sid
         off += sn
-    # BWT column (see rem_device_loop)
-    BWT_p = T_p[np.where(SA_p > 0, SA_p - 1, n - 1)]
 
     dispatches = 0
     for _attempt in range(5):
@@ -1691,7 +1784,7 @@ def rem_device_forest(
             ntext=ntext, chain_width=caps["CW"],
         )
         T_out, anchors, acount, abort, level, steps = fn(
-            T_p, SA_p, LCP_p, BWT_p, SEG_p, seg_tab, np.int32(F),
+            T_p, SA_p, LCP_p, SEG_p, seg_tab, np.int32(F),
             np.int32(nsep0), np.int32(minlength), np.int32(maxmums),
             np.int32(wscore), np.int32(wpen),
             np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),

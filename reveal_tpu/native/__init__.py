@@ -254,6 +254,20 @@ def get_lib():
                 + [ctypes.POINTER(ctypes.c_void_p)] * 2
                 + [ctypes.c_void_p]
             )
+        for nm in ("rtpu_rem2_defer_par64", "rtpu_rem2_defer_par32"):
+            fn = getattr(lib, nm, None)
+            if fn is None:
+                continue
+            fn.restype = ctypes.c_int64
+            fn.argtypes = (
+                [ctypes.c_void_p] * 4
+                + [ctypes.c_int64] * 3
+                + [ctypes.c_int, ctypes.c_int64, ctypes.c_int64]
+                + [ctypes.c_double, ctypes.c_double, ctypes.c_int64]
+                + [ctypes.c_int64]
+                + [ctypes.POINTER(ctypes.c_void_p)] * 2
+                + [ctypes.c_void_p]
+            )
         lib.rtpu_pairhmm_post_batch.restype = None
         lib.rtpu_pairhmm_post_batch.argtypes = (
             [ctypes.c_void_p] * 4
@@ -617,7 +631,7 @@ def rem2_loop_native(
 
 def rem2_defer_native(
     T, SA, LCP, SAi, nsep0, minlength, trim, maxmums, wscore, wpen,
-    pcutoff, defer_max,
+    pcutoff, defer_max, threads=0,
 ):
     """Host-prefix pairwise recursion with small-segment deferral
     (rem2_loop defer_max in esa.cpp): segments whose enumerated
@@ -646,13 +660,23 @@ def rem2_defer_native(
         or not T.flags["C_CONTIGUOUS"]
     ):
         return None
-    fn = (
-        lib.rtpu_rem2_defer32 if dt == np.int32 else lib.rtpu_rem2_defer64
-    )
+    par = threads and threads > 1
+    if par:
+        fn = (
+            lib.rtpu_rem2_defer_par32
+            if dt == np.int32
+            else lib.rtpu_rem2_defer_par64
+        )
+    else:
+        fn = (
+            lib.rtpu_rem2_defer32
+            if dt == np.int32
+            else lib.rtpu_rem2_defer64
+        )
     out_ptr = ctypes.c_void_p()
     def_ptr = ctypes.c_void_p()
     def_len = np.zeros(1, dtype=np.int64)
-    na = fn(
+    args = [
         T.ctypes.data,
         SA.ctypes.data,
         LCP.ctypes.data,
@@ -666,10 +690,15 @@ def rem2_defer_native(
         ctypes.c_double(wpen),
         ctypes.c_double(pcutoff),
         ctypes.c_int64(defer_max),
+    ]
+    if par:
+        args.append(ctypes.c_int64(int(threads)))
+    args += [
         ctypes.byref(out_ptr),
         ctypes.byref(def_ptr),
         def_len.ctypes.data,
-    )
+    ]
+    na = fn(*args)
     if na < 0:
         if def_ptr.value:
             lib.rtpu_free(def_ptr)

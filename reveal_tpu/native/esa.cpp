@@ -1481,8 +1481,14 @@ struct Rem2Par {
     int64_t rec[7];
     int64_t lead_id = -1, trail_id = -1;
     bool has_anchor = false;
+    // deferred segment (candidate count <= defer_max): frozen state
+    // for the device forest, flat [n, k, aBeg, aEnd, bBeg, bEnd,
+    // SA[n], LCP[n]] — same layout as the serial rem2_loop defer
+    bool has_defer = false;
+    std::vector<int64_t> defer;
   };
   std::vector<Node> nodes;
+  int64_t defer_max = 0;
   std::vector<Rem2Seg<Index>> stack;  // Rem2Seg.nmum<0: enumerate
   std::vector<int64_t> seg_ids;       // parallel to stack
   std::mutex mu;
@@ -1539,6 +1545,32 @@ struct Rem2Par {
         cl = eml.data();
         ca = ema.data();
         cb = emb.data();
+      }
+      if (defer_max > 0 && k > 0 && k <= defer_max) {
+        // same condition as the serial rem2_loop: freeze this
+        // segment's state for the device forest; the placeholder id
+        // is assigned later, during the serial-pop-order walk
+        std::vector<int64_t> pay;
+        pay.reserve((size_t)(6 + 2 * seg.n));
+        pay.insert(pay.end(), {seg.n, k, seg.aBeg, seg.aEnd, seg.bBeg,
+                               seg.bEnd});
+        for (int64_t i = 0; i < seg.n; i++)
+          pay.push_back((int64_t)ssa[i]);
+        for (int64_t i = 0; i < seg.n; i++)
+          pay.push_back((int64_t)slcp[i]);
+        seg_free(seg);
+        lk.lock();
+        --active;
+        if ((int64_t)nodes.size() <= seg_id) nodes.resize(seg_id + 1);
+        Node& nd = nodes[seg_id];
+        nd.has_defer = true;
+        nd.defer = std::move(pay);
+        nd.rec[3] = seg.aBeg;
+        nd.rec[4] = seg.aEnd;
+        nd.rec[5] = seg.bBeg;
+        nd.rec[6] = seg.bEnd;
+        cv.notify_all();
+        continue;
       }
       int st = 1;
       PickResult pr;
@@ -1661,8 +1693,11 @@ int64_t rem2_loop_par(uint8_t* T, const Index* SA, const Index* LCP,
                       Index* SAi, int64_t n, int64_t nsep0,
                       int64_t minlength, int do_trim, int64_t maxmums,
                       int64_t wscore, double wpen, double pcutoff,
-                      int64_t nthreads, int64_t** out_anchors) {
+                      int64_t nthreads, int64_t** out_anchors,
+                      int64_t defer_max = 0,
+                      std::vector<int64_t>* out_defer = nullptr) {
   Rem2Par<Index> ctx;
+  ctx.defer_max = out_defer != nullptr ? defer_max : 0;
   ctx.T = T;
   ctx.SA = SA;
   ctx.LCP = LCP;
@@ -1765,15 +1800,26 @@ int64_t rem2_loop_par(uint8_t* T, const Index* SA, const Index* LCP,
     return -1;
   }
 
-  // reconstruct the serial pop order by simulating the serial stack
+  // reconstruct the serial pop order by simulating the serial stack;
+  // deferred segments get their placeholder ids in this (serial pop)
+  // order, matching the serial rem2_loop's n_defer++ exactly
   std::vector<int64_t> anchors;
   std::vector<int64_t> sim;
+  int64_t n_defer = 0;
   sim.push_back(0);
   while (!sim.empty()) {
     const int64_t id = sim.back();
     sim.pop_back();
     if (id >= (int64_t)ctx.nodes.size()) continue;
     const auto& nd = ctx.nodes[id];
+    if (nd.has_defer) {
+      const int64_t did = n_defer++;
+      anchors.insert(anchors.end(), {did, -1, -1, nd.rec[3], nd.rec[4],
+                                     nd.rec[5], nd.rec[6]});
+      out_defer->insert(out_defer->end(), nd.defer.begin(),
+                        nd.defer.end());
+      continue;
+    }
     if (!nd.has_anchor) continue;
     anchors.insert(anchors.end(), nd.rec, nd.rec + 7);
     if (nd.lead_id >= 0) sim.push_back(nd.lead_id);
@@ -2775,6 +2821,64 @@ int64_t rtpu_rem2_defer64(uint8_t* T, const int64_t* SA,
   int64_t na = rem2_loop(T, SA, LCP, SAi, n, nsep0, minlength, do_trim,
                          maxmums, wscore, wpen, pcutoff, out_anchors,
                          defer_max, &defer);
+  if (na < 0) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return na;
+  }
+  int64_t* buf = (int64_t*)std::malloc(
+      (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
+  *out_defer = buf;
+  *out_defer_len = (int64_t)defer.size();
+  return na;
+}
+
+// threaded variant of rtpu_rem2_defer*: the worker pool processes the
+// host prefix in parallel (rem2_loop_par), deferral + placeholder ids
+// identical to the serial engine (assigned on the serial-pop-order
+// reconstruction walk)
+int64_t rtpu_rem2_defer_par32(uint8_t* T, const int32_t* SA,
+                              const int32_t* LCP, int32_t* SAi,
+                              int64_t n, int64_t nsep0,
+                              int64_t minlength, int do_trim,
+                              int64_t maxmums, int64_t wscore,
+                              double wpen, double pcutoff,
+                              int64_t defer_max, int64_t nthreads,
+                              int64_t** out_anchors,
+                              int64_t** out_defer,
+                              int64_t* out_defer_len) {
+  std::vector<int64_t> defer;
+  int64_t na = rem2_loop_par(T, SA, LCP, SAi, n, nsep0, minlength,
+                             do_trim, maxmums, wscore, wpen, pcutoff,
+                             nthreads, out_anchors, defer_max, &defer);
+  if (na < 0) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return na;
+  }
+  int64_t* buf = (int64_t*)std::malloc(
+      (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
+  *out_defer = buf;
+  *out_defer_len = (int64_t)defer.size();
+  return na;
+}
+
+int64_t rtpu_rem2_defer_par64(uint8_t* T, const int64_t* SA,
+                              const int64_t* LCP, int64_t* SAi,
+                              int64_t n, int64_t nsep0,
+                              int64_t minlength, int do_trim,
+                              int64_t maxmums, int64_t wscore,
+                              double wpen, double pcutoff,
+                              int64_t defer_max, int64_t nthreads,
+                              int64_t** out_anchors,
+                              int64_t** out_defer,
+                              int64_t* out_defer_len) {
+  std::vector<int64_t> defer;
+  int64_t na = rem2_loop_par(T, SA, LCP, SAi, n, nsep0, minlength,
+                             do_trim, maxmums, wscore, wpen, pcutoff,
+                             nthreads, out_anchors, defer_max, &defer);
   if (na < 0) {
     *out_defer = nullptr;
     *out_defer_len = 0;
