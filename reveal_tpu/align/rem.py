@@ -248,6 +248,12 @@ def _rem_device_hybrid(
     SAi = main.SAi
     t_snap = T.copy()
     sai_snap = SAi.copy()
+    # Default threads = min(cpus, 8): unlike the full rem driver (whose
+    # threading loses on <=4 cpus, see CLAUDE.md), the defer-prefix
+    # engine parallelizes the pure-C worklist with no GIL crossings and
+    # measured 0.9 s serial -> 0.71 s at 4 threads on this 4-cpu host
+    # (bench rem_2a2b_frontier_host_prefix_seconds).  Output is byte-
+    # identical either way (serial-pop-order reconstruction).
     dthreads = int(
         os.environ.get(
             "REVEAL_TPU_DEFER_THREADS", min(os.cpu_count() or 1, 8)

@@ -1558,6 +1558,7 @@ struct Rem2Par {
           pay.push_back((int64_t)ssa[i]);
         for (int64_t i = 0; i < seg.n; i++)
           pay.push_back((int64_t)slcp[i]);
+        const int64_t sb[4] = {seg.aBeg, seg.aEnd, seg.bBeg, seg.bEnd};
         seg_free(seg);
         lk.lock();
         --active;
@@ -1565,10 +1566,10 @@ struct Rem2Par {
         Node& nd = nodes[seg_id];
         nd.has_defer = true;
         nd.defer = std::move(pay);
-        nd.rec[3] = seg.aBeg;
-        nd.rec[4] = seg.aEnd;
-        nd.rec[5] = seg.bBeg;
-        nd.rec[6] = seg.bEnd;
+        nd.rec[3] = sb[0];
+        nd.rec[4] = sb[1];
+        nd.rec[5] = sb[2];
+        nd.rec[6] = sb[3];
         cv.notify_all();
         continue;
       }
@@ -2804,6 +2805,11 @@ int64_t rtpu_rem2_defer32(uint8_t* T, const int32_t* SA,
   }
   int64_t* buf = (int64_t*)std::malloc(
       (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  if (!buf) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return -1;
+  }
   std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
   *out_defer = buf;
   *out_defer_len = (int64_t)defer.size();
@@ -2828,6 +2834,11 @@ int64_t rtpu_rem2_defer64(uint8_t* T, const int64_t* SA,
   }
   int64_t* buf = (int64_t*)std::malloc(
       (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  if (!buf) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return -1;
+  }
   std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
   *out_defer = buf;
   *out_defer_len = (int64_t)defer.size();
@@ -2859,6 +2870,11 @@ int64_t rtpu_rem2_defer_par32(uint8_t* T, const int32_t* SA,
   }
   int64_t* buf = (int64_t*)std::malloc(
       (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  if (!buf) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return -1;
+  }
   std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
   *out_defer = buf;
   *out_defer_len = (int64_t)defer.size();
@@ -2886,6 +2902,11 @@ int64_t rtpu_rem2_defer_par64(uint8_t* T, const int64_t* SA,
   }
   int64_t* buf = (int64_t*)std::malloc(
       (defer.size() ? defer.size() : 1) * sizeof(int64_t));
+  if (!buf) {
+    *out_defer = nullptr;
+    *out_defer_len = 0;
+    return -1;
+  }
   std::memcpy(buf, defer.data(), defer.size() * sizeof(int64_t));
   *out_defer = buf;
   *out_defer_len = (int64_t)defer.size();
