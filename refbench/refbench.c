@@ -427,9 +427,419 @@ static int multimum_main(int argc, char **argv) {
     return 0;
 }
 
+/* ---------- recursion-trace mode (--remtrace) ----------
+ *
+ * Per-step picked-anchor trace of the reference recursion under
+ * threads=0 LIFO semantics, with the ACTUAL reference picker: a literal
+ * C transliteration of schemes.graphmumpicker + chain + trim_overlap
+ * (reveal/schemes.py:20-104,161-191,197-361), including the py2
+ * behaviors that shape the output — stable list.sort, the i==0
+ * containment-filter wraparound quirk (schemes.py:171), and dict
+ * aliasing when two (trimmed) MUMs share a start offset (sp2mum /
+ * score / link are keyed by the ref-axis offset, later writers win).
+ * Written independently from the Python source; the repo's own engine
+ * (reveal_tpu/native/esa.cpp pick_pairwise_dp) is a separate
+ * implementation, so anchor-for-anchor agreement is a differential
+ * check of both.
+ *
+ * Pairwise single-contig inputs only (the offset map pos->path offset
+ * is then the arithmetic shift the reference's node-offset lookup
+ * reduces to: offA = pos, offB = pos - (nsep0+1)).  seedsize=0
+ * semantics (live picking at every step; the reference default of
+ * 10000 switches children to precomputed-chain midpoint picks —
+ * documented deviation, fixtures pin the live-picking trace).
+ * Emits one "ma mb l aBeg aEnd bBeg bEnd" line per anchor in pop
+ * order (trailing subtree first, reveal.c:21-27,1295-1324). */
+
+typedef struct {
+    int64_t l;      /* current (possibly trimmed) length */
+    int64_t a, b;   /* text coords */
+} TMum;
+
+/* stable insertion sorts (py2 list.sort is stable; k is small) */
+static void tm_sort_start_negl(TMum *m, int64_t k, int coord) {
+    for (int64_t i = 1; i < k; i++) {
+        TMum x = m[i];
+        int64_t xs = coord == 0 ? x.a : x.b;
+        int64_t j = i - 1;
+        while (j >= 0) {
+            int64_t js = coord == 0 ? m[j].a : m[j].b;
+            if (js > xs || (js == xs && -m[j].l > -x.l)) {
+                m[j + 1] = m[j];
+                j--;
+            } else break;
+        }
+        m[j + 1] = x;
+    }
+}
+
+static void tm_sort_l_desc(TMum *m, int64_t k) {
+    for (int64_t i = 1; i < k; i++) {
+        TMum x = m[i];
+        int64_t j = i - 1;
+        while (j >= 0 && m[j].l < x.l) { m[j + 1] = m[j]; j--; }
+        m[j + 1] = x;
+    }
+}
+
+static void tm_sort_l_asc(TMum *m, int64_t k) {
+    for (int64_t i = 1; i < k; i++) {
+        TMum x = m[i];
+        int64_t j = i - 1;
+        while (j >= 0 && m[j].l > x.l) { m[j + 1] = m[j]; j--; }
+        m[j + 1] = x;
+    }
+}
+
+/* trim_overlap (schemes.py:161-191), both coords, literal */
+static int64_t trim_overlap_c(TMum *m, int64_t k) {
+    for (int coord = 0; coord < 2; coord++) {
+        if (k <= 1) break;
+        tm_sort_start_negl(m, k, coord);
+        /* containment filter incl. the i==0 wraparound quirk */
+        TMum *keep = malloc((size_t)k * sizeof(TMum));
+        int64_t nk = 0;
+        for (int64_t i = 0; i < k; i++) {
+            int64_t me = (coord == 0 ? m[i].a : m[i].b) + m[i].l;
+            int ok;
+            if (i == 0) {
+                int64_t ne = (coord == 0 ? m[1].a : m[1].b) + m[1].l;
+                ok = ne > me;
+            } else {
+                int64_t pe = (coord == 0 ? m[i - 1].a : m[i - 1].b) + m[i - 1].l;
+                ok = pe < me;
+            }
+            if (ok) keep[nk++] = m[i];
+        }
+        memcpy(m, keep, (size_t)nk * sizeof(TMum));
+        free(keep);
+        k = nk;
+        if (k <= 1) break;
+        /* overlap trimming (schemes.py:175-189) */
+        TMum *tr = malloc((size_t)k * sizeof(TMum));
+        int64_t nt = 0;
+        tr[nt++] = m[0];
+        for (int64_t i = 1; i < k; i++) {
+            TMum cur = m[i];
+            if (nt == 0) { tr[nt++] = cur; continue; }
+            TMum *p = &tr[nt - 1];
+            int64_t ov = ((coord == 0 ? p->a : p->b) + p->l) -
+                         (coord == 0 ? cur.a : cur.b);
+            if (ov > 0) {
+                if (p->l - ov > 0) p->l -= ov;
+                else nt--; /* del trimmed[-1] */
+                if (cur.l - ov > 0) {
+                    cur.l -= ov;
+                    cur.a += ov;  /* all coords shift (schemes.py:185) */
+                    cur.b += ov;
+                    tr[nt++] = cur;
+                }
+            } else {
+                tr[nt++] = cur;
+            }
+        }
+        memcpy(m, tr, (size_t)nt * sizeof(TMum));
+        free(tr);
+        k = nt;
+    }
+    return k;
+}
+
+/* py2-dict emulation keyed by the ref-axis (a) offset: one slot per
+ * key, later writers overwrite (the aliasing path) */
+typedef struct { int64_t *keys, *vals; int64_t n, cap; } I64Map;
+static void map_init(I64Map *d, int64_t cap) {
+    d->keys = malloc((size_t)cap * sizeof(int64_t));
+    d->vals = malloc((size_t)cap * sizeof(int64_t));
+    d->n = 0; d->cap = cap;
+}
+static void map_free(I64Map *d) { free(d->keys); free(d->vals); }
+static void map_set(I64Map *d, int64_t k, int64_t v) {
+    for (int64_t i = 0; i < d->n; i++)
+        if (d->keys[i] == k) { d->vals[i] = v; return; }
+    d->keys[d->n] = k; d->vals[d->n] = v; d->n++;
+}
+static int64_t map_get(const I64Map *d, int64_t k) {
+    for (int64_t i = 0; i < d->n; i++)
+        if (d->keys[i] == k) return d->vals[i];
+    fprintf(stderr, "remtrace: key %lld missing\n", (long long)k);
+    exit(4);
+}
+
+/* schemes.graphmumpicker for the pairwise live path; returns 1 and the
+ * picked (ma, mb, l) in text coords, 0 for stop. */
+static int pick_schemes(const SubIdx *ix, int minl, int maxmums,
+                        int64_t wscore, int64_t wpen,
+                        saidx32_t *pa, saidx32_t *pb, saidx32_t *pl) {
+    /* collect MUMs (getmums_rem scan order) */
+    int64_t cap = 256, k = 0;
+    TMum *m = malloc((size_t)cap * sizeof(TMum));
+    for (int64_t i = 1; i < ix->n; i++) {
+        saidx32_t l = ix->LCP[i];
+        if (l < minl) continue;
+        if ((ix->SA[i] > g_nsep0) == (ix->SA[i - 1] > g_nsep0)) continue;
+        saidx32_t aS, bS;
+        if (ix->SA[i] < ix->SA[i - 1]) { aS = ix->SA[i]; bS = ix->SA[i - 1]; }
+        else { aS = ix->SA[i - 1]; bS = ix->SA[i]; }
+        if (aS > 0 && bS > 0) {
+            char c = g_T[aS - 1];
+            if (!((c != g_T[bS - 1]) || c == 'N' || c == '$' ||
+                  islower((unsigned char)c)))
+                continue;
+        }
+        saidx32_t lb = ix->LCP[i - 1];
+        saidx32_t la = (i == ix->n - 1) ? 0 : ix->LCP[i + 1];
+        if (lb >= l || la >= l) continue;
+        if (k == cap) { cap *= 2; m = realloc(m, (size_t)cap * sizeof(TMum)); }
+        m[k].l = l; m[k].a = aS; m[k].b = bS; k++;
+    }
+    if (k == 0) { free(m); return 0; }
+
+    k = trim_overlap_c(m, k);           /* args.trim default True */
+    if (k == 0) { free(m); return 0; }
+    tm_sort_l_desc(m, k);               /* mmums.sort(key=l, reverse) */
+    /* mapping dict snapshot: built during maptooffsets in THIS desc
+     * order, keyed by the offsets tuple (later writers win) — the
+     * final splitmum lookup goes through it (schemes.py:152-158,330) */
+    TMum *mdesc = malloc((size_t)k * sizeof(TMum));
+    memcpy(mdesc, m, (size_t)k * sizeof(TMum));
+    const int64_t kfull = k;
+    /* maptooffsets: offA = a, offB = b - (nsep0+1); relmums sort by
+     * (n, l) ascending (n==2 throughout -> by l, stable) */
+    tm_sort_l_asc(m, k);
+    if (maxmums > 0 && k > maxmums) {   /* keep the largest (last) */
+        memmove(m, m + (k - maxmums), (size_t)maxmums * sizeof(TMum));
+        k = maxmums;
+    }
+    const int64_t boff = g_nsep0 + 1;
+    /* left/right pseudo in offset coords (leftnode end-1 / rightnode
+     * start reduce to the segment bounds, schemes.py:255-275) */
+    const int64_t leftA = ix->abegin - 1, leftB = ix->bbegin - 1 - boff;
+    const int64_t rightA = ix->aend, rightB = ix->bend - boff;
+
+    TMum best;
+    int have = 0;
+    if (k == 1) {
+        /* splitmum = relmums[0], then the mapping lookup (same key) */
+        for (int64_t i = kfull - 1; i >= 0; i--)
+            if (mdesc[i].a == m[0].a && mdesc[i].b == m[0].b) {
+                best = mdesc[i]; have = 1; break;
+            }
+    } else {
+        /* chain (schemes.py:20-104).  Entries 0..k-1 candidates
+         * (offset coords), entry k = right pseudo; left is virtual
+         * index -1.  All dicts keyed by a-offset with overwrite. */
+        int64_t K1 = k + 1;
+        TMum *c = malloc((size_t)K1 * sizeof(TMum));
+        for (int64_t i = 0; i < k; i++) {
+            c[i].l = m[i].l; c[i].a = m[i].a; c[i].b = m[i].b - boff;
+        }
+        c[k].l = 0; c[k].a = rightA; c[k].b = rightB;
+        /* stable sort by a-offset (mums.sort(key=mum[2][ref])) */
+        for (int64_t i = 1; i < K1; i++) {
+            TMum x = c[i];
+            int64_t j = i - 1;
+            while (j >= 0 && c[j].a > x.a) { c[j + 1] = c[j]; j--; }
+            c[j + 1] = x;
+        }
+        I64Map sp2mum, score, link;   /* sp2mum: a-offset -> entry idx */
+        map_init(&sp2mum, K1 + 1);
+        map_init(&score, K1 + 1);
+        map_init(&link, K1 + 1);
+        for (int64_t i = 0; i < K1; i++) map_set(&sp2mum, c[i].a, i);
+        map_set(&score, leftA, 0);
+        /* active/processed hold entry indices; -1 = left pseudo */
+        int64_t *active = malloc((size_t)(K1 + 1) * sizeof(int64_t));
+        int64_t *proc = malloc((size_t)K1 * sizeof(int64_t));
+        int64_t na = 0, np = 0;
+        active[na++] = -1;
+        int64_t bestidx = -1; /* py2 'best' persists across iterations */
+        for (int64_t mi = 0; mi < K1; mi++) {
+            int64_t msA = c[mi].a, msB = c[mi].b;
+            /* move processed -> active when end <= start in all coords */
+            int64_t w = 0;
+            for (int64_t pi = 0; pi < np; pi++) {
+                int64_t p = proc[pi];
+                if (c[p].a + c[p].l > msA || c[p].b + c[p].l > msB) {
+                    proc[w++] = p;
+                } else {
+                    active[na++] = p;
+                }
+            }
+            np = w;
+            /* stable sort active by score desc */
+            for (int64_t i = 1; i < na; i++) {
+                int64_t x = active[i];
+                int64_t xs = map_get(&score, x < 0 ? leftA : c[x].a);
+                int64_t j = i - 1;
+                while (j >= 0) {
+                    int64_t js = map_get(&score,
+                                         active[j] < 0 ? leftA : c[active[j]].a);
+                    if (js < xs) { active[j + 1] = active[j]; j--; }
+                    else break;
+                }
+                active[j + 1] = x;
+            }
+            /* n==2: wscore * (l * (2*1)/2) = wscore*l */
+            int64_t wbest = 0; int havew = 0;
+            for (int64_t ai = 0; ai < na; ai++) {
+                int64_t am = active[ai];
+                int64_t aA = am < 0 ? leftA : c[am].a;
+                int64_t aB = am < 0 ? leftB : c[am].b;
+                int64_t al = am < 0 ? 0 : c[am].l;
+                if (aA + al > msA || aB + al > msB) continue;
+                int64_t s = map_get(&score, aA) + wscore * c[mi].l;
+                if (havew && wbest > s) break;
+                int64_t dA = msA - (aA + al); if (dA < 0) dA = -dA;
+                int64_t dB = msB - (aB + al); if (dB < 0) dB = -dB;
+                int64_t pen = dA - dB; if (pen < 0) pen = -pen;
+                int64_t tmpw = s - wpen * pen;
+                if (!havew || tmpw > wbest) {
+                    havew = 1; wbest = tmpw; bestidx = am;
+                }
+            }
+            map_set(&link, msA, bestidx < 0 ? leftA : c[bestidx].a);
+            map_set(&score, msA, wbest);
+            proc[np++] = mi;
+        }
+        /* backtrack from right; path[1:] drops the right pseudo */
+        int64_t chaincap = K1, nch = 0;
+        int64_t *chains = malloc((size_t)chaincap * sizeof(int64_t));
+        int64_t end = rightA;
+        int firstrow = 1;
+        while (end != leftA) {
+            if (nch >= chaincap) {  /* aliasing cycle guard (python
+                                     * would loop forever here) */
+                fprintf(stderr, "remtrace: link cycle\n"); exit(4);
+            }
+            int64_t ei = map_get(&sp2mum, end);
+            if (!firstrow) chains[nch++] = ei;
+            firstrow = 0;
+            end = map_get(&link, end);
+        }
+        free(active); free(proc);
+        if (nch == 0) {
+            map_free(&sp2mum); map_free(&score); map_free(&link);
+            free(c); free(chains); free(m); free(mdesc);
+            return 0;
+        }
+        /* chainedmums = path[1:] reversed (left-to-right); splitmum =
+         * last max-l (sorted stable by l, [-1]) */
+        int64_t bi = nch - 1;          /* leftmost in backtrack order */
+        int64_t bestl = c[chains[bi]].l;
+        for (int64_t i = nch - 1; i >= 0; i--) {  /* left-to-right */
+            if (c[chains[i]].l >= bestl) { bestl = c[chains[i]].l; bi = i; }
+        }
+        TMum picked = c[chains[bi]];
+        /* splitmum = mapping[(offA, offB)]: last writer in the l-desc
+         * build order wins (py2 dict overwrite) */
+        for (int64_t i = kfull - 1; i >= 0; i--) {
+            if (mdesc[i].a == picked.a && mdesc[i].b == picked.b + boff) {
+                best = mdesc[i]; have = 1; break;
+            }
+        }
+        map_free(&sp2mum); map_free(&score); map_free(&link);
+        free(c); free(chains);
+    }
+    free(m); free(mdesc);
+    if (!have) { fprintf(stderr, "remtrace: mapping miss\n"); exit(4); }
+    *pa = (saidx32_t)best.a; *pb = (saidx32_t)best.b;
+    *pl = (saidx32_t)best.l;
+    return 1;
+}
+
+static int remtrace_main(int argc, char **argv) {
+    const char *files[2] = {NULL, NULL};
+    int nfiles = 0, minl = 20, maxmums = 1000;
+    const char *fixture = NULL;
+    for (int i = 2; i < argc; i++) {
+        if (!strcmp(argv[i], "--fixture") && i + 1 < argc) fixture = argv[++i];
+        else if (!strcmp(argv[i], "--minl") && i + 1 < argc) minl = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--maxmums") && i + 1 < argc) maxmums = atoi(argv[++i]);
+        else if (nfiles < 2) files[nfiles++] = argv[i];
+    }
+    if (nfiles != 2) { fprintf(stderr, "need 2 fasta files\n"); return 2; }
+
+    char *T = NULL; int64_t n = 0, cap = 0;
+    load_fasta(files[0], &T, &n, &cap);
+    g_nsep0 = n - 1;
+    load_fasta(files[1], &T, &n, &cap);
+    g_T = T;
+    for (int64_t i = 0; i < n; i++)  /* single-contig check */
+        if (T[i] == '$' && i != g_nsep0 && i != n - 1) {
+            fprintf(stderr, "remtrace: single-contig inputs only\n");
+            return 2;
+        }
+
+    saidx32_t *SA = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *SAi = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *LCP = malloc((size_t)n * sizeof(saidx32_t));
+    double t0 = now_s();
+    if (divsufsort((const sauchar_t *)T, SA, (saidx_t)n) != 0) {
+        fprintf(stderr, "divsufsort failed\n"); return 1;
+    }
+    for (int64_t i = 0; i < n; i++) SAi[SA[i]] = (saidx32_t)i;
+    /* sentinel-capped LCP: the repo's documented deviation, so both
+     * engines enumerate the same MUM set (see --multimums rationale) */
+    kasai_lcp(T, SA, SAi, LCP, n, 1);
+    g_SAi = SAi;
+    double t_build = now_s() - t0;
+
+    FILE *out = NULL;
+    char path[4096];
+    if (fixture) {
+        snprintf(path, sizeof path, "%s.remtrace.txt", fixture);
+        out = fopen(path, "w");
+    }
+    t0 = now_s();
+    int64_t steps = 0, matched = 0;
+    SubIdx root = {SA, LCP, n, 0, g_nsep0, g_nsep0 + 1, n - 1};
+    SubIdx *stack = malloc(1024 * sizeof(SubIdx));
+    int64_t sp = 0, stackcap = 1024;
+    stack[sp++] = root;
+    while (sp > 0) {
+        SubIdx ix = stack[--sp];
+        saidx32_t ma, mb, l;
+        if (ix.n > 1 &&
+            pick_schemes(&ix, minl, maxmums, 1, 1, &ma, &mb, &l)) {
+            if (out)
+                fprintf(out, "%d %d %d %lld %lld %lld %lld\n",
+                        (int)ma, (int)mb, (int)l,
+                        (long long)ix.abegin, (long long)ix.aend,
+                        (long long)ix.bbegin, (long long)ix.bend);
+            SubIdx lead, trail;
+            split_step(&ix, ma, mb, l, &lead, &trail);
+            steps++; matched += 2 * (int64_t)l;
+            if (sp + 2 > stackcap) {
+                stackcap *= 2;
+                stack = realloc(stack, (size_t)stackcap * sizeof(SubIdx));
+            }
+            /* push leading then trailing: LIFO pops trailing first
+             * (reveal.c:1306-1324 push order + pop_index :25) */
+            if (lead.n > 0) stack[sp++] = lead;
+            else { free(lead.SA); free(lead.LCP); }
+            if (trail.n > 0) stack[sp++] = trail;
+            else { free(trail.SA); free(trail.LCP); }
+        }
+        if (ix.SA != SA) { free(ix.SA); free(ix.LCP); }
+    }
+    free(stack);
+    double t_rem = now_s() - t0;
+    if (out) fclose(out);
+
+    printf("{\"n\": %lld, \"ref_c_build_seconds\": %.4f, "
+           "\"ref_c_remtrace_seconds\": %.4f, \"anchors\": %lld, "
+           "\"matched_bases\": %lld}\n",
+           (long long)n, t_build, t_rem, (long long)steps,
+           (long long)matched);
+    return 0;
+}
+
 int main(int argc, char **argv) {
     if (argc >= 2 && !strcmp(argv[1], "--multimums"))
         return multimum_main(argc, argv);
+    if (argc >= 2 && !strcmp(argv[1], "--remtrace"))
+        return remtrace_main(argc, argv);
     if (argc < 3) {
         fprintf(stderr, "usage: %s a.fa b.fa [minl] [--fixture PREFIX] [--no-rem]\n"
                         "       %s --multimums f1.fa f2.fa ... [--minl N] [--fixture PREFIX]\n",

@@ -69,7 +69,7 @@ def make(fn, reps, unary=False):
             return jax.lax.fori_loop(0, reps, body, v)
     return k
 
-REPS = 9
+REPS = 5
 
 def measure(fn, unary, label, ins):
     k1 = make(fn, 1, unary)
@@ -89,6 +89,7 @@ def measure(fn, unary, label, ins):
 
 
 def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
     ins = [
@@ -101,17 +102,21 @@ def main():
     for a in ins:
         np.asarray(jax.device_get(a[0]))
 
-    measure(la_last_value_scan, False, "associative_scan last_value (2M)", ins)
-    measure(hs_last_value_scan, False, "hillis-steele last_value    (2M)", ins)
-    measure(jnp.cumsum, True, "jnp.cumsum                  (2M)", ins)
-    measure(hs_cumsum, True, "hillis-steele cumsum        (2M)", ins)
-    # correctness
-    v, f = ins[0]
-    assert np.array_equal(
-        np.asarray(la_last_value_scan(v, f)), np.asarray(hs_last_value_scan(v, f))
-    )
-    assert np.array_equal(np.asarray(jnp.cumsum(v)), np.asarray(hs_cumsum(v)))
-    print("results equal: ok", flush=True)
+    if which in ("all", "la"):
+        measure(la_last_value_scan, False, "associative_scan last_value (2M)", ins)
+    if which in ("all", "hs"):
+        measure(hs_last_value_scan, False, "hillis-steele last_value    (2M)", ins)
+    if which in ("all", "cumsum"):
+        measure(jnp.cumsum, True, "jnp.cumsum                  (2M)", ins)
+    if which in ("all", "hscumsum"):
+        measure(hs_cumsum, True, "hillis-steele cumsum        (2M)", ins)
+    if which == "check":
+        v, f = ins[0]
+        assert np.array_equal(
+            np.asarray(la_last_value_scan(v, f)), np.asarray(hs_last_value_scan(v, f))
+        )
+        assert np.array_equal(np.asarray(jnp.cumsum(v)), np.asarray(hs_cumsum(v)))
+        print("results equal: ok", flush=True)
 
 
 if __name__ == "__main__":
