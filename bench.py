@@ -131,6 +131,41 @@ def ref_c_baseline(fa, fb, timeout=600):
     return best[1]
 
 
+def ref_c_multi_baseline(files, timeout=600):
+    """Reference multi-genome baseline (VERDICT r4 item 7): the
+    reference's own multiMUM machinery (getmultimums LCP-interval walk,
+    reveal.c:436-580) driven through the LIFO recursion with a
+    longest-multiMUM pick (refbench --remmulti).  Omits the Python
+    chain picker + graph surgery — generous to the reference."""
+    exe = os.path.join(REPO, "refbench", "refbench")
+    if not os.path.exists(exe):
+        subprocess.run(
+            [os.path.join(REPO, "refbench", "build.sh")],
+            check=True,
+            capture_output=True,
+            timeout=timeout,
+        )
+    best = None
+    for _ in range(2):
+        out = subprocess.run(
+            [exe, "--remmulti"] + list(files) + ["--minl", "20"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            check=True,
+        )
+        d = json.loads(out.stdout.strip())
+        tot = (
+            d["ref_c_sa_seconds"]
+            + d["ref_c_lcp_seconds"]
+            + d["ref_c_remmulti_seconds"]
+        )
+        if best is None or tot < best[0]:
+            best = (tot, d)
+    best[1]["ref_c_total_seconds"] = round(best[0], 4)
+    return best[1]
+
+
 def cpu_proxy_rem(files, timeout=1800):
     """Measured reference-CPU proxy: pure-numpy engine in a subprocess
     (native kernels disabled, CPU jax platform, device never touched)."""
@@ -383,6 +418,22 @@ def main():
         extra["ref_c_3a3b_rem_steps"] = rc3["rem_steps"]
     except Exception as e:  # pragma: no cover
         extra["ref_c_3a3b_error"] = str(e)[:200]
+
+    # multi-genome reference baseline (VERDICT r4 item 7): the 6-way
+    # rem rows get a reference ratio (ref_c time / our time, >1 = win)
+    try:
+        rc6 = ref_c_multi_baseline(
+            [
+                TESTS + "/" + f
+                for f in (
+                    "1a.fa", "1b.fa", "1c.fa", "1d.fa", "1e.fa", "1f.fa"
+                )
+            ]
+        )
+        extra["ref_c_6way_total_seconds"] = rc6["ref_c_total_seconds"]
+        extra["ref_c_6way_rem_steps"] = rc6["rem_steps"]
+    except Exception as e:  # pragma: no cover
+        extra["ref_c_6way_error"] = str(e)[:200]
 
     # secondary: the repo's own pure-numpy engine (same algorithm,
     # identical output graph) as a measured worst-case yardstick
@@ -668,6 +719,19 @@ def main():
                 / extra["rem_3a3b_seconds"],
                 3,
             )
+        if "ref_c_6way_total_seconds" in extra:
+            if "rem_6way_1af_seconds" in extra:
+                extra["rem_6way_vs_ref_c"] = round(
+                    extra["ref_c_6way_total_seconds"]
+                    / extra["rem_6way_1af_seconds"],
+                    3,
+                )
+            if "rem_6way_1af_frontier_seconds" in extra:
+                extra["rem_6way_frontier_vs_ref_c"] = round(
+                    extra["ref_c_6way_total_seconds"]
+                    / extra["rem_6way_1af_frontier_seconds"],
+                    3,
+                )
     except Exception:
         pass
 

@@ -427,6 +427,303 @@ static int multimum_main(int argc, char **argv) {
     return 0;
 }
 
+/* ---------- multi-genome recursion mode (--remmulti) ----------
+ *
+ * Timed multi-genome rem baseline: the reference's own multiMUM
+ * machinery (getmultimums LCP-interval walk + ismultimum,
+ * reveal.c:436-580,227-259) driven through the LIFO recursion
+ * (aligner(), reveal.c:731-1338) with a longest-multiMUM pick standing
+ * in for the Python chain picker — omitting the Python side only makes
+ * the reference LOOK FASTER, so the baseline is conservative (same
+ * philosophy as the pairwise rem proxy above).  Split semantics follow
+ * split() (reveal.c:582-664): leading/trailing for samples hit by the
+ * picked mum, parallel (D=4) for whole intervals of samples it does
+ * not span (reveal.c:1005-1117), bubble-repair on the leading child
+ * per matched begin (reveal.c:666-727,1230-1251).
+ */
+
+#define MAXSAMP 64
+
+typedef struct {
+    saidx32_t *SA, *LCP;
+    int64_t n;
+    int64_t ivbeg[MAXSAMP], ivend[MAXSAMP]; /* -1,-1 = sample absent */
+} MSub;
+
+static int *g_SO;        /* sample-origin per text position */
+static int g_nsamples;
+
+/* longest multiMUM in the segment: LCP-interval stack walk
+ * (reveal.c:436-580) with the candidate filter inline.  Prefers mums
+ * spanning every present sample (the graphmumpicker subset rule,
+ * schemes.py:227-231); falls back to the longest of any width >= 2
+ * (cheaper than the reference's segment()+chain, conservative).
+ * Returns width and positions (SA values) of the winner. */
+static int pick_longest_multi(const MSub *ix, int minl, int npresent,
+                              saidx32_t *out_pos, int *out_n,
+                              saidx32_t *out_l) {
+    enum { MAXD = 4096 };
+    static saidx32_t st_lcp[MAXD];
+    static int64_t st_lb[MAXD];
+    int depth = 0;
+    st_lcp[0] = 0; st_lb[0] = 0;
+    saidx32_t best_full = 0, best_any = 0;
+    int64_t bf_lb = -1, bf_ub = -1, ba_lb = -1, ba_ub = -1;
+    saidx32_t bf_l = 0, ba_l = 0;
+    int flag_so[MAXSAMP];
+
+    const saidx32_t *SA = ix->SA;
+    const saidx32_t *LCP = ix->LCP;
+    const int64_t n = ix->n;
+
+#define MCHECK(i_lcp, i_lb, i_ub)                                        \
+    do {                                                                 \
+        int64_t cn = (i_ub) - (i_lb) + 1;                                \
+        if ((i_lcp) >= minl && cn >= 2 && cn <= g_nsamples &&            \
+            ((i_lcp) > best_any || ((i_lcp) > best_full && cn == npresent))) { \
+            int okm = 1;                                                 \
+            memset(flag_so, 0, sizeof(int) * (size_t)g_nsamples);        \
+            for (int64_t x = (i_lb); x <= (i_ub); x++) {                 \
+                int so = g_SO[SA[x]];                                    \
+                if (flag_so[so]) { okm = 0; break; }                     \
+                flag_so[so] = 1;                                         \
+            }                                                            \
+            if (okm) {                                                   \
+                int lm = 0;                                              \
+                for (int64_t x = (i_lb); x < (i_ub); x++) {              \
+                    if (SA[x] == 0 || SA[x + 1] == 0) { lm = 1; break; } \
+                    char c = g_T[SA[x] - 1];                             \
+                    if (c != g_T[SA[x + 1] - 1] || c == 'N' ||           \
+                        c == '$' || islower((unsigned char)c)) {         \
+                        lm = 1; break;                                   \
+                    }                                                    \
+                }                                                        \
+                if (lm) {                                                \
+                    if (cn == npresent && (i_lcp) > best_full) {         \
+                        best_full = (i_lcp); bf_l = (i_lcp);             \
+                        bf_lb = (i_lb); bf_ub = (i_ub);                  \
+                    }                                                    \
+                    if ((i_lcp) > best_any) {                            \
+                        best_any = (i_lcp); ba_l = (i_lcp);              \
+                        ba_lb = (i_lb); ba_ub = (i_ub);                  \
+                    }                                                    \
+                }                                                        \
+            }                                                            \
+        }                                                                \
+    } while (0)
+
+    for (int64_t i = 1; i < n; i++) {
+        int64_t lb = i - 1;
+        while (LCP[i] < st_lcp[depth]) {
+            saidx32_t i_lcp = st_lcp[depth];
+            int64_t i_lb = st_lb[depth];
+            int64_t i_ub = i - 1;
+            depth--;
+            MCHECK(i_lcp, i_lb, i_ub);
+            lb = i_lb;
+        }
+        if (LCP[i] > st_lcp[depth]) {
+            if (depth + 1 >= MAXD) return 0; /* pathological depth */
+            depth++;
+            st_lcp[depth] = LCP[i];
+            st_lb[depth] = lb;
+        }
+    }
+    while (depth >= 0) {
+        saidx32_t i_lcp = st_lcp[depth];
+        int64_t i_lb = st_lb[depth];
+        int64_t i_ub = n - 1;
+        depth--;
+        MCHECK(i_lcp, i_lb, i_ub);
+    }
+#undef MCHECK
+
+    int64_t lb, ub;
+    saidx32_t l;
+    if (bf_lb >= 0) { lb = bf_lb; ub = bf_ub; l = bf_l; }
+    else if (ba_lb >= 0) { lb = ba_lb; ub = ba_ub; l = ba_l; }
+    else return 0;
+    int cnt = 0;
+    for (int64_t x = lb; x <= ub; x++) out_pos[cnt++] = SA[x];
+    *out_n = cnt;
+    *out_l = l;
+    return 1;
+}
+
+/* one multi recursion step: D-mark, lowercase, 3-way split with
+ * running-min LCP, bubble repair on leading (reveal.c:582-664,
+ * 1005-1117, 1230-1251) */
+static void split_step_multi(MSub *ix, const saidx32_t *pos, int nmum,
+                             saidx32_t l, MSub *lead, MSub *trail,
+                             MSub *par) {
+    uint8_t *D = calloc((size_t)ix->n, 1);
+    int64_t nl = 0, nt = 0, np = 0;
+    int inmum[MAXSAMP];
+    memset(inmum, 0, sizeof inmum);
+    for (int c = 0; c < nmum; c++) inmum[g_SO[pos[c]]] = 1;
+    for (int s = 0; s < g_nsamples; s++) {
+        lead->ivbeg[s] = lead->ivend[s] = -1;
+        trail->ivbeg[s] = trail->ivend[s] = -1;
+        par->ivbeg[s] = par->ivend[s] = -1;
+        if (ix->ivbeg[s] < 0) continue;
+        if (!inmum[s]) { /* parallel: whole interval */
+            for (int64_t j = ix->ivbeg[s]; j < ix->ivend[s]; j++) {
+                D[g_SAi[j]] = 4; np++;
+            }
+            par->ivbeg[s] = ix->ivbeg[s];
+            par->ivend[s] = ix->ivend[s];
+        }
+    }
+    for (int c = 0; c < nmum; c++) {
+        int s = g_SO[pos[c]];
+        int64_t mb = pos[c];
+        for (int64_t j = ix->ivbeg[s]; j < mb; j++) { D[g_SAi[j]] = 1; nl++; }
+        for (int64_t j = mb + l; j < ix->ivend[s]; j++) { D[g_SAi[j]] = 2; nt++; }
+        for (int64_t j = mb; j < mb + l; j++) {
+            D[g_SAi[j]] = 3;
+            g_T[j] = (char)tolower((unsigned char)g_T[j]);
+        }
+        if (mb > ix->ivbeg[s]) {
+            lead->ivbeg[s] = ix->ivbeg[s]; lead->ivend[s] = mb;
+        }
+        if (mb + l < ix->ivend[s]) {
+            trail->ivbeg[s] = mb + l; trail->ivend[s] = ix->ivend[s];
+        }
+    }
+    lead->n = nl; trail->n = nt; par->n = np;
+    lead->SA = malloc((size_t)(nl ? nl : 1) * sizeof(saidx32_t));
+    lead->LCP = malloc((size_t)(nl ? nl : 1) * sizeof(saidx32_t));
+    trail->SA = malloc((size_t)(nt ? nt : 1) * sizeof(saidx32_t));
+    trail->LCP = malloc((size_t)(nt ? nt : 1) * sizeof(saidx32_t));
+    par->SA = malloc((size_t)(np ? np : 1) * sizeof(saidx32_t));
+    par->LCP = malloc((size_t)(np ? np : 1) * sizeof(saidx32_t));
+    int64_t il = 0, it = 0, ip = 0, lastl = 0, lastt = 0, lastp = 0;
+    saidx32_t minl_ = 0, mint_ = 0, minp_ = 0;
+    for (int64_t i = 0; i < ix->n; i++) {
+        if (D[i] == 1) {
+            lead->SA[il] = ix->SA[i];
+            lead->LCP[il] = (il == 0) ? 0 : minl_;
+            g_SAi[ix->SA[i]] = (saidx32_t)il;
+            il++; lastl = i;
+        } else if (D[i] == 2) {
+            trail->SA[it] = ix->SA[i];
+            trail->LCP[it] = (it == 0) ? 0 : mint_;
+            g_SAi[ix->SA[i]] = (saidx32_t)it;
+            it++; lastt = i;
+        } else if (D[i] == 4) {
+            par->SA[ip] = ix->SA[i];
+            par->LCP[ip] = (ip == 0) ? 0 : minp_;
+            g_SAi[ix->SA[i]] = (saidx32_t)ip;
+            ip++; lastp = i;
+        }
+        if (i == ix->n - 1) break;
+        if (i == lastt) mint_ = ix->LCP[i + 1];
+        else if (ix->LCP[i + 1] < mint_) mint_ = ix->LCP[i + 1];
+        if (i == lastl) minl_ = ix->LCP[i + 1];
+        else if (ix->LCP[i + 1] < minl_) minl_ = ix->LCP[i + 1];
+        if (i == lastp) minp_ = ix->LCP[i + 1];
+        else if (ix->LCP[i + 1] < minp_) minp_ = ix->LCP[i + 1];
+    }
+    free(D);
+    if (nl > 0) {
+        int64_t ivals[MAXSAMP][2];
+        for (int c = 0; c < nmum; c++) {
+            ivals[c][0] = pos[c]; ivals[c][1] = pos[c] + l;
+        }
+        SubIdx tmp = {lead->SA, lead->LCP, lead->n, 0, 0, 0, 0};
+        bubble_repair(&tmp, (const int64_t(*)[2])ivals, nmum);
+    }
+}
+
+static int remmulti_main(int argc, char **argv) {
+    const char *files[MAXSAMP];
+    int nfiles = 0, minl = 20;
+    for (int i = 2; i < argc; i++) {
+        if (!strcmp(argv[i], "--minl") && i + 1 < argc) minl = atoi(argv[++i]);
+        else if (nfiles < MAXSAMP) files[nfiles++] = argv[i];
+    }
+    if (nfiles < 2) { fprintf(stderr, "need >=2 fasta files\n"); return 2; }
+
+    char *T = NULL; int64_t n = 0, cap = 0;
+    int64_t bounds[MAXSAMP + 1];
+    for (int f = 0; f < nfiles; f++) {
+        load_fasta(files[f], &T, &n, &cap);
+        bounds[f] = n;
+    }
+    g_T = T;
+    g_nsamples = nfiles;
+    g_nsep0 = bounds[0] - 1;
+    g_SO = malloc((size_t)n * sizeof(int));
+    {
+        int f = 0;
+        for (int64_t i = 0; i < n; i++) {
+            while (i >= bounds[f]) f++;
+            g_SO[i] = f;
+        }
+    }
+
+    saidx32_t *SA = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *SAi = malloc((size_t)n * sizeof(saidx32_t));
+    saidx32_t *LCP = malloc((size_t)n * sizeof(saidx32_t));
+    double t0 = now_s();
+    if (divsufsort((const sauchar_t *)T, SA, (saidx_t)n) != 0) {
+        fprintf(stderr, "divsufsort failed\n"); return 1;
+    }
+    double t_sa = now_s() - t0;
+    t0 = now_s();
+    for (int64_t i = 0; i < n; i++) SAi[SA[i]] = (saidx32_t)i;
+    kasai_lcp(T, SA, SAi, LCP, n, 1);
+    double t_lcp = now_s() - t0;
+    g_SAi = SAi;
+
+    t0 = now_s();
+    int64_t steps = 0, matched = 0;
+    MSub root;
+    root.SA = SA; root.LCP = LCP; root.n = n;
+    for (int s = 0; s < g_nsamples; s++) {
+        root.ivbeg[s] = (s == 0) ? 0 : bounds[s - 1] + 1;
+        root.ivend[s] = bounds[s] - 1;
+    }
+    MSub *stack = malloc(1024 * sizeof(MSub));
+    int64_t sp = 0, stackcap = 1024;
+    stack[sp++] = root;
+    saidx32_t pos[MAXSAMP];
+    while (sp > 0) {
+        MSub ix = stack[--sp];
+        int npresent = 0;
+        for (int s = 0; s < g_nsamples; s++)
+            if (ix.ivbeg[s] >= 0) npresent++;
+        saidx32_t l; int nmum;
+        if (ix.n > 1 && npresent >= 2 &&
+            pick_longest_multi(&ix, minl, npresent, pos, &nmum, &l)) {
+            MSub lead, trail, par;
+            split_step_multi(&ix, pos, nmum, l, &lead, &trail, &par);
+            steps++; matched += (int64_t)nmum * (int64_t)l;
+            if (sp + 3 > stackcap) {
+                stackcap *= 2;
+                stack = realloc(stack, (size_t)stackcap * sizeof(MSub));
+            }
+            /* push parallel, leading, trailing (reveal.c:1295-1324) */
+            if (par.n > 0) stack[sp++] = par;
+            else { free(par.SA); free(par.LCP); }
+            if (lead.n > 0) stack[sp++] = lead;
+            else { free(lead.SA); free(lead.LCP); }
+            if (trail.n > 0) stack[sp++] = trail;
+            else { free(trail.SA); free(trail.LCP); }
+        }
+        if (ix.SA != SA) { free(ix.SA); free(ix.LCP); }
+    }
+    free(stack);
+    double t_rem = now_s() - t0;
+
+    printf("{\"n\": %lld, \"nsamples\": %d, \"ref_c_sa_seconds\": %.4f, "
+           "\"ref_c_lcp_seconds\": %.4f, \"ref_c_remmulti_seconds\": %.4f, "
+           "\"rem_steps\": %lld, \"matched_bases\": %lld}\n",
+           (long long)n, nfiles, t_sa, t_lcp, t_rem,
+           (long long)steps, (long long)matched);
+    return 0;
+}
+
 /* ---------- recursion-trace mode (--remtrace) ----------
  *
  * Per-step picked-anchor trace of the reference recursion under
@@ -840,6 +1137,8 @@ int main(int argc, char **argv) {
         return multimum_main(argc, argv);
     if (argc >= 2 && !strcmp(argv[1], "--remtrace"))
         return remtrace_main(argc, argv);
+    if (argc >= 2 && !strcmp(argv[1], "--remmulti"))
+        return remmulti_main(argc, argv);
     if (argc < 3) {
         fprintf(stderr, "usage: %s a.fa b.fa [minl] [--fixture PREFIX] [--no-rem]\n"
                         "       %s --multimums f1.fa f2.fa ... [--minl N] [--fixture PREFIX]\n",
