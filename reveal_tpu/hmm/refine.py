@@ -110,6 +110,7 @@ def msa_to_graph(
     precomputed_scores=None,
     precomputed_mats=None,
     precomputed_dist=None,
+    precomputed_msa=None,
     method: str = "reveal_probcons",
     parameters: str = "",
 ) -> Optional[PanGraph]:
@@ -135,6 +136,12 @@ def msa_to_graph(
             return None
         seqs = [""] * len(aobjs)
         for name, seq in name2seq.items():
+            seqs[ng.graph["path2id"][name]] = seq
+    elif precomputed_msa is not None:
+        # whole-MSA native batch result (native.msa_batch_native)
+        aln, confidence = precomputed_msa
+        seqs = [""] * len(aobjs)
+        for name, seq in aln:
             seqs[ng.graph["path2id"][name]] = seq
     else:
         aln, confidence = probcons_align(
@@ -374,6 +381,7 @@ def refine_bubble(
     precomputed_scores=None,
     precomputed_mats=None,
     precomputed_dist=None,
+    precomputed_msa=None,
     method: str = "reveal_probcons",
     parameters: str = "",
     minlength: int = 20,
@@ -418,6 +426,7 @@ def refine_bubble(
             precomputed_scores=precomputed_scores,
             precomputed_mats=precomputed_mats,
             precomputed_dist=precomputed_dist,
+            precomputed_msa=precomputed_msa,
             method=method,
             parameters=parameters,
         )
@@ -711,6 +720,7 @@ def refine_all(
     pair_scores = []
     mats_for = [None] * len(work)
     dist_for = [None] * len(work)
+    msa_for = [None] * len(work)
     if all_pairs and method == "reveal_probcons":
         done = False
         # small workloads skip the device entirely: the native host
@@ -721,6 +731,47 @@ def refine_all(
 
         if use_dev and native_post_ok(all_pairs):
             use_dev = False
+        # small-workload fast path: the WHOLE per-bubble DoAlign
+        # (posteriors, consistency, tree, progressive MEA, refinement,
+        # confidence) as one threaded native call (Probcons.cc:312-544
+        # pipeline; VERDICT r5 item 3a).  MSA strings are differentially
+        # pinned against probcons_align (tests/test_msa_native.py);
+        # confidence values can differ by +-1 at int-truncation
+        # boundaries (numpy pairwise summation vs sequential f64) —
+        # conf is not serialized to GFA, so refined outputs only change
+        # under a nonzero --minconf.
+        if (
+            not use_dev
+            and native_post_ok(all_pairs)
+            and os.environ.get("REVEAL_TPU_NATIVE_MSA", "1") != "0"
+        ):
+            from . import msa as _msa
+
+            if not _msa._logadd_compat:
+                try:
+                    from ..native import msa_batch_native
+
+                    t0 = time.time()
+                    res = msa_batch_native(
+                        [aobjs for (_b, _sg, _o, _p, aobjs) in work],
+                        consistency=kwargs.get("constrans", 2),
+                        consgap=kwargs.get("consgap", True),
+                        nrounds=kwargs.get("nrefinements", 100),
+                    )
+                    if res is not None:
+                        msa_for = res
+                        done = all(r is not None for r in res)
+                        log.info(
+                            "native MSA batch for %d bubbles "
+                            "(%d pairs) in %.2fs",
+                            len(work),
+                            len(all_pairs),
+                            time.time() - t0,
+                        )
+                except Exception as e:  # pragma: no cover
+                    log.warning(
+                        "native MSA batch failed (%s); host path", e
+                    )
         if use_dev:
             t0 = time.time()
             try:
@@ -799,10 +850,10 @@ def refine_all(
     # releases the GIL, so threads scale it — the reference used an mp
     # pool here, refine.py:459-525), then the graph splice serially in
     # input order so the result is identical to the sequential loop.
-    jobs = list(zip(work, pair_slices, mats_for, dist_for))
+    jobs = list(zip(work, pair_slices, mats_for, dist_for, msa_for))
 
     def _run(job):
-        (bubble, sg, offsets, paths, aobjs), (s, e), pmats, pdist = job
+        (bubble, sg, offsets, paths, aobjs), (s, e), pmats, pdist, pmsa = job
         t0 = time.time()
         res = refine_bubble(
             sg,
@@ -816,6 +867,7 @@ def refine_all(
             ),
             precomputed_mats=pmats,
             precomputed_dist=pdist,
+            precomputed_msa=pmsa,
             minlength=minlength,
             **kwargs,
         )
@@ -839,8 +891,8 @@ def refine_all(
     # client at a time); everything else is pure host work
     parallel_ix = [
         i
-        for i, (_w, _se, pm, _pd) in enumerate(jobs)
-        if pm is not None or posteriors
+        for i, (_w, _se, pm, _pd, pmsa) in enumerate(jobs)
+        if pm is not None or pmsa is not None or posteriors
     ]
     results = [None] * len(jobs)
 

@@ -111,6 +111,56 @@ def _next_pow2(x: int) -> int:
     return 1 << max(1, int(math.ceil(math.log2(max(x, 2)))))
 
 
+def _make_window_gather(WRV: int, RBV: int, npad: int):
+    """Pallas windowed-row gather: out[r] = LCP[starts[r] : starts[r]+WRV].
+
+    The repair round needs a (RBV, WRV) window of the live LCP per
+    pending candidate; the XLA general-gather lowering runs ~42 M
+    elements/s on TPU (profiled r5: 6.2 ms per round at RBV=1024,
+    WRV=256 — 30 s of the 35.5 s forest dispatch).  Each row is a
+    CONTIGUOUS slice, so 8 scalar-indexed DMAs per grid step fetch it
+    at copy speed instead.  Rows per block = 8 (Mosaic output tiling)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = 8
+    assert RBV % R == 0
+
+    def kernel(starts_ref, lcp_ref, out_ref, sems):
+        i = pl.program_id(0)
+
+        def dma(r):
+            s = starts_ref[i * R + r]
+            return pltpu.make_async_copy(
+                lcp_ref.at[pl.ds(s, WRV)], out_ref.at[r], sems.at[r]
+            )
+
+        for r in range(R):
+            dma(r).start()
+        for r in range(R):
+            dma(r).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(RBV // R,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
+        out_specs=pl.BlockSpec((R, WRV), lambda i, starts: (i, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((R,))],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((RBV, WRV), jnp.int32),
+    )
+
+    def run(lcp, starts):
+        return fn(starts, lcp)
+
+    return run
+
+
 def _build_kernel(
     npad: int, K: int, SMAX: int, ACAP: int, CCAP: int, ntext=None,
     chain_width=None,
@@ -144,6 +194,19 @@ def _build_kernel(
     NEG = jnp.int32(-(2**31) + 1)
     BIG = jnp.int32(2**31 - 1)
     A30 = jnp.int32(2**30)
+
+    # Pallas row-window DMA gather for the repair resolve (TPU only;
+    # one backend per process, so build-time detection is safe —
+    # see CLAUDE.md mixed-backend rule).  REVEAL_TPU_NO_PALLAS_REPAIR=1
+    # falls back to the XLA gather for A/B measurement.
+    _use_pallas = False
+    try:
+        _use_pallas = (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("REVEAL_TPU_NO_PALLAS_REPAIR")
+        )
+    except Exception:  # pragma: no cover
+        pass
 
     M = K + SMAX
     CH = 2048 if M % 2048 == 0 else 1024
@@ -1254,6 +1317,12 @@ def _build_kernel(
                 warr = jnp.arange(WREP + 2, dtype=i32)
                 RBV = min(CCAP, 1024)
                 offs1 = jnp.arange(1, _WRV + 1, dtype=i32)
+                offs0 = jnp.arange(_WRV, dtype=i32)
+                _wingather = (
+                    _make_window_gather(_WRV, RBV, npad)
+                    if _use_pallas and RBV % 8 == 0
+                    else None
+                )
 
                 def resolve(SA_, LCP_, j):  # (BWT not read)
                     """One pending candidate on the live state: returns
@@ -1371,18 +1440,21 @@ def _build_kernel(
 
                     All pending crossing suffixes are resolved at once
                     (a (RBV, WR) window gather off the live LCP); the
-                    accepted set is the FIRST pending candidate of
-                    every segment — the insertion window [x, q] never
-                    escapes the candidate's own segment (the segment's
-                    first-slot LCP is 0 < thr), so candidates in
-                    different segments commute and within a segment
-                    ascending-q one-per-round reproduces the serial
-                    bubble_sort order exactly.  All accepted rotations
+                    accepted set is every pending candidate whose edit
+                    region is disjoint from its same-segment
+                    predecessor's (see the acc comment below) — the
+                    insertion window [x, q] never escapes the
+                    candidate's own segment (the segment's first-slot
+                    LCP is 0 < thr), so candidates in different
+                    segments always commute, and disjoint-region
+                    candidates within a segment commute with the
+                    serial ascending-q order.  All accepted rotations
                     apply in ONE masked-shift + scatter pass (disjoint
                     windows -> order-free).  A round that accepts
-                    nothing (window-miss movers, q-WR > 0) falls back
-                    to the exact sequential resolve/apply for the head
-                    candidate, so progress is guaranteed."""
+                    nothing (the head candidate is a window-miss
+                    mover, q-WR > 0) falls back to the exact
+                    sequential resolve/apply for the head candidate,
+                    so progress is guaranteed."""
                     SA_, LCP_, BWT_, pend, it = c
                     npend = jnp.sum(pend.astype(i32))
                     (heads,) = jnp.nonzero(
@@ -1396,25 +1468,59 @@ def _build_kernel(
                     lcq = LCP_[q]
                     thr = b - saq
                     move = (saq < b) & (saq + lcq > b)
-                    widx = q[:, None] - offs1[None, :]
-                    lcpw = LCP_[jnp.maximum(widx, 0)]
-                    candw = (widx >= 0) & (lcpw < thr[:, None])
-                    y = jnp.max(jnp.where(candw, widx, -1), axis=1)
+                    if _wingather is not None:
+                        # contiguous-row DMA gather (clamped window
+                        # [max(q-WRV,0), ..) covers every j < q when
+                        # q <= WRV — same candidate set as the widx
+                        # form below)
+                        s0w = jnp.clip(q - _WRV, 0, npad - _WRV)
+                        lcpw = _wingather(LCP_, s0w)
+                        wpos = s0w[:, None] + offs0[None, :]
+                        candw = (wpos < q[:, None]) & (
+                            lcpw < thr[:, None]
+                        )
+                        y = jnp.max(
+                            jnp.where(candw, wpos, -1), axis=1
+                        )
+                    else:
+                        widx = q[:, None] - offs1[None, :]
+                        lcpw = LCP_[jnp.maximum(widx, 0)]
+                        candw = (widx >= 0) & (lcpw < thr[:, None])
+                        y = jnp.max(jnp.where(candw, widx, -1), axis=1)
                     # a window hit IS the global max y (anything later
                     # would be in the window too); a clipped window
                     # (q <= WR) that misses means x = 0 exactly
                     resolved = (y >= 0) | (q - _WRV <= 0)
                     x = jnp.maximum(y, 0)
                     ok = ~move | resolved
+                    # multi-accept (profiled r5: one-accept-per-segment
+                    # needed 4669 rounds on 2a2b and the per-round
+                    # window gather was 30s of the 35.5s dispatch):
+                    # accept EVERY pending candidate whose edit region
+                    # is disjoint from its predecessor's.  Candidate i
+                    # reads round-start SA/LCP at q_i and j < q_i, and
+                    # writes (x_i, q_i] + {q_i+1} (movers) or {q_i+1}
+                    # (lcp-only); with region_lo_i > q_{i-1}+1 — q_{i-1}
+                    # the previous PENDING candidate of the same
+                    # segment this round (accepted or not) — every
+                    # read/write pair across candidates is disjoint, so
+                    # simultaneous application equals the serial
+                    # ascending-q order (byte-identical output; pinned
+                    # by tests/test_devloop.py).  Heads arrive q-ascend
+                    # per segment (cq is slot-ascending), so q_prev is
+                    # one roll.
                     sid = jnp.clip(SEG[q], 0, SMAX - 1)
-                    qbig = jnp.where(hvalid, q, jnp.int32(npad))
-                    qmin = (
-                        jnp.full(SMAX, npad, i32)
-                        .at[sid]
-                        .min(qbig, mode="drop")
+                    prev_same = (
+                        (iar_r > 0)
+                        & (sid == jnp.roll(sid, 1))
+                        & hvalid
+                        & jnp.roll(hvalid, 1)
                     )
-                    first = hvalid & (qbig == qmin[sid])
-                    acc = first & ok
+                    q_prev = jnp.where(
+                        prev_same, jnp.roll(q, 1), jnp.int32(-2)
+                    )
+                    region_lo = jnp.where(move, x, q)
+                    acc = hvalid & ok & (region_lo > q_prev + 1)
                     nacc = jnp.sum(acc.astype(i32))
                     fillu = jnp.int32(npad) + iar_r
 

@@ -275,6 +275,18 @@ def get_lib():
             + [ctypes.c_void_p] * 8
             + [ctypes.c_float, ctypes.c_int64]
         )
+        lib.rtpu_msa_batch.restype = ctypes.c_int
+        lib.rtpu_msa_batch.argtypes = (
+            [ctypes.c_void_p] * 3
+            + [ctypes.c_int64]
+            + [ctypes.c_void_p] * 2
+            + [ctypes.c_int64, ctypes.c_int, ctypes.c_int64]
+            + [ctypes.c_void_p] * 4
+            + [ctypes.c_float]
+            + [ctypes.c_void_p] * 5
+            + [ctypes.c_void_p]
+            + [ctypes.c_int64]
+        )
         lib.rtpu_free.restype = None
         lib.rtpu_free.argtypes = [ctypes.c_void_p]
         lib.rtpu_replay_pairwise.restype = ctypes.c_void_p
@@ -1325,4 +1337,115 @@ def pairhmm_post_batch_native(pairs, cutoff=0.01, nthreads=0):
         shp = (len(s1) + 1, len(s2) + 1)
         p = out[out_offs[k] : out_offs[k] + sizes[k]].reshape(shp)
         res.append((p, float(tots[k]), float(scores[k])))
+    return res
+
+
+def msa_batch_native(
+    problems,
+    consistency=2,
+    consgap=True,
+    nrounds=100,
+    seed=0,
+    cutoff=0.01,
+    nthreads=0,
+):
+    """Whole-MSA native batch: the complete per-bubble DoAlign pipeline
+    (Probcons.cc:312-544 — posteriors, consistency, guide tree,
+    progressive MEA, iterative refinement, column confidence) on host
+    worker threads, one call for all bubbles of a refinement pass.
+
+    problems: [[(name, seq), ...], ...].  Returns
+    [([(name, gapped_seq), ...], conf_list) | None, ...] matching
+    hmm.msa.probcons_align's output per problem (None = that problem
+    failed; caller falls back).  None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not problems:
+        return []
+    if not hasattr(lib, "rtpu_msa_batch"):  # pragma: no cover
+        return None
+    from ..hmm.pairhmm import (
+        LOG_EMIT_PAIRS,
+        LOG_EMIT_SINGLE,
+        LOG_INIT,
+        LOG_TRANS,
+    )
+
+    chunks = []
+    soffs = [0]
+    boffs = [0]
+    masks_chunks = []
+    moffs = [0]
+    ooffs = [0]
+    coffs = [0]
+    lcaps = []
+    for aobjs in problems:
+        N = len(aobjs)
+        total = sum(len(s) for _n, s in aobjs)
+        lcap = max(1, total)
+        for _n, s in aobjs:
+            chunks.append(b"@" + s.encode())
+            soffs.append(soffs[-1] + len(s) + 1)
+        boffs.append(boffs[-1] + N)
+        # the refinement bipartition stream: identical rng call
+        # sequence to probcons_align stage 5 (one draw per round)
+        rng = np.random.default_rng(seed)
+        m = (
+            np.stack(
+                [rng.integers(0, 2, size=N) for _ in range(nrounds)]
+            ).astype(np.uint8)
+            if nrounds and N > 1
+            else np.zeros((nrounds, N), np.uint8)
+        )
+        masks_chunks.append(m.tobytes())
+        moffs.append(moffs[-1] + nrounds * N)
+        lcaps.append(lcap)
+        ooffs.append(ooffs[-1] + N * lcap)
+        coffs.append(coffs[-1] + lcap)
+    seqs = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    soffs = np.asarray(soffs, dtype=np.int64)
+    boffs = np.asarray(boffs, dtype=np.int64)
+    masks = np.frombuffer(b"".join(masks_chunks), dtype=np.uint8)
+    if len(masks) == 0:
+        masks = np.zeros(1, dtype=np.uint8)
+    moffs = np.asarray(moffs, dtype=np.int64)
+    ooffs_a = np.asarray(ooffs[:-1], dtype=np.int64)
+    coffs_a = np.asarray(coffs[:-1], dtype=np.int64)
+    lcaps_a = np.asarray(lcaps, dtype=np.int64)
+    out_rows = np.zeros(ooffs[-1], dtype=np.uint8)
+    out_conf = np.zeros(coffs[-1], dtype=np.int32)
+    out_lens = np.zeros(len(problems), dtype=np.int64)
+    li = np.ascontiguousarray(LOG_INIT, dtype=np.float32)
+    lt = np.ascontiguousarray(LOG_TRANS, dtype=np.float32)
+    les = np.ascontiguousarray(LOG_EMIT_SINGLE, dtype=np.float32)
+    lep = np.ascontiguousarray(LOG_EMIT_PAIRS, dtype=np.float32)
+    rc = lib.rtpu_msa_batch(
+        seqs.ctypes.data, soffs.ctypes.data, boffs.ctypes.data,
+        ctypes.c_int64(len(problems)), masks.ctypes.data,
+        moffs.ctypes.data, ctypes.c_int64(consistency),
+        ctypes.c_int(1 if consgap else 0), ctypes.c_int64(nrounds),
+        li.ctypes.data, lt.ctypes.data, les.ctypes.data,
+        lep.ctypes.data, ctypes.c_float(cutoff), out_rows.ctypes.data,
+        ooffs_a.ctypes.data, lcaps_a.ctypes.data, out_lens.ctypes.data,
+        out_conf.ctypes.data, coffs_a.ctypes.data,
+        ctypes.c_int64(nthreads),
+    )
+    if rc != 0:  # pragma: no cover
+        return None
+    res = []
+    for b, aobjs in enumerate(problems):
+        L = int(out_lens[b])
+        if L < 0:
+            res.append(None)
+            continue
+        N = len(aobjs)
+        lcap = lcaps[b]
+        rows = out_rows[ooffs[b] : ooffs[b] + N * lcap].reshape(N, lcap)
+        aln = [
+            (aobjs[k][0], rows[k, :L].tobytes().decode("latin1"))
+            for k in range(N)
+        ]
+        conf = [int(c) for c in out_conf[coffs[b] : coffs[b] + L]]
+        res.append((aln, conf))
     return res

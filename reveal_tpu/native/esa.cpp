@@ -2561,6 +2561,427 @@ void post_batch(const uint8_t* seqs, const int64_t* offs, const int32_t* pa,
 
 }  // namespace pairhmm
 
+// ---------------------------------------------------------------------------
+// Whole-MSA native batch: the complete per-bubble DoAlign pipeline
+// (Probcons.cc:312-544) in one threaded call — pairwise posteriors
+// (pairhmm::pair_posterior), expected-accuracy distances, consistency
+// transform (DoRelaxation, Probcons.cc:1135-1248; gap-aware Relax_gap
+// :1291-1353), guide tree (EvolutionaryTree.h:104), progressive MEA
+// alignment (ProbabilisticModel.h:641,1018), iterative refinement
+// (refine_rounds above, Probcons.cc:1467-1490) and column confidence
+// (Probcons.cc:1545-1602).  Bubbles run on a worker pool (the
+// reference's mp-pool parallelism P2, refine.py:459-525, with no
+// process or GIL overhead).  Float semantics mirror hmm/msa.py's host
+// path: f32 posteriors, f64 consistency accumulation cast back to f32
+// with the 0.01 cutoff (_sparsify), f32 MEA DP with ChooseBestOfThree
+// tie order — summation order inside the consistency product differs
+// from numpy BLAS at the ULP level (differential tests compare the MSA
+// strings + %.6f posteriors, tests/test_msa_native.py).
+// ---------------------------------------------------------------------------
+namespace msafull {
+
+using pairhmm::Arena;
+using pairhmm::Params;
+
+struct Aln {
+  std::vector<int> labels;
+  std::vector<std::vector<uint8_t>> rows;  // gapped, no terminator
+  int64_t L = 0;
+};
+
+struct Work {
+  // per-pair dense posteriors, a<b lexicographic
+  std::vector<std::vector<float>> mats;
+  std::vector<std::vector<float>> tmats;   // transposes (consistency)
+  std::vector<std::vector<double>> rowsum; // per matrix: row sums
+  std::vector<std::vector<double>> colsum;
+  std::vector<double> newbuf;              // f64 acc scratch
+  std::vector<float> post;                 // merge posterior scratch
+  std::vector<float> mea_rows;
+  std::vector<uint8_t> mea_tb;
+  std::vector<uint8_t> edit;
+  Arena A;
+};
+
+static inline int64_t pidx(int64_t a, int64_t b, int64_t N) {
+  return a * N - a * (a + 1) / 2 + b - a - 1;
+}
+
+// mapping[k] = 1-based alignment column of residue k, mapping[0]=0
+// (Sequence::GetMapping, Sequence.h:391-397)
+static void row_mapping(const std::vector<uint8_t>& row,
+                        std::vector<int64_t>& map) {
+  map.clear();
+  map.push_back(0);
+  for (int64_t c = 0; c < (int64_t)row.size(); ++c)
+    if (row[c] != GAP) map.push_back(c + 1);
+}
+
+// _align_alignments: BuildPosterior + MEA + AddGaps + label sort
+static void merge_alns(const Aln& a1, const Aln& a2,
+                       const std::vector<std::vector<float>>& mats,
+                       const std::vector<int64_t>& dims, int64_t N,
+                       Work& W, Aln& out) {
+  const int64_t L1 = a1.L, L2 = a2.L;
+  const int64_t Wd = L2 + 1;
+  W.post.assign((L1 + 1) * Wd, 0.0f);
+  std::vector<std::vector<int64_t>> m1(a1.labels.size()),
+      m2(a2.labels.size());
+  for (size_t i = 0; i < a1.labels.size(); ++i)
+    row_mapping(a1.rows[i], m1[i]);
+  for (size_t j = 0; j < a2.labels.size(); ++j)
+    row_mapping(a2.rows[j], m2[j]);
+  for (size_t i = 0; i < a1.labels.size(); ++i) {
+    for (size_t j = 0; j < a2.labels.size(); ++j) {
+      int first = a1.labels[i], second = a2.labels[j];
+      if (first < second) {
+        int64_t p = pidx(first, second, N);
+        posterior_accum(W.post.data(), Wd, mats[p].data(),
+                        dims[first], dims[second], dims[second] + 1,
+                        m1[i].data(), m2[j].data(), 0);
+      } else {
+        int64_t p = pidx(second, first, N);
+        posterior_accum(W.post.data(), Wd, mats[p].data(),
+                        dims[first], dims[second], dims[first] + 1,
+                        m1[i].data(), m2[j].data(), 1);
+      }
+    }
+  }
+  W.edit.resize(L1 + L2 + 1);
+  int64_t elen = mea_dp_arena(W.post.data(), L1, L2, W.edit.data(),
+                              W.mea_rows, W.mea_tb);
+  // AddGaps both groups, then stable sort by label
+  const int64_t nrows = (int64_t)(a1.labels.size() + a2.labels.size());
+  std::vector<int> labels;
+  std::vector<std::vector<uint8_t>> rows(nrows);
+  labels.reserve(nrows);
+  int64_t r = 0;
+  for (size_t i = 0; i < a1.labels.size(); ++i, ++r) {
+    labels.push_back(a1.labels[i]);
+    rows[r].assign(elen, GAP);
+    const std::vector<uint8_t>& src = a1.rows[i];
+    int64_t c = 0;
+    for (int64_t t = 0; t < elen; ++t)
+      if (W.edit[t] == 0 || W.edit[t] == 2) rows[r][t] = src[c++];
+  }
+  for (size_t j = 0; j < a2.labels.size(); ++j, ++r) {
+    labels.push_back(a2.labels[j]);
+    rows[r].assign(elen, GAP);
+    const std::vector<uint8_t>& src = a2.rows[j];
+    int64_t c = 0;
+    for (int64_t t = 0; t < elen; ++t)
+      if (W.edit[t] == 0 || W.edit[t] == 1) rows[r][t] = src[c++];
+  }
+  std::vector<int64_t> order(nrows);
+  for (int64_t k = 0; k < nrows; ++k) order[k] = k;
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t x, int64_t y) {
+                     return labels[x] < labels[y];
+                   });
+  out.labels.clear();
+  out.rows.clear();
+  for (int64_t k = 0; k < nrows; ++k) {
+    out.labels.push_back(labels[order[k]]);
+    out.rows.push_back(std::move(rows[order[k]]));
+  }
+  out.L = elen;
+}
+
+// guide tree (EvolutionaryTree.h:104 / msa._compute_tree): repeated
+// best-pair merge; returns merge tree as (left, right) child arrays
+// over 2N-1 nodes (0..N-1 leaves), root = last interior node created
+// ... except the tree SHAPE must match the python nested-tuple exactly:
+// nodes[i] = (nodes[i], nodes[j]) keeps slot i, so we track slot->node.
+static int compute_tree(const std::vector<double>& dist0, int64_t N,
+                        std::vector<int>& lch, std::vector<int>& rch) {
+  std::vector<double> d(dist0);
+  std::vector<char> valid(N, 1);
+  std::vector<int> slot(N);
+  lch.assign(2 * N - 1, -1);
+  rch.assign(2 * N - 1, -1);
+  for (int64_t k = 0; k < N; ++k) slot[k] = (int)k;
+  int next = (int)N;
+  for (int64_t it = 0; it + 1 < N; ++it) {
+    double best = -1.0;
+    int64_t bi = -1, bj = -1;
+    for (int64_t i = 0; i < N; ++i) {
+      if (!valid[i]) continue;
+      for (int64_t j = i + 1; j < N; ++j) {
+        if (!valid[j]) continue;
+        if (d[i * N + j] > best) {
+          best = d[i * N + j];
+          bi = i;
+          bj = j;
+        }
+      }
+    }
+    lch[next] = slot[bi];
+    rch[next] = slot[bj];
+    slot[bi] = next++;
+    for (int64_t k = 0; k < N; ++k) {
+      if (valid[k]) {
+        double v = (d[k * N + bi] + d[k * N + bj]) * best / 2;
+        d[bi * N + k] = d[k * N + bi] = v;
+      }
+    }
+    valid[bj] = 0;
+  }
+  return N == 1 ? 0 : next - 1;
+}
+
+static void process_node(int node, const std::vector<int>& lch,
+                         const std::vector<int>& rch,
+                         const uint8_t* seqs, const int64_t* soffs,
+                         const std::vector<int64_t>& dims, int64_t N,
+                         Work& W, Aln& out) {
+  if (node < (int)N) {
+    out.labels.assign(1, node);
+    out.rows.assign(1, std::vector<uint8_t>());
+    const uint8_t* s = seqs + soffs[node] + 1;  // skip '@'
+    out.rows[0].assign(s, s + dims[node]);
+    out.L = dims[node];
+    return;
+  }
+  Aln left, right;
+  process_node(lch[node], lch, rch, seqs, soffs, dims, N, W, left);
+  process_node(rch[node], lch, rch, seqs, soffs, dims, N, W, right);
+  merge_alns(left, right, W.mats, dims, N, W, out);
+}
+
+// one bubble end-to-end; returns final alignment length or -1
+static int64_t msa_one(const uint8_t* seqs, const int64_t* soffs,
+                       int64_t N, const Params& P, float cutoff,
+                       int64_t consistency, int consgap,
+                       const uint8_t* masks, int64_t nrounds,
+                       uint8_t* out_rows, int64_t Lcap,
+                       int32_t* out_conf, Work& W) {
+  std::vector<int64_t> dims(N);
+  for (int64_t k = 0; k < N; ++k)
+    dims[k] = soffs[k + 1] - soffs[k] - 1;  // minus '@'
+  if (N == 1) {
+    if (dims[0] > Lcap) return -1;
+    std::copy(seqs + soffs[0] + 1, seqs + soffs[0] + 1 + dims[0],
+              out_rows);
+    std::fill(out_conf, out_conf + dims[0], 0);
+    return dims[0];
+  }
+  const int64_t npairs = N * (N - 1) / 2;
+  W.mats.assign(npairs, {});
+  std::vector<double> dist(N * N, 0.0);
+  for (int64_t a = 0; a < N; ++a) {
+    for (int64_t b = a + 1; b < N; ++b) {
+      const int64_t p = pidx(a, b, N);
+      W.mats[p].resize((dims[a] + 1) * (dims[b] + 1));
+      double tot, score;
+      pairhmm::pair_posterior(seqs + soffs[a], dims[a],
+                              seqs + soffs[b], dims[b], P, cutoff,
+                              W.mats[p].data(), &tot, &score, W.A);
+      int64_t mn = dims[a] < dims[b] ? dims[a] : dims[b];
+      if (mn < 1) mn = 1;
+      dist[a * N + b] = dist[b * N + a] = score / (double)mn;
+    }
+  }
+
+  // ---- consistency transform (msa.probcons_align stage 2 dense path:
+  // f64 accumulate, /N, previous-pattern mask, f32 cast + cutoff).
+  // The z-products run sparse x sparse over per-row nonzero index
+  // lists (both orientations) — the cutoff keeps ~O(L) nonzeros per
+  // matrix, so a product costs sum_k nnzA_k * nnzB_k instead of
+  // nnzA * cb (the reference's DoRelaxation traversal shape,
+  // Probcons.cc:1203-1248). ----
+  std::vector<std::vector<int32_t>> fidx(npairs), tidx(npairs);
+  std::vector<std::vector<int64_t>> fptr(npairs), tptr(npairs);
+  for (int64_t round = 0; round < consistency; ++round) {
+    // transposes + nonzero indexes + gap sums of the current mats
+    W.tmats.assign(npairs, {});
+    W.rowsum.assign(npairs, {});
+    W.colsum.assign(npairs, {});
+    for (int64_t a = 0; a < N; ++a) {
+      for (int64_t b = a + 1; b < N; ++b) {
+        const int64_t p = pidx(a, b, N);
+        const int64_t ra = dims[a] + 1, cb = dims[b] + 1;
+        const std::vector<float>& M = W.mats[p];
+        std::vector<float>& T = W.tmats[p];
+        T.assign(ra * cb, 0.0f);
+        for (int64_t i = 0; i < ra; ++i)
+          for (int64_t j = 0; j < cb; ++j)
+            T[j * ra + i] = M[i * cb + j];
+        // row-wise nonzero columns, both orientations
+        fidx[p].clear();
+        tidx[p].clear();
+        fptr[p].assign(ra + 1, 0);
+        tptr[p].assign(cb + 1, 0);
+        for (int64_t i = 0; i < ra; ++i) {
+          const float* row = M.data() + i * cb;
+          for (int64_t j = 0; j < cb; ++j)
+            if (row[j] != 0.0f) fidx[p].push_back((int32_t)j);
+          fptr[p][i + 1] = (int64_t)fidx[p].size();
+        }
+        for (int64_t j = 0; j < cb; ++j) {
+          const float* row = T.data() + j * ra;
+          for (int64_t i = 0; i < ra; ++i)
+            if (row[i] != 0.0f) tidx[p].push_back((int32_t)i);
+          tptr[p][j + 1] = (int64_t)tidx[p].size();
+        }
+        if (consgap) {
+          std::vector<double>& rs = W.rowsum[p];
+          std::vector<double>& cs = W.colsum[p];
+          rs.assign(ra, 0.0);
+          cs.assign(cb, 0.0);
+          for (int64_t i = 0; i < ra; ++i) {
+            const float* row = M.data() + i * cb;
+            double s = 0.0;
+            for (int64_t j = 0; j < cb; ++j) {
+              s += row[j];
+              cs[j] += row[j];
+            }
+            rs[i] = s;
+          }
+        }
+      }
+    }
+    std::vector<std::vector<float>> newmats(npairs);
+    for (int64_t a = 0; a < N; ++a) {
+      for (int64_t b = a + 1; b < N; ++b) {
+        const int64_t p = pidx(a, b, N);
+        const int64_t ra = dims[a] + 1, cb = dims[b] + 1;
+        const std::vector<float>& Pab = W.mats[p];
+        std::vector<double>& acc = W.newbuf;
+        acc.assign(ra * cb, 0.0);
+        for (int64_t c = 0; c < ra * cb; ++c)
+          acc[c] = 2.0 * (double)Pab[c];
+        for (int64_t z = 0; z < N; ++z) {
+          if (z == a || z == b) continue;
+          // A = P(a,z) as (ra, rz); B = P(z,b) as (rz, cb)
+          const int64_t rz = dims[z] + 1;
+          const bool az = a < z, zb = z < b;
+          const int64_t paz = az ? pidx(a, z, N) : pidx(z, a, N);
+          const int64_t pzb = zb ? pidx(z, b, N) : pidx(b, z, N);
+          const float* A =
+              az ? W.mats[paz].data() : W.tmats[paz].data();
+          const float* B =
+              zb ? W.mats[pzb].data() : W.tmats[pzb].data();
+          const std::vector<int32_t>& Aix = az ? fidx[paz] : tidx[paz];
+          const std::vector<int64_t>& Apt = az ? fptr[paz] : tptr[paz];
+          const std::vector<int32_t>& Bix = zb ? fidx[pzb] : tidx[pzb];
+          const std::vector<int64_t>& Bpt = zb ? fptr[pzb] : tptr[pzb];
+          for (int64_t i = 0; i < ra; ++i) {
+            const float* Ar = A + i * rz;
+            double* ar = acc.data() + i * cb;
+            for (int64_t t = Apt[i]; t < Apt[i + 1]; ++t) {
+              const int32_t k = Aix[t];
+              const double av = Ar[k];
+              const float* Br = B + (int64_t)k * cb;
+              for (int64_t u = Bpt[k]; u < Bpt[k + 1]; ++u) {
+                const int32_t j = Bix[u];
+                ar[j] += av * (double)Br[j];
+              }
+            }
+          }
+          if (consgap) {
+            // pgx = 1 - rowsum(A); pgy = 1 - colsum(B)
+            const std::vector<double>& rsA =
+                az ? W.rowsum[paz] : W.colsum[paz];
+            const std::vector<double>& csB =
+                zb ? W.colsum[pzb] : W.rowsum[pzb];
+            for (int64_t i = 0; i < ra; ++i) {
+              const double gx = 1.0 - rsA[i];
+              double* ar = acc.data() + i * cb;
+              for (int64_t j = 0; j < cb; ++j)
+                ar[j] += gx * (1.0 - csB[j]);
+            }
+          }
+        }
+        std::vector<float>& out = newmats[p];
+        out.assign(ra * cb, 0.0f);
+        for (int64_t i = 1; i < ra; ++i) {
+          for (int64_t j = 1; j < cb; ++j) {
+            const int64_t c = i * cb + j;
+            if (Pab[c] == 0.0f) continue;  // previous-pattern mask
+            const float v = (float)(acc[c] / (double)N);
+            if (v >= cutoff) out[c] = v;
+          }
+        }
+      }
+    }
+    W.mats = std::move(newmats);
+  }
+
+  // ---- guide tree + progressive alignment ----
+  std::vector<int> lch, rch;
+  int root = compute_tree(dist, N, lch, rch);
+  Aln aln;
+  process_node(root, lch, rch, seqs, soffs, dims, N, W, aln);
+  if (aln.L > Lcap) return -1;
+
+  // ---- iterative refinement (refine_rounds above) ----
+  int64_t L = aln.L;
+  std::vector<uint8_t> rows0(N * L);
+  for (int64_t k = 0; k < N; ++k)  // labels are 0..N-1 post-sort
+    std::copy(aln.rows[k].begin(), aln.rows[k].end(),
+              rows0.begin() + k * L);
+  std::vector<const float*> mptr(npairs);
+  std::vector<int64_t> mrows(npairs), mcols(npairs);
+  for (int64_t a = 0; a < N; ++a) {
+    for (int64_t b = a + 1; b < N; ++b) {
+      const int64_t p = pidx(a, b, N);
+      mptr[p] = W.mats[p].data();
+      mrows[p] = dims[a] + 1;
+      mcols[p] = dims[b] + 1;
+    }
+  }
+  std::vector<uint8_t> rowsbuf(N * Lcap);
+  if (nrounds > 0) {
+    L = refine_rounds(rows0.data(), N, L, mptr.data(), mrows.data(),
+                      mcols.data(), masks, nrounds, rowsbuf.data(),
+                      Lcap);
+    if (L < 0) return -1;
+  } else {
+    for (int64_t k = 0; k < N; ++k)
+      std::copy(rows0.begin() + k * aln.L,
+                rows0.begin() + (k + 1) * aln.L,
+                rowsbuf.begin() + k * Lcap);
+  }
+
+  // ---- column confidence (Probcons.cc:1545-1602 / msa._annotation) --
+  std::vector<double> val(L, 0.0);
+  std::vector<int32_t> nact(L, 0);
+  std::vector<int64_t> pos(N * L, 0);
+  for (int64_t k = 0; k < N; ++k) {
+    int64_t r = 0;
+    for (int64_t c = 0; c < L; ++c) {
+      if (rowsbuf[k * Lcap + c] != GAP) {
+        ++r;
+        ++nact[c];
+      }
+      pos[k * L + c] = r;  // 1-based residue index at column c
+    }
+  }
+  for (int64_t i = 0; i < N; ++i) {
+    for (int64_t j = i + 1; j < N; ++j) {
+      const int64_t p = pidx(i, j, N);
+      const std::vector<float>& M = W.mats[p];
+      const int64_t cb = dims[j] + 1;
+      for (int64_t c = 0; c < L; ++c) {
+        if (rowsbuf[i * Lcap + c] != GAP &&
+            rowsbuf[j * Lcap + c] != GAP)
+          val[c] += M[pos[i * L + c] * cb + pos[j * L + c]];
+      }
+    }
+  }
+  for (int64_t c = 0; c < L; ++c) {
+    const int64_t den = (int64_t)nact[c] * (nact[c] - 1);
+    out_conf[c] =
+        den > 0 ? (int32_t)(200.0 * val[c] / (double)den) : 0;
+  }
+  for (int64_t k = 0; k < N; ++k)
+    std::copy(rowsbuf.begin() + k * Lcap, rowsbuf.begin() + k * Lcap + L,
+              out_rows + k * Lcap);
+  return L;
+}
+
+}  // namespace msafull
+
 extern "C" {
 
 int64_t rtpu_mea_dp(const float* post, int64_t L1, int64_t L2,
@@ -2594,6 +3015,54 @@ void rtpu_build_posterior(float* post, int64_t W, const float** Ps,
                           int64_t npairs) {
   build_posterior_sum(post, W, Ps, pl1, pl2, pw, tflags, m1_idx, m2_idx,
                       m1_cat, m1_off, m2_cat, m2_off, npairs);
+}
+
+// Whole-MSA batch over independent bubbles (see namespace msafull).
+// seqs: '@'-prefixed sequences concatenated; soffs: nseq+1 offsets;
+// boffs: nb+1 bubble->sequence-range offsets; masks_cat/moffs: per-
+// bubble (nrounds, N_b) refinement bipartitions; out_rows: per bubble
+// at ooffs[b], (N_b, lcaps[b]) row-major; out_conf at coffs[b].
+// Returns 0; per-bubble failures set out_lens[b] = -1.
+int rtpu_msa_batch(const uint8_t* seqs, const int64_t* soffs,
+                   const int64_t* boffs, int64_t nb,
+                   const uint8_t* masks_cat, const int64_t* moffs,
+                   int64_t consistency, int consgap, int64_t nrounds,
+                   const float* li, const float* lt, const float* les,
+                   const float* lep, float cutoff, uint8_t* out_rows,
+                   const int64_t* ooffs, const int64_t* lcaps,
+                   int64_t* out_lens, int32_t* out_conf,
+                   const int64_t* coffs, int64_t nthreads) {
+  msafull::Params P;
+  for (int k = 0; k < 5; ++k) P.li[k] = li[k];
+  for (int a = 0; a < 5; ++a)
+    for (int b = 0; b < 5; ++b) P.lt[a][b] = lt[a * 5 + b];
+  for (int c = 0; c < 256; ++c) P.les[c] = les[c];
+  P.lep = lep;
+  std::atomic<int64_t> nextb(0);
+  auto worker = [&]() {
+    msafull::Work W;
+    for (;;) {
+      const int64_t b = nextb.fetch_add(1);
+      if (b >= nb) break;
+      const int64_t s0 = boffs[b];
+      const int64_t N = boffs[b + 1] - s0;
+      out_lens[b] = msafull::msa_one(
+          seqs, soffs + s0, N, P, cutoff, consistency, consgap,
+          masks_cat + moffs[b], nrounds, out_rows + ooffs[b], lcaps[b],
+          out_conf + coffs[b], W);
+    }
+  };
+  int64_t nt = nthreads;
+  if (nt <= 0) nt = (int64_t)std::thread::hardware_concurrency();
+  if (nt > nb) nt = nb;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 int64_t rtpu_refine_rounds(const uint8_t* rows0, int64_t N, int64_t L0,
