@@ -638,6 +638,57 @@ def main():
     except Exception as e:  # pragma: no cover
         extra["refine_6way_error"] = str(e)[:200]
 
+    # ---- large-bubble refine: the device pair-HMM as the PRODUCTION
+    # path (VERDICT r5 item 3b).  6 synthetic genomes with a divergent
+    # middle region leave long low-identity bubbles; the posterior
+    # volume exceeds the native-host crossover (32M cells), so
+    # refine_all runs the device posterior path end-to-end.  Ratio vs
+    # the reference's own ProbCons engine on the identical bubbles.
+    try:
+        from scripts.bigbubble_bench import make_genomes
+
+        from reveal_tpu.align.graphops import prune_nodes
+        from reveal_tpu.align.rem import align_seqs
+        from reveal_tpu.core.io_gfa import seq2node
+        from reveal_tpu.graph.unzip import unzip_graph
+        from reveal_tpu.hmm.refine import (
+            collect_bubble_aobjs,
+            refine_all,
+        )
+
+        genomes = make_genomes()
+        Gb, idxb = align_seqs(genomes, minlength=20)
+        prune_nodes(Gb, T=idxb.main.T)
+        seq2node(Gb, idxb.main.T)
+        unzip_graph(Gb, minunzip=10)
+        bjobs = collect_bubble_aobjs(
+            Gb, minsize=2, mindiff=0, maxsize=10000
+        )
+        bcells = sum(
+            (len(a[i][1]) + 1) * (len(a[j][1]) + 1)
+            for a in bjobs
+            for i in range(len(a))
+            for j in range(i + 1, len(a))
+        )
+        t0 = time.time()
+        refine_all(Gb, maxsize=10000, minsize=2, mindiff=0, minconf=0)
+        bt = time.time() - t0
+        extra["refine_bigbubble_seconds"] = round(bt, 2)
+        extra["refine_bigbubble_mcells"] = round(bcells / 1e6, 1)
+        extra["refine_bigbubble_cells_per_sec"] = round(bcells / bt, 1)
+        try:
+            rpb = ref_probcons_msa(bjobs, timeout=3600)
+            extra["ref_probcons_bigbubble_seconds"] = round(
+                rpb["ref_probcons_seconds"], 2
+            )
+            extra["refine_bigbubble_vs_ref"] = round(
+                rpb["ref_probcons_seconds"] / bt, 3
+            )
+        except Exception as e:  # pragma: no cover
+            extra["ref_probcons_bigbubble_error"] = str(e)[:200]
+    except Exception as e:  # pragma: no cover
+        extra["refine_bigbubble_error"] = str(e)[:200]
+
     # ---- pair-HMM: device kernel AND e2e production path ---------------
     try:
         dev_cps, e2e_cps, e2e_dense = bench_pairhmm(B=128, L=512)

@@ -111,52 +111,77 @@ def _next_pow2(x: int) -> int:
     return 1 << max(1, int(math.ceil(math.log2(max(x, 2)))))
 
 
-def _make_window_gather(WRV: int, RBV: int, npad: int):
-    """Pallas windowed-row gather: out[r] = LCP[starts[r] : starts[r]+WRV].
+def _make_window_resolve(WRV: int, RBV: int, npad: int):
+    """Pallas windowed insertion-point resolve for the repair round:
+    y[r] = max{ j in [q[r]-WRV, q[r]) : LCP[j] < thr[r] }, -1 if none.
 
-    The repair round needs a (RBV, WRV) window of the live LCP per
-    pending candidate; the XLA general-gather lowering runs ~42 M
-    elements/s on TPU (profiled r5: 6.2 ms per round at RBV=1024,
-    WRV=256 — 30 s of the 35.5 s forest dispatch).  Each row is a
-    CONTIGUOUS slice, so 8 scalar-indexed DMAs per grid step fetch it
-    at copy speed instead.  Rows per block = 8 (Mosaic output tiling)."""
+    The XLA general-gather lowering of the (RBV, WRV) window fetch runs
+    ~42 M elements/s on TPU (profiled r5: 6.2 ms per round at
+    RBV=1024 x WRV=256 — 30 s of the 35.5 s forest dispatch).  Here the
+    LCP is viewed (npad/128, 128) and each candidate's window arrives
+    as WRV/128+1 ALIGNED row-block DMAs (1-D dynamic-offset DMAs fail
+    Mosaic compile on this backend); the max-position reduction runs
+    in-kernel, so only the (RBV,) result leaves.  8 rows per grid step,
+    8 DMAs in flight."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R = 8
-    assert RBV % R == 0
+    WB = WRV // 128 + 1
+    NR = npad // 128
+    assert RBV % R == 0 and npad % 128 == 0
 
-    def kernel(starts_ref, lcp_ref, out_ref, sems):
+    def kernel(q_ref, thr_ref, lcp_ref, out_ref, scratch, sems):
         i = pl.program_id(0)
 
         def dma(r):
-            s = starts_ref[i * R + r]
-            return pltpu.make_async_copy(
-                lcp_ref.at[pl.ds(s, WRV)], out_ref.at[r], sems.at[r]
+            q = q_ref[i * R + r]
+            s2 = jnp.clip((q - WRV) // 128, 0, NR - WB)
+            return s2, pltpu.make_async_copy(
+                lcp_ref.at[pl.ds(s2, WB), :], scratch.at[r], sems.at[r]
             )
 
+        s2s = []
         for r in range(R):
-            dma(r).start()
+            s2, d = dma(r)
+            s2s.append(s2)
+            d.start()
         for r in range(R):
-            dma(r).wait()
+            _, d = dma(r)
+            d.wait()
+        for r in range(R):
+            q = q_ref[i * R + r]
+            thr = thr_ref[i * R + r]
+            pos = (
+                s2s[r] * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (WB, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (WB, 128), 1)
+            )
+            vals = scratch[r]
+            mask = (pos >= q - WRV) & (pos < q) & (vals < thr)
+            y = jnp.max(jnp.where(mask, pos, -1))
+            out_ref[r, :] = jnp.full((128,), y, jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(RBV // R,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
-        out_specs=pl.BlockSpec((R, WRV), lambda i, starts: (i, 0)),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((R,))],
+        out_specs=pl.BlockSpec((R, 128), lambda i, q, t: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, WB, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((R,)),
+        ],
     )
     fn = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((RBV, WRV), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((RBV, 128), jnp.int32),
     )
 
-    def run(lcp, starts):
-        return fn(starts, lcp)
+    def run(lcp, q, thr):
+        return fn(q, thr, lcp.reshape(NR, 128))[:, 0]
 
     return run
 
@@ -1317,10 +1342,9 @@ def _build_kernel(
                 warr = jnp.arange(WREP + 2, dtype=i32)
                 RBV = min(CCAP, 1024)
                 offs1 = jnp.arange(1, _WRV + 1, dtype=i32)
-                offs0 = jnp.arange(_WRV, dtype=i32)
-                _wingather = (
-                    _make_window_gather(_WRV, RBV, npad)
-                    if _use_pallas and RBV % 8 == 0
+                _winresolve = (
+                    _make_window_resolve(_WRV, RBV, npad)
+                    if _use_pallas and RBV % 8 == 0 and npad % 128 == 0
                     else None
                 )
 
@@ -1468,20 +1492,8 @@ def _build_kernel(
                     lcq = LCP_[q]
                     thr = b - saq
                     move = (saq < b) & (saq + lcq > b)
-                    if _wingather is not None:
-                        # contiguous-row DMA gather (clamped window
-                        # [max(q-WRV,0), ..) covers every j < q when
-                        # q <= WRV — same candidate set as the widx
-                        # form below)
-                        s0w = jnp.clip(q - _WRV, 0, npad - _WRV)
-                        lcpw = _wingather(LCP_, s0w)
-                        wpos = s0w[:, None] + offs0[None, :]
-                        candw = (wpos < q[:, None]) & (
-                            lcpw < thr[:, None]
-                        )
-                        y = jnp.max(
-                            jnp.where(candw, wpos, -1), axis=1
-                        )
+                    if _winresolve is not None:
+                        y = _winresolve(LCP_, q, thr)
                     else:
                         widx = q[:, None] - offs1[None, :]
                         lcpw = LCP_[jnp.maximum(widx, 0)]

@@ -122,3 +122,38 @@ def test_mesh_enum_multi_temp_memory_scales(mesh8):
     assert mem_win.temp_size_in_bytes < 64 * 4 * K * W, (
         mem_win.temp_size_in_bytes
     )
+
+
+def test_mesh_enum_multi_temp_memory_large_npad(mesh8):
+    """Genome-scale shape evidence (VERDICT r4 item 6): the multi
+    enumerate's per-device temps stay O(n/P) at npad=2^22 (a ~4 Mbp
+    multi-genome text, v5e-pod-slice scale per device) — the constant
+    must not grow with npad (same ~150-plane bound as the 2^18 case
+    above), i.e. nothing in the kernel silently materializes O(n)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from reveal_tpu.index import devfrontier as df
+
+    npad = 1 << 22
+    W, NSEPW = 8, 8
+    mesh = mesh8
+    Pn = int(mesh.devices.size)
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    sharded_in = (
+        jax.ShapeDtypeStruct((npad,), jnp.uint8, sharding=shard),
+        *(
+            jax.ShapeDtypeStruct((npad,), jnp.int32, sharding=shard)
+            for _ in range(3)
+        ),
+    )
+    mesh_fn = df._get_enum_multi_mesh(mesh, npad, W, NSEPW)
+    mem_mesh = mesh_fn.lower(
+        *sharded_in,
+        jax.ShapeDtypeStruct((NSEPW,), jnp.int32),
+        *(jax.ShapeDtypeStruct((), jnp.int32) for _ in range(4)),
+    ).compile().memory_analysis()
+    t_mesh = mem_mesh.temp_size_in_bytes
+    assert t_mesh < 150 * 4 * (npad // Pn), t_mesh
