@@ -896,6 +896,9 @@ def _align_loop_frontier(
         steps = _rem_device_loop(G, t, root, cfg)
         if steps is not None:
             return steps
+        steps = _rem_device_multi_loop(G, t, root, cfg)
+        if steps is not None:
+            return steps
 
     main = root.main
     picker = MumPicker(G, t, cfg)
@@ -1280,3 +1283,208 @@ def read_fasta_into(
         G.add_edge(startnode, iv, paths={sid}, ofrom="+", oto="+")
         G.add_edge(iv, endnode, paths={sid}, ofrom="+", oto="+")
         root_nodes.add(iv)
+
+
+def _multi_fast_eligible(
+    G: PanGraph, root: ESAIndex, cfg: PickerConfig
+) -> bool:
+    """Eligibility for the whole-recursion multi device loop: plain
+    multi-fasta roots (one whole sequence per sample), default
+    largest/sumofpairs picking, no seeding/size gates."""
+    main = root.main
+    D = main.nsamples
+    if (
+        getattr(G, "multi", False)
+        or D < 3
+        or D > 8
+        or os.environ.get("REVEAL_TPU_DISABLE_FASTPICK")
+        or cfg.splitchain != "largest"
+        or cfg.gcmodel != "sumofpairs"
+        or not float(cfg.wscore).is_integer()
+        or not float(cfg.wpen).is_integer()
+        or cfg.seedsize
+        or cfg.maxdepth is not None
+        or cfg.maxsize is not None
+        or not cfg.trim
+        or cfg.minlength < 1
+        or root.skipmums
+    ):
+        return False
+    nsep = main.nsep
+    want = set()
+    prev = 0
+    for s in range(D):
+        want.add((prev, int(nsep[s])))
+        prev = int(nsep[s]) + 1
+    if root.nodes != want:
+        return False
+    pid = G.graph.get("path2id")
+    if pid is None or sorted(pid.values()) != list(range(D)):
+        return False
+    return True
+
+
+def _rem_multi_replay(G: PanGraph, anchors, D: int):
+    """Graph surgery replay for multi anchors (records in serial pop
+    order): per record, breaknode per subset sample ascending
+    (graphalign hit order = spd order, rem.py:332-345) then mergenodes
+    into the first match node (graphops.mergenodes DiGraph branch,
+    rem.py:131-201).  Same inlined mutation sequence as _rem2_replay."""
+    nodes = G.nodes
+    succ = G.succ
+    pred = G.pred
+
+    def brk(node, pos, l):
+        att = nodes[node]
+        mn = (pos, pos + l)
+        if mn == node:
+            return node
+        offs = att["offsets"]
+        in_items = list(pred[node].items())
+        out_items = list(succ[node].items())
+        if in_items or out_items:
+            pospaths = set()
+            for _, d in in_items:
+                pospaths |= d["paths"]
+            for _, d in out_items:
+                pospaths |= d["paths"]
+        else:
+            pospaths = set(offs.keys())
+        nodes[mn] = {
+            "offsets": {s: o + (pos - node[0]) for s, o in offs.items()},
+            "aligned": 0,
+        }
+        succ[mn] = {}
+        pred[mn] = {}
+        if node[0] != pos:
+            pn = (node[0], pos)
+            nodes[pn] = {"offsets": dict(offs), "aligned": 0}
+            succ[pn] = {}
+            pred[pn] = {}
+            d = {"paths": set(pospaths), "ofrom": "+", "oto": "+"}
+            succ[pn][mn] = d
+            pred[mn][pn] = d
+        else:
+            pn = mn
+        if node[1] != pos + l:
+            sn = (pos + l, node[1])
+            nodes[sn] = {
+                "offsets": {
+                    s: o + (pos + l - node[0]) for s, o in offs.items()
+                },
+                "aligned": 0,
+            }
+            succ[sn] = {}
+            pred[sn] = {}
+            d = {"paths": set(pospaths), "ofrom": "+", "oto": "+"}
+            succ[mn][sn] = d
+            pred[sn][mn] = d
+        else:
+            sn = mn
+        for to in succ[node]:
+            del pred[to][node]
+        for fr in pred[node]:
+            del succ[fr][node]
+        del succ[node]
+        del pred[node]
+        del nodes[node]
+        for fro, d in in_items:
+            nd = dict(d)
+            succ[fro][pn] = nd
+            pred[pn][fro] = nd
+        for to, d in out_items:
+            nd = dict(d)
+            succ[sn][to] = nd
+            pred[to][sn] = nd
+        return mn
+
+    for rec in anchors.tolist():
+        l = rec[0]
+        w = rec[1]
+        ordp = rec[4]
+        pos = rec[5:5 + D]
+        beg = rec[5 + D:5 + 2 * D]
+        end = rec[5 + 2 * D:5 + 3 * D]
+        # break order = the pick's coord order (SA-window order, packed
+        # 4 bits per sample in ordpack) — graphalign's hit order
+        mns = []
+        for j in range(w):
+            d = (ordp >> (4 * j)) & 15
+            mns.append(brk((beg[d], end[d]), pos[d], l))
+        refnode = mns[0]
+        da = nodes[refnode]
+        newoffsets = dict(da["offsets"])
+        for mn in mns[1:]:
+            newoffsets.update(nodes[mn]["offsets"])
+        da["offsets"] = newoffsets
+        da["aligned"] = 1
+        sa_ = succ[refnode]
+        pa_ = pred[refnode]
+        for mn in mns[1:]:
+            for u, d in pred[mn].items():
+                if u in pa_:
+                    pa_[u]["paths"] |= d["paths"]
+                else:
+                    nd = dict(d)
+                    succ[u][refnode] = nd
+                    pa_[u] = nd
+                del succ[u][mn]
+            for v, d in succ[mn].items():
+                if v in sa_:
+                    sa_[v]["paths"] |= d["paths"]
+                else:
+                    nd = dict(d)
+                    sa_[v] = nd
+                    pred[v][refnode] = nd
+                del pred[v][mn]
+            del succ[mn]
+            del pred[mn]
+            del nodes[mn]
+
+
+def _rem_device_multi_loop(
+    G: PanGraph, t: IntervalIndex, root: ESAIndex, cfg: PickerConfig
+):
+    """Whole-recursion multi device fast path (devloop.rem_device_multi):
+    the complete multi-genome recursion as ONE jitted dispatch, then the
+    anchor-replay graph surgery in serial LIFO pop order — GFA
+    byte-identical to the per-step engine's.  Returns the anchor count,
+    or None when ineligible/aborted (caller falls back)."""
+    if os.environ.get("REVEAL_TPU_DISABLE_DEVLOOP"):
+        return None
+    if not _multi_fast_eligible(G, root, cfg):
+        return None
+    from ..index.devloop import rem_device_multi
+
+    main = root.main
+    try:
+        arrs = root.getmultimums_arrays(
+            minlength=cfg.minlength, minn=cfg.minn
+        )
+        nroot = len(arrs[0]) if arrs is not None else 256
+    except Exception:
+        nroot = 256
+    res = rem_device_multi(
+        main.T,
+        root.SA,
+        root.LCP,
+        main.SO,
+        main.nsep,
+        cfg.minlength,
+        cfg.minn,
+        cfg.maxmums,
+        int(cfg.wscore),
+        int(cfg.wpen),
+        root_mums=max(64, int(nroot)),
+    )
+    if res is None:
+        return None
+    anchors, T_out, levels = res
+    main.T[:] = T_out
+    _rem_multi_replay(G, anchors, main.nsamples)
+    log.debug(
+        "device multi loop: %d anchors in %d levels, graph replayed",
+        len(anchors),
+        levels,
+    )
+    return len(anchors)

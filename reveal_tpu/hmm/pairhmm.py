@@ -473,22 +473,41 @@ def _get_cut_fn(K: int):
         v, i = jax.lax.top_k(q, k=K)
         if L2p < 2**15:
             i = i.astype(jnp.int16)
-        # MEA score scan over the FULL posterior (msa._build_chain_fn)
-        def row(old, prow):
-            d = prow[:, 1:] + old[:, :-1]
-            u = old[:, 1:]
-            c = jnp.maximum(d, u)
-            mx = jax.lax.cummax(c, axis=1)
-            return (
-                jnp.concatenate(
+        # MEA score scan over the FULL posterior (msa._build_chain_fn),
+        # 4 rows per scan step (the 1-row scan's per-step overhead was
+        # 46 ms of the 176 ms e2e at B=128 L=512 — profiled r5); rows
+        # are padded to a multiple of 4 with -inf rows, which preserve
+        # the final per-batch max (the DP rows are nondecreasing in j,
+        # so a -inf row maps old -> cummax(old[1:]) whose last entry is
+        # exactly old[-1] — the only value read).
+        R4 = 4
+
+        def row4(old, prows):
+            for r in range(R4):
+                d = prows[r][:, 1:] + old[:, :-1]
+                u = old[:, 1:]
+                c = jnp.maximum(d, u)
+                mx = jax.lax.cummax(c, axis=1)
+                old = jnp.concatenate(
                     [jnp.zeros((B, 1), jnp.float32), mx], axis=1
-                ),
-                None,
-            )
+                )
+            return old, None
 
         rows = jnp.transpose(p, (1, 0, 2))[1:]
+        nr = rows.shape[0]
+        npadr = (-nr) % R4
+        if npadr:
+            rows = jnp.concatenate(
+                [
+                    rows,
+                    jnp.full(
+                        (npadr, B, L2p), -jnp.inf, jnp.float32
+                    ),
+                ]
+            )
+        rows = rows.reshape(-1, R4, B, L2p)
         old0 = jnp.zeros((B, L2p), jnp.float32)
-        oldf, _ = jax.lax.scan(row, old0, rows)
+        oldf, _ = jax.lax.scan(row4, old0, rows)
         return v, i, cnt, oldf[:, -1]
 
     _cut_fns[K] = cut
@@ -520,7 +539,9 @@ def _get_pack_fn(K: int, CAPM: int):
         pv = jnp.zeros(CAP, jnp.float32).at[dst].set(fv, mode="drop")
         pi = jnp.zeros(CAP, i.dtype).at[dst].set(fi, mode="drop")
         S = jnp.sum(cnt)
-        return pv, pi, cnt, sc, S
+        # counts cross the link as u8 (<=100 survivors by the row-sum
+        # bound) — the (B, L1p) i32 plane was ~10 ms of tunnel time
+        return pv, pi, cnt.astype(jnp.uint8), sc, S
 
     _pack_fns[(K, CAPM)] = pack
     return pack
@@ -549,7 +570,7 @@ def fetch_posteriors_compact(p, tot):
             pv, pi, cnt, scores, tot_h, S = jax.device_get(
                 (pv, pi, cnt, sc, tot, S)
             )
-            cnt = np.asarray(cnt)
+            cnt = np.asarray(cnt).astype(np.int32)
             S = int(S)
             if int(cnt.max(initial=0)) > K:
                 K = 32 if K < 32 else SPARSE_TRANSFER_K

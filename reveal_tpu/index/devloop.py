@@ -1949,3 +1949,1474 @@ def rem_device_forest(
         acount, F, int(level),
     )
     return subtrees, T_out, int(level)
+
+
+# ---------------------------------------------------------------------------
+# Multi-genome forest kernel (VERDICT r5 item 2): the D-dimensional
+# generalization of _build_kernel for the deferred-hybrid path.  Host
+# runs the multi LIFO prefix (python worklist + native pick_multi,
+# align/rem._rem_multi_hybrid) deferring every segment whose candidate
+# count is <= defer_max; the whole residual forest then runs as ONE
+# device dispatch here.  Reference semantics per level:
+#   enumerate  getmultimums via windowed PSV/NSV (reveal.c:436-580;
+#              width <= D so radius-D shifts are exact)
+#   pick       graphmumpicker: all-live-sample filter, else segment()
+#              subset (schemes.py:107-124,227-231), trim_overlap over
+#              the subset dims (:161-191), sum-of-pairs chain DP
+#              (:20-104), largest pick (:298-317)
+#   split      leading/trailing for subset samples, parallel for the
+#              rest (reveal.c:1005-1117,582-664), bubble repair per
+#              matched begin ascending (reveal.c:666-727,1230-1251)
+# Anchor records carry (l, w, parent, cls, pos_d, beg_d, end_d) for the
+# host pop-order replay (push parallel/leading/trailing; LIFO).
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel_multi(
+    npad: int, K: int, SMAX: int, ACAP: int, CCAP: int, D: int,
+    chain_width: int, ntext=None, minn: int = 2,
+):
+    if ntext is None:
+        ntext = npad
+    CW = chain_width
+    key = ("multi", npad, K, SMAX, ACAP, CCAP, D, CW, ntext, minn)
+    fn = _kern_cache.get(key)
+    if fn is not None:
+        return fn
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.encoding import N_BYTE, SENTINEL
+    from ..core.jaxconfig import configure_jax
+
+    configure_jax()
+
+    i32 = jnp.int32
+    NEG = jnp.int32(-(2**31) + 1)
+    BIG = jnp.int32(2**31 - 1)
+    NPAIR = D * (D - 1) // 2
+    AREC = 5 + 3 * D  # [l, w, parent, cls, ordpack, pos.., beg.., end..]
+    TW = 2 + 3 * D    # seg_tab: [parent, cls, beg.., end.., anc..]
+
+    _use_pallas = False
+    try:
+        _use_pallas = (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("REVEAL_TPU_NO_PALLAS_REPAIR")
+        )
+    except Exception:  # pragma: no cover
+        pass
+
+    def seg_min_scan(values, reset):
+        def combine(x, y):
+            m1, f1 = x
+            m2, f2 = y
+            return jnp.where(f2, m2, jnp.minimum(m1, m2)), f1 | f2
+
+        m, _ = jax.lax.associative_scan(combine, (values, reset))
+        return m
+
+    def last_value_scan(values, flags):
+        def combine(x, y):
+            v1, f1 = x
+            v2, f2 = y
+            return jnp.where(f2, v2, v1), f1 | f2
+
+        v, _ = jax.lax.associative_scan(combine, (values, flags))
+        return v
+
+    def last_value_scan_multi(cols, flags):
+        """One packed last-value scan over a list of arrays."""
+        def combine(x, y):
+            f1 = x[-1]
+            f2 = y[-1]
+            out = tuple(
+                jnp.where(f2, yv, xv) for xv, yv in zip(x[:-1], y[:-1])
+            )
+            return out + (f1 | f2,)
+
+        res = jax.lax.associative_scan(combine, tuple(cols) + (flags,))
+        return res[:-1]
+
+    def sort_by(keys, vals):
+        out = jax.lax.sort(tuple(keys) + tuple(vals), num_keys=len(keys))
+        return out[len(keys):]
+
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full(1, fill, x.dtype), x[:-1]])
+
+    def shiftk(x, k, fill):
+        if k == 0:
+            return x
+        if k > 0:
+            return jnp.concatenate(
+                [jnp.full(k, fill, x.dtype), x[:-k]]
+            )
+        k = -k
+        return jnp.concatenate([x[k:], jnp.full(k, fill, x.dtype)])
+
+    # ---- trim_overlap, one dimension over the (K, D) position matrix
+    # (schemes.py:161-191; all D coords shift by the trimmed overlap,
+    # absent dims stay -1).  Segments whose subset lacks dim d are made
+    # inert with spaced fake positions (no containment, no overlap).
+    def trim_dim_multi(cseg, cl, cord, cw, P, j):
+        iar = jnp.arange(K, dtype=i32)
+        # the j-th WINDOW coordinate of each candidate (sample id from
+        # ordpack nibble j); candidates with fewer than j+1 coords are
+        # inert: pos = current rank with EFFECTIVE length 0 — strictly
+        # ascending ends, so the containment filter keeps them and the
+        # overlap trim never fires; order and real l pass through.
+        sid_j = (cord >> (4 * j)) & 15
+        posd = jnp.zeros(K, i32)
+        for d in range(D):
+            posd = jnp.where(sid_j == d, P[:, d], posd)
+        has = (j < cw) & (posd >= 0)
+        pos = jnp.where(has, posd, iar)
+        leff = jnp.where(has, cl, 0)
+        alive0 = cseg < BIG
+        seg_s, l_s, le_s, pos_s, ord_s, w_s, iar_s = sort_by(
+            (cseg, jnp.where(alive0, pos, BIG), -cl, iar),
+            (cseg, cl, leff, pos, cord, cw, iar),
+        )
+        alive = seg_s < BIG
+        end = jnp.where(alive, pos_s + le_s, BIG)
+        seg_prev = shift1(seg_s, -9)
+        seg_next = jnp.concatenate(
+            [seg_s[1:], jnp.full(1, -9, seg_s.dtype)]
+        )
+        first = seg_s != seg_prev
+        last = seg_s != seg_next
+        end_prev = shift1(end, 0)
+        end_next = jnp.concatenate([end[1:], jnp.zeros(1, end.dtype)])
+        last_end_rev = last_value_scan(
+            jnp.flip(jnp.where(last, end, 0)), jnp.flip(last)
+        )
+        seg_last_end = jnp.flip(last_end_rev)
+        keep_first = (~last & (end_next > end)) | (seg_last_end < end)
+        keep = alive & jnp.where(
+            first, keep_first | last, end_prev < end
+        )
+        seg_k = jnp.where(keep, seg_s, BIG)
+        seg_c, l_c, le_c, pos_c, ord_c, w_c, iar_c = sort_by(
+            (seg_k, iar), (seg_k, l_s, le_s, pos_s, ord_s, w_s, iar_s)
+        )
+        Pc = P[iar_c]
+        alive = seg_c < BIG
+        n_alive = jnp.sum(alive.astype(i32))
+        first = (seg_c != shift1(seg_c, -9)) & alive
+
+        pl = pos_c + le_c
+        A30 = jnp.int32(2**30)
+        T0 = jnp.where(first | ~alive, jnp.int32(-1), pl)
+        Av = jnp.where(alive, pl, 0)
+        Bv = jnp.where(first, pl, jnp.where(alive, pos_c, 0))
+        Tx, Ax, Bx = shift1(T0, -1), shift1(Av, 0), shift1(Bv, 0)
+
+        def comb_step(x, y):
+            t1, a1, b1 = x
+            t2, a2, b2 = y
+            return (
+                t1,
+                jnp.where(a1 >= t2, b2, a2),
+                jnp.where(b1 >= t2, b2, a2),
+            )
+
+        Tc, Ac, Bc = jax.lax.associative_scan(comb_step, (Tx, Ax, Bx))
+        ce_in = jnp.where(0 >= Tc, Bc, Ac)
+        ov = jnp.where(first, 0, ce_in - pos_c)
+        hit = alive & ~first & (ov > 0)
+        ovh = jnp.where(hit, ov, 0)
+        li = l_c - ovh
+        front = jnp.where(hit, ovh, 0)
+        deep = hit & (li <= 0)
+        a_r = jnp.where(deep, ovh, A30)
+        b_r = jnp.where(
+            alive, jnp.where(deep, 0, jnp.where(hit, li, l_c)), 0
+        )
+        ax, bx = shift1(a_r, A30), shift1(b_r, 0)
+
+        def comb_cl(x, y):
+            a1, b1 = x
+            a2, b2 = y
+            return jnp.minimum(a1 + a2, A30), jnp.maximum(b1 - a2, b2)
+
+        ac, bc = jax.lax.associative_scan(comb_cl, (ax, bx))
+        cl_in = jnp.maximum(-ac, bc)
+        prev_alive = (cl_in - ovh) > 0
+        reset = (~deep) | (deep & ~prev_alive)
+        rval = jnp.where(~deep, jnp.arange(K, dtype=i32), jnp.int32(K))
+        ci_in = last_value_scan(shift1(rval, K), shift1(reset, True))
+        back = jnp.zeros(K + 1, i32)
+        back = back.at[jnp.where(hit, ci_in, K)].add(ovh, mode="drop")
+        back = back[:K]
+        newl = l_c - front - back
+        ok = (seg_c < BIG) & (newl > 0)
+        seg_o = jnp.where(ok, seg_c, BIG)
+        Pn = jnp.where(Pc >= 0, Pc + front[:, None], Pc)
+        return seg_o, newl, ord_c, w_c, Pn, n_alive
+
+    @jax.jit
+    def run(
+        Tu8, SA, LCP, SOA0, SEG, seg_tab, live_key0, nseg0, minl,
+        maxmums, ws, wp, dbg,
+    ):
+        """seg_tab: (SMAX, TW) int32; live_key0: (SMAX,) live-sample
+        bitmask per root segment.  Roots carry parent = -2 - defer_id."""
+        T = Tu8.astype(i32)
+        BWT = T[jnp.maximum(SA - 1, 0)]
+        SOA = SOA0.astype(i32)
+
+        anchors0 = jnp.zeros((ACAP + 1, AREC), i32)
+        iar_n = jnp.arange(npad, dtype=i32)
+        iar_k = jnp.arange(K, dtype=i32)
+        sarange = jnp.arange(SMAX, dtype=i32)
+        darange = jnp.arange(D, dtype=i32)
+
+        def cond(st):
+            nseg, abort, level = st[7], st[10], st[11]
+            lcap = jnp.where(dbg >= 2, dbg - 2, jnp.int32(_LMAX))
+            return (nseg > 0) & (abort == 0) & (level < lcap)
+
+        def body(st):
+            (T, SA, LCP, BWT, SOA, SEG, seg_tab, nseg, anchors,
+             acount, abort, level, steps, live_key) = st
+
+            # ---- enumerate multiMUMs (windowed PSV/NSV) ---------------
+            l0 = LCP
+            livep = SEG >= 0
+            # nearest back/forward strictly-smaller LCP within D steps
+            jb = jnp.full(npad, D + 1, i32)
+            jf = jnp.full(npad, D + 1, i32)
+            for k in range(1, D + 1):
+                lb_k = shiftk(LCP, k, BIG)
+                cond_b = (jb > D) & (lb_k < l0)
+                jb = jnp.where(cond_b, k, jb)
+                lf_k = shiftk(LCP, -k, jnp.int32(0))
+                cond_f = (jf > D) & (lf_k < l0)
+                jf = jnp.where(cond_f, k, jf)
+            width = jb + jf
+            have = (jb <= D) & (jf <= D)
+            # dedup: no slot in (i-jb, i) with the same LCP value
+            dup = jnp.zeros(npad, bool)
+            for k in range(1, D):
+                dup = dup | (
+                    (k < jb) & (shiftk(LCP, k, BIG) == l0)
+                )
+            cand = (
+                livep
+                & (l0 >= jnp.maximum(minl, 1))
+                & have
+                & (width >= minn)
+                & (width <= D)
+                & ~dup
+            )
+            # distinct samples + left-maximality + per-sample positions
+            # over the window [i-jb, i+jf-1]
+            lmp = (
+                (SA == 0)
+                | (jnp.concatenate([SA[1:], jnp.zeros(1, i32)]) == 0)
+                | (BWT != jnp.concatenate(
+                    [BWT[1:], jnp.zeros(1, i32)]))
+                | (BWT == N_BYTE)
+                | (BWT == SENTINEL)
+                | ((BWT >= ord("a")) & (BWT <= ord("z")))
+            )
+            keymask = jnp.zeros(npad, i32)
+            ordp = jnp.zeros(npad, i32)
+            anylm = jnp.zeros(npad, bool)
+            for rel in range(-D, D):
+                inwin = (rel >= -jb) & (rel <= jf - 1)
+                so_r = shiftk(SOA, -rel, jnp.int32(0))
+                keymask = jnp.where(
+                    inwin, keymask | (1 << jnp.clip(so_r, 0, 30)),
+                    keymask,
+                )
+                jwin = jnp.clip(rel + jb, 0, 7)
+                ordp = jnp.where(
+                    inwin,
+                    ordp
+                    | jnp.left_shift(
+                        jnp.clip(so_r, 0, 15), 4 * jwin
+                    ),
+                    ordp,
+                )
+                if rel < D - 1:
+                    inpair = (rel >= -jb) & (rel <= jf - 2)
+                    anylm = anylm | (
+                        inpair & shiftk(lmp, -rel, False)
+                    )
+            pcnt = jnp.zeros(npad, i32)
+            for d in range(D):
+                pcnt = pcnt + ((keymask >> d) & 1)
+            cand = cand & (pcnt == width) & anylm
+            ccount = jnp.sum(cand.astype(i32))
+            abort = jnp.where(
+                ccount > K, jnp.int32(ABORT_CAND_OVERFLOW), abort
+            )
+            rankm = jnp.cumsum(cand.astype(i32)) - 1
+            sidx = jnp.where(cand, rankm, K + iar_n)
+            slots = (
+                jnp.full(K + npad, npad - 1, i32)
+                .at[sidx].set(iar_n, mode="drop", unique_indices=True)
+                [:K]
+            )
+            valid = iar_k < jnp.minimum(ccount, K)
+            cseg = jnp.where(valid, SEG[slots], BIG)
+            cl = jnp.where(valid, l0[slots], 0)
+            cjb = jb[slots]
+            cjf = jf[slots]
+            cub = slots + cjf - 1
+            ckey = jnp.where(valid, keymask[slots], 0)
+            cord = jnp.where(valid, ordp[slots], 0)
+            cw = jnp.where(valid, width[slots], 0)
+            # per-sample positions
+            P = jnp.full((K, D), -1, i32)
+            for rel in range(-D, D):
+                sl_r = jnp.clip(slots + rel, 0, npad - 1)
+                inwin = valid & (rel >= -cjb) & (rel <= cjf - 1)
+                so_r = SOA[sl_r]
+                sa_r = SA[sl_r]
+                oh = so_r[:, None] == darange[None, :]
+                P = jnp.where(
+                    (inwin[:, None] & oh), sa_r[:, None], P
+                )
+            # canonical candidate order: lexsort by (l, lb, ub) —
+            # the repo's pinned multiMUM emission order
+            # (esa_index.getmultimums_arrays / index.mums.multimums)
+            clb = jnp.where(valid, slots - cjb, BIG)
+            cseg, cl, clb2, cub2, ckey, cord, cw, ord0 = sort_by(
+                (cseg, cl, clb, cub, iar_k),
+                (cseg, cl, clb, cub, ckey, cord, cw, iar_k),
+            )
+            P = P[ord0]
+
+            # maxmums: abort to host (rare)
+            segc = jnp.clip(cseg, 0, SMAX - 1)
+            percnt = jax.ops.segment_sum(
+                (cseg < BIG).astype(i32), segc, num_segments=SMAX
+            )
+            abort = jnp.where(
+                jnp.max(percnt) > maxmums, jnp.int32(ABORT_MAXMUMS),
+                abort,
+            )
+
+            # ---- subset selection (graphmumpicker all-sample filter +
+            # segment(), schemes.py:107-124,227-231) -------------------
+            alive = cseg < BIG
+            lkey = live_key[segc]
+            lcnt = jnp.zeros(SMAX, i32)
+            for d in range(D):
+                lcnt = lcnt + ((live_key >> d) & 1)
+            isfull = alive & (cw == lcnt[segc])
+            anyfull = (
+                jnp.zeros(SMAX, bool)
+                .at[jnp.where(isfull, segc, SMAX - 1)]
+                .max(isfull, mode="drop")
+            )
+            # segment(): per (seg, key) sum of l and first walk index
+            NK = 1 << D
+            gsum = jnp.zeros((SMAX, NK), i32).at[
+                (segc, jnp.clip(ckey, 0, NK - 1))
+            ].add(jnp.where(alive, cl, 0), mode="drop")
+            gfirst = jnp.full((SMAX, NK), K, i32).at[
+                (segc, jnp.clip(ckey, 0, NK - 1))
+            ].min(jnp.where(alive, iar_k, K), mode="drop")
+            kpop = jnp.zeros(NK, i32)
+            for d in range(D):
+                kpop = kpop + ((jnp.arange(NK) >> d) & 1).astype(i32)
+            z = gsum * kpop[None, :]
+            zmax = jnp.max(z, axis=1)
+            ztie = z == zmax[:, None]
+            tfirst = jnp.where(ztie, gfirst, K)
+            bestfirst = jnp.min(tfirst, axis=1)
+            bestkey = jnp.argmax(
+                ztie & (gfirst == bestfirst[:, None]), axis=1
+            ).astype(i32)
+            # keep: full candidates where anyfull, else best segment()
+            keep = alive & jnp.where(
+                anyfull[segc], isfull, ckey == bestkey[segc]
+            )
+            cseg = jnp.where(keep, cseg, BIG)
+            # picked subset key per segment (for split classification)
+            segkey = jnp.where(anyfull, live_key, bestkey)
+
+            # compact kept candidates (stable)
+            cseg, cl, ckey, cord, cw, ord1 = sort_by(
+                (cseg, iar_k), (cseg, cl, ckey, cord, cw, iar_k)
+            )
+            P = P[ord1]
+            steps = steps.at[0].add(jnp.sum((cseg < BIG).astype(i32)))
+
+            # ---- trim over the D dims (ascending sample id) -----------
+            # trim coord axes are POSITIONAL (each mum's own
+            # SA-window order, schemes.py:161-191 over the index-coord
+            # tuples) — pass j trims the j-th window coordinate,
+            # decoded per candidate from ordpack
+            for j in range(D):
+                cseg, cl, cord, cw, P, na = trim_dim_multi(
+                    cseg, cl, cord, cw, P, j
+                )
+                steps = steps.at[0].add(na)
+
+            # ---- dense chain + pick ----------------------------------
+            seg_live = sarange < nseg
+            (picked, s_l, s_ord, s_P, abort,
+             steps) = chain_dense_multi(
+                cseg, cl, cord, P, seg_tab, seg_live, segkey, abort,
+                steps, ws, wp,
+            )
+
+            # ---- anchors ---------------------------------------------
+            s_w = jnp.zeros(SMAX, i32)
+            for d in range(D):
+                s_w = s_w + (s_P[:, d] >= 0).astype(i32)
+            npicked = jnp.sum(picked.astype(i32))
+            abort = jnp.where(
+                acount + npicked > ACAP,
+                jnp.int32(ABORT_ANCHOR_OVERFLOW), abort,
+            )
+            prank = jnp.cumsum(picked.astype(i32)) - 1
+            lslot = jnp.where(
+                picked, jnp.minimum(acount + prank, ACAP), ACAP
+            )
+            rows = jnp.concatenate(
+                [
+                    s_l[:, None], s_w[:, None],
+                    seg_tab[:, 0:1], seg_tab[:, 1:2],
+                    s_ord[:, None],
+                    s_P,
+                    seg_tab[:, 2:2 + D],
+                    seg_tab[:, 2 + D:2 + 2 * D],
+                ],
+                axis=1,
+            )
+            anchors = anchors.at[lslot].set(
+                jnp.where(picked[:, None], rows, anchors[lslot])
+            )
+
+            # ---- children --------------------------------------------
+            pbeg = seg_tab[:, 2:2 + D]
+            pend = seg_tab[:, 2 + D:2 + 2 * D]
+            insub = s_P >= 0
+            l_b = s_l[:, None]
+            lead_iv_b = jnp.where(insub & (s_P > pbeg), pbeg, -1)
+            lead_iv_e = jnp.where(insub & (s_P > pbeg), s_P, -1)
+            trail_iv_b = jnp.where(
+                insub & (s_P + l_b < pend), s_P + l_b, -1
+            )
+            trail_iv_e = jnp.where(
+                insub & (s_P + l_b < pend), pend, -1
+            )
+            par_iv_b = jnp.where(~insub & (pbeg >= 0), pbeg, -1)
+            par_iv_e = jnp.where(~insub & (pbeg >= 0), pend, -1)
+            nlead_d = jnp.sum((lead_iv_b >= 0).astype(i32), axis=1)
+            ntrail_d = jnp.sum((trail_iv_b >= 0).astype(i32), axis=1)
+            npar_d = jnp.sum((par_iv_b >= 0).astype(i32), axis=1)
+            lead_live = picked & (nlead_d >= 2)
+            trail_live = picked & (ntrail_d >= 2)
+            par_live = picked & (npar_d >= 2)
+            nl = jnp.cumsum(lead_live.astype(i32))
+            nt = jnp.cumsum(trail_live.astype(i32))
+            npr = jnp.cumsum(par_live.astype(i32))
+            n_lead = nl[-1]
+            n_trail = nt[-1]
+            lead_id = jnp.where(lead_live, nl - 1, SMAX)
+            trail_id = jnp.where(trail_live, n_lead + nt - 1, SMAX)
+            par_id = jnp.where(
+                par_live, n_lead + n_trail + npr - 1, SMAX
+            )
+            nseg_new = n_lead + n_trail + npr[-1]
+            abort = jnp.where(
+                nseg_new > SMAX, jnp.int32(ABORT_SEG_OVERFLOW), abort
+            )
+            lead_id = jnp.minimum(lead_id, SMAX)
+            trail_id = jnp.minimum(trail_id, SMAX)
+            par_id = jnp.minimum(par_id, SMAX)
+
+            new_tab_w = jnp.zeros((SMAX + 1, TW), i32)
+            anc_cols = jnp.where(insub, s_P, -1)
+            lrow = jnp.concatenate(
+                [
+                    lslot[:, None], jnp.ones((SMAX, 1), i32),
+                    lead_iv_b, lead_iv_e, anc_cols,
+                ],
+                axis=1,
+            )
+            trow = jnp.concatenate(
+                [
+                    lslot[:, None], jnp.full((SMAX, 1), 2, i32),
+                    trail_iv_b, trail_iv_e,
+                    jnp.full((SMAX, D), -1, i32),
+                ],
+                axis=1,
+            )
+            prow = jnp.concatenate(
+                [
+                    lslot[:, None], jnp.full((SMAX, 1), 4, i32),
+                    par_iv_b, par_iv_e,
+                    jnp.full((SMAX, D), -1, i32),
+                ],
+                axis=1,
+            )
+            new_tab_w = new_tab_w.at[lead_id].set(lrow, mode="drop")
+            new_tab_w = new_tab_w.at[trail_id].set(trow, mode="drop")
+            new_tab_w = new_tab_w.at[par_id].set(prow, mode="drop")
+            new_tab = new_tab_w[:SMAX]
+            new_live_key_w = jnp.zeros(SMAX + 1, i32)
+            lead_key = jnp.zeros(SMAX, i32)
+            trail_key = jnp.zeros(SMAX, i32)
+            par_key = jnp.zeros(SMAX, i32)
+            for d in range(D):
+                lead_key = lead_key | jnp.where(
+                    lead_iv_b[:, d] >= 0, 1 << d, 0
+                )
+                trail_key = trail_key | jnp.where(
+                    trail_iv_b[:, d] >= 0, 1 << d, 0
+                )
+                par_key = par_key | jnp.where(
+                    par_iv_b[:, d] >= 0, 1 << d, 0
+                )
+            new_live_key_w = new_live_key_w.at[lead_id].set(
+                lead_key, mode="drop"
+            )
+            new_live_key_w = new_live_key_w.at[trail_id].set(
+                trail_key, mode="drop"
+            )
+            new_live_key_w = new_live_key_w.at[par_id].set(
+                par_key, mode="drop"
+            )
+            new_live_key = new_live_key_w[:SMAX]
+
+            # ---- classify + split + lowercase -------------------------
+            segstart = SEG != shift1(SEG, -9)
+            liveseg = segstart & (SEG >= 0)
+            rnks = jnp.cumsum(liveseg.astype(i32)) - 1
+            starts = (
+                jnp.full(SMAX + npad, npad, i32)
+                .at[jnp.where(liveseg, rnks, SMAX + iar_n)]
+                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
+            )
+
+            def segbcast_pack(cols):
+                tmps = [
+                    jnp.zeros(npad, i32).at[starts].set(
+                        c.astype(i32), mode="drop",
+                        unique_indices=True,
+                    )
+                    for c in cols
+                ]
+                return last_value_scan_multi(tmps, segstart)
+
+            pos = SA
+            sca = [picked, s_l, lead_id, trail_id, par_id]
+            anc_list = [s_P[:, d] for d in range(D)]
+            beg_list = [seg_tab[:, 2 + d] for d in range(D)]
+            end_list = [seg_tab[:, 2 + D + d] for d in range(D)]
+            bl = segbcast_pack(sca + anc_list + beg_list + end_list)
+            pickedb = bl[0] > 0
+            pl = bl[1]
+            b_lid = bl[2]
+            b_tid = bl[3]
+            b_pid = bl[4]
+            ancs = bl[5:5 + D]
+            begs_b = bl[5 + D:5 + 2 * D]
+            ends_b = bl[5 + 2 * D:5 + 3 * D]
+            # per-slot own-dim anchor + interval bounds (slots outside
+            # their sample's live interval — sentinels — get no class
+            # and die, like the reference's D==0 drop, reveal.c:1117)
+            anc_own = jnp.full(npad, -1, i32)
+            beg_own = jnp.full(npad, -1, i32)
+            end_own = jnp.full(npad, -1, i32)
+            for d in range(D):
+                sel = SOA == d
+                anc_own = jnp.where(sel, ancs[d], anc_own)
+                beg_own = jnp.where(sel, begs_b[d], beg_own)
+                end_own = jnp.where(sel, ends_b[d], end_own)
+            live_parent = (SEG >= 0) & pickedb
+            inown = (
+                (beg_own >= 0) & (pos >= beg_own) & (pos < end_own)
+            )
+            has_anchor = (anc_own >= 0) & inown
+            in_lead = has_anchor & (pos < anc_own)
+            in_trail = has_anchor & (pos >= anc_own + pl)
+            in_match = has_anchor & ~in_lead & ~in_trail
+            in_par = ~(anc_own >= 0) & inown
+            nsg = jnp.full(npad, -1, i32)
+            nsg = jnp.where(
+                live_parent & in_lead & (b_lid < SMAX),
+                jnp.minimum(b_lid, SMAX - 1), nsg,
+            )
+            nsg = jnp.where(
+                live_parent & in_trail & (b_tid < SMAX),
+                jnp.minimum(b_tid, SMAX - 1), nsg,
+            )
+            nsg = jnp.where(
+                live_parent & in_par & (b_pid < SMAX),
+                jnp.minimum(b_pid, SMAX - 1), nsg,
+            )
+            cls = jnp.where(live_parent & in_lead, 1, 0)
+            cls = jnp.where(live_parent & in_trail, 2, cls)
+            cls = jnp.where(live_parent & in_par, 4, cls)
+            cls = jnp.where(nsg < 0, 0, cls)
+
+            cls_prev = shift1(cls, 0)
+            reset1 = segstart | ((cls_prev == 1) & ~segstart)
+            reset2 = segstart | ((cls_prev == 2) & ~segstart)
+            reset4 = segstart | ((cls_prev == 4) & ~segstart)
+
+            def comb_min3(x, y):
+                m1, f1, m2, f2, m3, f3 = x
+                n1, g1, n2, g2, n3, g3 = y
+                return (
+                    jnp.where(g1, n1, jnp.minimum(m1, n1)), f1 | g1,
+                    jnp.where(g2, n2, jnp.minimum(m2, n2)), f2 | g2,
+                    jnp.where(g3, n3, jnp.minimum(m3, n3)), f3 | g3,
+                )
+
+            mm1, _, mm2, _, mm4, _ = jax.lax.associative_scan(
+                comb_min3,
+                (LCP, reset1, LCP, reset2, LCP, reset4),
+            )
+            newlcp = jnp.where(
+                cls == 1, mm1,
+                jnp.where(cls == 2, mm2, jnp.where(cls == 4, mm4, 0)),
+            )
+
+            # ---- 3-way stable partition ------------------------------
+            ld = (nsg >= 0) & (cls == 1)
+            tr = (nsg >= 0) & (cls == 2)
+            pr = (nsg >= 0) & (cls == 4)
+            ldi = ld.astype(i32)
+            tri = tr.astype(i32)
+            pri = pr.astype(i32)
+            egl = jnp.cumsum(ldi) - ldi
+            egt = jnp.cumsum(tri) - tri
+            egp = jnp.cumsum(pri) - pri
+            nlead_tot = egl[-1] + ldi[-1]
+            ntrail_tot = egt[-1] + tri[-1]
+            newpos = jnp.where(
+                ld, egl,
+                jnp.where(
+                    tr, nlead_tot + egt,
+                    jnp.where(
+                        pr, nlead_tot + ntrail_tot + egp,
+                        jnp.int32(npad),
+                    ),
+                ),
+            )
+            # lowercase BWT entries whose text pos-1 is in this level's
+            # matched regions of the slot's own parent
+            pm1 = pos - 1
+            bwt_m = jnp.zeros(npad, bool)
+            for d in range(D):
+                bwt_m = bwt_m | (
+                    (ancs[d] >= 0) & (pm1 >= ancs[d])
+                    & (pm1 < ancs[d] + pl)
+                )
+            bwt_up = (BWT >= ord("A")) & (BWT <= ord("Z"))
+            BWT = jnp.where(
+                live_parent & bwt_m & bwt_up, BWT + 32, BWT
+            )
+            BWT2 = jnp.zeros(npad, i32).at[newpos].set(
+                BWT, mode="drop", unique_indices=True
+            )
+            SA2 = jnp.zeros(npad, i32).at[newpos].set(
+                SA, mode="drop", unique_indices=True
+            )
+            SOA2 = jnp.zeros(npad, i32).at[newpos].set(
+                SOA, mode="drop", unique_indices=True
+            )
+            lcp_p = jnp.zeros(npad, i32).at[newpos].set(
+                newlcp, mode="drop", unique_indices=True
+            )
+            segk = jnp.full(npad, SMAX, i32).at[newpos].set(
+                jnp.clip(nsg, 0, SMAX), mode="drop",
+                unique_indices=True,
+            )
+            SEG2 = jnp.where(segk >= SMAX, jnp.int32(-1), segk)
+            sprev = shift1(SEG2, -9)
+            firstslot = SEG2 != sprev
+            LCP2 = jnp.where(firstslot | (SEG2 < 0), 0, lcp_p)
+
+            # lowercase matched text
+            in_match_l = live_parent & in_match
+            upmask = jnp.zeros(ntext, dtype=bool)
+            upmask = upmask.at[
+                jnp.where(in_match_l, pos, ntext)
+            ].set(True, mode="drop", unique_indices=True)
+            isup = (T >= ord("A")) & (T <= ord("Z"))
+            T2 = jnp.where(upmask & isup, T + 32, T)
+
+            # ---- boundary repair: one pass per sample dim (matched
+            # begins ascend with sample id — sample texts are ordered)
+            SA3, LCP3, BWT3, SOA3 = SA2, LCP2, BWT2, SOA2
+            liveseg2 = firstslot & (SEG2 >= 0)
+            rnks2 = jnp.cumsum(liveseg2.astype(i32)) - 1
+            starts2 = (
+                jnp.full(SMAX + npad, npad, i32)
+                .at[jnp.where(liveseg2, rnks2, SMAX + iar_n)]
+                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
+            )
+
+            def segbcast2_pack(cols):
+                tmps = [
+                    jnp.zeros(npad, i32).at[starts2].set(
+                        c.astype(i32), mode="drop",
+                        unique_indices=True,
+                    )
+                    for c in cols
+                ]
+                return last_value_scan_multi(tmps, firstslot)
+
+            bl2 = segbcast2_pack(
+                [new_tab[:, 1]]
+                + [new_tab[:, 2 + 2 * D + d] for d in range(D)]
+            )
+            is_lead_b = (SEG2 >= 0) & (bl2[0] == 1)
+            beg_ds = bl2[1:]
+
+            for d in range(D):
+                beg = jnp.where(is_lead_b, beg_ds[d], -1)
+                (SA3, LCP3, BWT3, SOA3, abort,
+                 steps) = repair_pass_multi(
+                    SEG2, SA3, LCP3, BWT3, SOA3, beg, abort, steps,
+                    dbg,
+                )
+
+            acount = jnp.minimum(acount + npicked, ACAP)
+            return (
+                T2, SA3, LCP3, BWT3, SOA3, SEG2, new_tab, nseg_new,
+                anchors, acount, abort, level + 1, steps,
+                new_live_key,
+            )
+
+        st = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                T, SA, LCP, BWT, SOA, SEG, seg_tab, jnp.int32(nseg0),
+                anchors0, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.zeros(3, i32), live_key0,
+            ),
+        )
+        (T, SA, LCP, BWT, SOA, SEG, seg_tab, nseg, anchors, acount,
+         abort, level, steps, live_key) = st
+        abort = jnp.where(
+            (abort == 0) & (level >= _LMAX),
+            jnp.int32(ABORT_LEVEL_OVERFLOW), abort,
+        )
+        # trailing state outputs are debug-only; callers that never
+        # device_get them pay no transfer
+        return (
+            T.astype(jnp.uint8), anchors, acount, abort, level, steps,
+            SA, LCP, SEG, SOA, BWT,
+        )
+
+    # ------------------------------------------------------------------
+    # dense (SMAX, CW+1) chain for D dims (schemes.py:20-104 semantics,
+    # sum-of-pairs gapcost over the segment's subset dims)
+    # ------------------------------------------------------------------
+    def chain_dense_multi(cseg, cl, cord, P, seg_tab, seg_live,
+                          segkey, abort, steps, ws, wp):
+        CW1 = CW + 1
+        iar = jnp.arange(K, dtype=i32)
+        cols = jnp.arange(CW1, dtype=i32)
+        darange = jnp.arange(D, dtype=i32)
+
+        # ref axis = lowest set bit of the subset key (first key of
+        # mum[2], schemes.py:27 — coords sorted by sample id)
+        refdim = jnp.full(SMAX, 0, i32)
+        found = jnp.zeros(SMAX, bool)
+        for d in range(D):
+            bit = ((segkey >> d) & 1) > 0
+            refdim = jnp.where(~found & bit, d, refdim)
+            found = found | bit
+        segc = jnp.clip(cseg, 0, SMAX - 1)
+        refpos = jnp.zeros(K, i32)
+        for d in range(D):
+            refpos = jnp.where(
+                refdim[segc] == d, P[:, d], refpos
+            )
+        alive0 = cseg < BIG
+        cseg, cl, cord, ord2 = sort_by(
+            (cseg, jnp.where(alive0, refpos, BIG), iar),
+            (cseg, cl, cord, iar),
+        )
+        P = P[ord2]
+        segc = jnp.clip(cseg, 0, SMAX - 1)
+        refpos = jnp.zeros(K, i32)
+        for d in range(D):
+            refpos = jnp.where(refdim[segc] == d, P[:, d], refpos)
+        alive = cseg < BIG
+        dup = (
+            (cseg[1:] == cseg[:-1]) & (refpos[1:] == refpos[:-1])
+            & (cseg[1:] < BIG)
+        )
+        abort = jnp.where(
+            jnp.any(dup), jnp.int32(ABORT_DUP_REF), abort
+        )
+        first = (cseg != shift1(cseg, -9)) & alive
+        firstpos = last_value_scan(jnp.where(first, iar, 0), first)
+        rank = jnp.where(alive, iar - firstpos, 0)
+        abort = jnp.where(
+            jnp.any(alive & (rank >= CW)),
+            jnp.int32(ABORT_SEG_WIDTH), abort,
+        )
+        didx = jnp.where(
+            alive, segc * CW1 + jnp.minimum(rank, CW - 1),
+            SMAX * CW1 + iar,
+        )
+
+        def scat(v):
+            return (
+                jnp.zeros(SMAX * CW1 + K, i32)
+                .at[didx].set(v, unique_indices=True)[: SMAX * CW1]
+                .reshape(SMAX, CW1)
+            )
+
+        dL = scat(cl)
+        dOrd = scat(cord)
+        dal = scat(alive.astype(i32))
+        dPs = [scat(P[:, d]) for d in range(D)]
+        # pseudo column CW: right boundary (end per dim); left pseudo
+        # values come from seg_tab begins
+        pbeg = seg_tab[:, 2:2 + D]
+        pend = seg_tab[:, 2 + D:2 + 2 * D]
+        haveD = jnp.zeros((SMAX, D), bool)
+        for d in range(D):
+            haveD = haveD.at[:, d].set(((segkey >> d) & 1) > 0)
+        haveD = haveD & (pbeg >= 0)
+        dPs = [
+            dPs[d].at[:, CW].set(jnp.where(haveD[:, d], pend[:, d], 0))
+            for d in range(D)
+        ]
+        dal = dal.at[:, CW].set(seg_live.astype(i32))
+        dalb = dal > 0
+        # per-dim start/end with absent dims as 0 (compat-neutral)
+        dS = [
+            jnp.where(
+                dalb & haveD[:, None, d], dPs[d], 0
+            )
+            for d in range(D)
+        ]
+        dE = [
+            jnp.where(
+                dalb & haveD[:, None, d],
+                dPs[d] + jnp.where(cols[None, :] < CW, dL, 0), 0,
+            )
+            for d in range(D)
+        ]
+        candb = dalb & (cols[None, :] < CW)
+        candcnt = jnp.sum(candb.astype(i32), axis=1)
+        # pairs count per segment: C(w, 2)
+        wseg = jnp.sum(haveD.astype(i32), axis=1)
+        cpair = (wseg * (wseg - 1)) // 2
+        dmul = ws * dL * cpair[:, None]
+
+        # left-pseudo link weight
+        penl = None
+        for a in range(D):
+            for b in range(a + 1, D):
+                hb = haveD[:, a] & haveD[:, b]
+                da = dS[a] - (pbeg[:, a][:, None] - 1)
+                db_ = dS[b] - (pbeg[:, b][:, None] - 1)
+                t = jnp.where(
+                    hb[:, None], jnp.abs(da - db_), 0
+                )
+                penl = t if penl is None else penl + t
+        if penl is None:
+            penl = jnp.zeros((SMAX, CW1), i32)
+        dwl = jnp.where(dalb, dmul - wp * penl, NEG)
+
+        # act: min dominating column
+        CB = 16
+        act_parts = []
+        for c0 in range(0, CW1, CB):
+            ce = min(c0 + CB, CW1)
+            dom = dalb[:, None, :]
+            for d in range(D):
+                dom = dom & (
+                    dS[d][:, c0:ce, None] >= dE[d][:, None, :]
+                )
+            act_parts.append(
+                jnp.min(
+                    jnp.where(dom, cols[None, None, :], BIG), axis=2
+                )
+            )
+        dact = jnp.concatenate(act_parts, axis=1)
+
+        maxcnt = jnp.max(jnp.where(seg_live, candcnt, 0))
+
+        def col_body(st):
+            score, j = st
+            s_j = [
+                jax.lax.dynamic_index_in_dim(
+                    dS[d], j, axis=1, keepdims=False
+                )
+                for d in range(D)
+            ]
+            l_j = jax.lax.dynamic_index_in_dim(
+                dL, j, axis=1, keepdims=False
+            )
+            wl_j = jax.lax.dynamic_index_in_dim(
+                dwl, j, axis=1, keepdims=False
+            )
+            al_j = jax.lax.dynamic_index_in_dim(
+                dalb, j, axis=1, keepdims=False
+            )
+            compat = dalb & (cols[None, :] < j)
+            for d in range(D):
+                compat = compat & (dE[d] <= s_j[d][:, None])
+            pen = None
+            for a in range(D):
+                for b in range(a + 1, D):
+                    hb = haveD[:, a] & haveD[:, b]
+                    da = s_j[a][:, None] - dE[a]
+                    db_ = s_j[b][:, None] - dE[b]
+                    t = jnp.where(hb[:, None], jnp.abs(da - db_), 0)
+                    pen = t if pen is None else pen + t
+            if pen is None:
+                pen = 0
+            mul_j = ws * l_j * cpair
+            tw = jnp.where(compat, score - wp * pen, NEG)
+            mx = jnp.max(tw, axis=1)
+            sc_new = jnp.maximum(
+                wl_j,
+                jnp.where(mx > NEG // 2, mx + mul_j, NEG),
+            )
+            sc_new = jnp.where(al_j, sc_new, NEG)
+            score = jax.lax.dynamic_update_index_in_dim(
+                score, sc_new, j, axis=1
+            )
+            return score, j + 1
+
+        score, rounds = jax.lax.while_loop(
+            lambda st: st[1] < maxcnt,
+            col_body,
+            (jnp.full((SMAX, CW1), NEG, i32), jnp.int32(0)),
+        )
+        steps = steps.at[1].add(rounds)
+
+        # links
+        link_parts = []
+        for c0 in range(0, CW1, CB):
+            ce = min(c0 + CB, CW1)
+            compat = dalb[:, None, :] & (
+                cols[None, None, :] < cols[None, c0:ce, None]
+            )
+            for d in range(D):
+                compat = compat & (
+                    dE[d][:, None, :] <= dS[d][:, c0:ce, None]
+                )
+            pen = None
+            for a in range(D):
+                for b in range(a + 1, D):
+                    hb = haveD[:, a] & haveD[:, b]
+                    da = dS[a][:, c0:ce, None] - dE[a][:, None, :]
+                    db_ = dS[b][:, c0:ce, None] - dE[b][:, None, :]
+                    t = jnp.where(
+                        hb[:, None, None], jnp.abs(da - db_), 0
+                    )
+                    pen = t if pen is None else pen + t
+            if pen is None:
+                pen = 0
+            tw = jnp.where(
+                compat, score[:, None, :] - wp * pen, NEG
+            )
+            mx = jnp.max(tw, axis=2)
+            t1 = tw == mx[:, :, None]
+            sc2 = jnp.where(t1, score[:, None, :], NEG)
+            mx2 = jnp.max(sc2, axis=2)
+            t2 = t1 & (sc2 == mx2[:, :, None])
+            a3 = jnp.where(t2, dact[:, None, :], BIG)
+            amn = jnp.min(a3, axis=2)
+            t3 = t2 & (a3 == amn[:, :, None])
+            brow = jnp.argmax(t3, axis=2).astype(i32)
+            has = mx > NEG
+            wl_b = dwl[:, c0:ce]
+            mxg = mx + dmul[:, c0:ce]
+            use_left = (
+                (~has) | (wl_b > mxg) | ((wl_b == mxg) & (mx2 <= 0))
+            )
+            link_parts.append(
+                jnp.where(use_left, jnp.int32(-1), brow)
+            )
+        dlink = jnp.concatenate(link_parts, axis=1)
+        dlink = jnp.where(dalb, dlink, jnp.int32(-2))
+
+        def pad(x, fill):
+            return jnp.concatenate(
+                [x, jnp.full((SMAX, 1), fill, i32)], axis=1
+            )
+
+        nxt = pad(jnp.where(dlink >= 0, dlink, jnp.int32(CW1)), CW1)
+        bl = pad(jnp.where(candb, dL, -1), -1)
+        bs = pad(
+            jnp.broadcast_to(cols[None, :], (SMAX, CW1)).astype(i32),
+            -1,
+        )
+        cols2 = jnp.arange(CW1 + 1, dtype=i32)
+
+        def gsel(x, idx):
+            oh = idx[:, :, None] == cols2[None, None, :]
+            return jnp.sum(jnp.where(oh, x[:, None, :], 0), axis=2)
+
+        def dbl_body(c):
+            bl, bs, nxt = c
+            bl2 = gsel(bl, nxt)
+            bs2 = gsel(bs, nxt)
+            take_far = bl2 > bl
+            bl = jnp.where(take_far, bl2, bl)
+            bs = jnp.where(take_far, bs2, bs)
+            return bl, bs, gsel(nxt, nxt)
+
+        bl, bs, nxt = jax.lax.while_loop(
+            lambda c: jnp.any(c[2][:, :CW1] != CW1),
+            dbl_body,
+            (bl, bs, nxt),
+        )
+        ptr0 = jnp.where(seg_live, dlink[:, CW], jnp.int32(-1))
+        ptr0c = jnp.clip(ptr0, 0, CW1)[:, None]
+        blp = jnp.where(ptr0 >= 0, gsel(bl, ptr0c)[:, 0], -1)
+        bsp = jnp.where(
+            (ptr0 >= 0) & (blp > -1), gsel(bs, ptr0c)[:, 0], -1
+        )
+        bs_seg = bsp
+        single = seg_live & (candcnt == 1)
+        bs_seg = jnp.where(single, 0, bs_seg)
+        picked = seg_live & (bs_seg >= 0)
+        bsc = jnp.clip(bs_seg, 0, CW1 - 1)[:, None]
+        ohp = bsc[:, :, None] == cols[None, None, :]
+
+        def psel(x):
+            return jnp.sum(
+                jnp.where(ohp, x[:, None, :], 0), axis=2
+            )[:, 0]
+
+        s_l = jnp.where(picked, psel(dL), 0)
+        s_ord = jnp.where(picked, psel(dOrd), 0)
+        s_P = jnp.stack(
+            [
+                jnp.where(
+                    picked & haveD[:, d], psel(dPs[d]), -1
+                )
+                for d in range(D)
+            ],
+            axis=1,
+        )
+        return picked, s_l, s_ord, s_P, abort, steps
+
+    # ------------------------------------------------------------------
+    # repair pass (multi-accept + pallas resolve, same as the pairwise
+    # kernel's repair_pass but taking a precomputed per-slot beg array)
+    # ------------------------------------------------------------------
+    WREP = min(_WREP, npad - 2)
+
+    def repair_pass_multi(SEG_, SA, LCP, BWT, SOA, beg, abort, steps,
+                          dbg):
+        import jax.numpy as jnp
+
+        iar_n = jnp.arange(npad, dtype=i32)
+        lcpn = jnp.concatenate([LCP[1:], jnp.zeros(1, LCP.dtype)])
+        cross0 = (beg >= 0) & (SA < beg) & (
+            ((SA + LCP) > beg) | ((SA + lcpn) > beg)
+        )
+        rc = jnp.sum(cross0.astype(i32))
+        abort = jnp.where(
+            rc > CCAP, jnp.int32(ABORT_REPAIR_OVERFLOW), abort
+        )
+        rankc = jnp.cumsum(cross0.astype(i32)) - 1
+        cq = (
+            jnp.full(CCAP + npad, npad - 1, i32)
+            .at[jnp.where(cross0, rankc, CCAP + iar_n)]
+            .set(iar_n, mode="drop", unique_indices=True)[:CCAP]
+        )
+        centry_next = lcpn[cq]
+        iar_c = jnp.arange(CCAP, dtype=i32)
+        pend0 = iar_c < jnp.minimum(rc, CCAP)
+        warr = jnp.arange(WREP + 2, dtype=i32)
+        RBV = min(CCAP, 1024)
+        offs1 = jnp.arange(1, _WRV + 1, dtype=i32)
+        _winresolve = (
+            _make_window_resolve(_WRV, RBV, npad)
+            if _use_pallas and RBV % 8 == 0 and npad % 128 == 0
+            else None
+        )
+
+        def resolve(SA_, LCP_, j):
+            q = cq[j]
+            b = beg[q]
+            saq = SA_[q]
+            lcq = LCP_[q]
+            thr = b - saq
+            move = (saq < b) & (saq + lcq > b)
+            s0 = jnp.maximum(q - WREP, 0)
+            win = jax.lax.dynamic_slice(LCP_, (s0,), (WREP + 2,))
+            widx = s0 + warr
+            cand = (widx < q) & (win < thr)
+            y = jnp.max(jnp.where(cand, widx, -1))
+            found = (y >= 0) | (s0 == 0)
+
+            def deep(_):
+                allc = (iar_n < q) & (LCP_ < thr)
+                return jnp.max(jnp.where(allc, iar_n, -1))
+
+            y = jax.lax.cond(move & ~found, deep, lambda _: y, None)
+            x = jnp.maximum(y, 0)
+            return q, x, move, thr, saq, lcq
+
+        def apply_one(SA_, LCP_, BWT_, SOA_, q, x, move, thr, saq,
+                      lcq, bwq, soq, cj, acc):
+            do_mv = acc & move
+            shallow = (q - x) <= WREP
+
+            def apply_win(args):
+                SA_, LCP_, BWT_, SOA_ = args
+                s0 = jnp.maximum(q - (WREP + 1), 0)
+                sa_w = jax.lax.dynamic_slice(SA_, (s0,), (WREP + 2,))
+                lcp_w = jax.lax.dynamic_slice(
+                    LCP_, (s0,), (WREP + 2,)
+                )
+                bw_w = jax.lax.dynamic_slice(
+                    BWT_, (s0,), (WREP + 2,)
+                )
+                so_w = jax.lax.dynamic_slice(
+                    SOA_, (s0,), (WREP + 2,)
+                )
+                widx = s0 + warr
+                inwin = (widx > x) & (widx <= q)
+                sa_sh = jnp.concatenate([sa_w[:1], sa_w[:-1]])
+                lcp_sh = jnp.concatenate([lcp_w[:1], lcp_w[:-1]])
+                bw_sh = jnp.concatenate([bw_w[:1], bw_w[:-1]])
+                so_sh = jnp.concatenate([so_w[:1], so_w[:-1]])
+                sa_n = jnp.where(inwin, sa_sh, sa_w)
+                lcp_n = jnp.where(inwin, lcp_sh, lcp_w)
+                bw_n = jnp.where(inwin, bw_sh, bw_w)
+                so_n = jnp.where(inwin, so_sh, so_w)
+                sa_n = jnp.where(widx == x, saq, sa_n)
+                lcp_n = jnp.where(widx == x + 1, thr, lcp_n)
+                bw_n = jnp.where(widx == x, bwq, bw_n)
+                so_n = jnp.where(widx == x, soq, so_n)
+                SA_ = jax.lax.dynamic_update_slice(SA_, sa_n, (s0,))
+                LCP_ = jax.lax.dynamic_update_slice(
+                    LCP_, lcp_n, (s0,)
+                )
+                BWT_ = jax.lax.dynamic_update_slice(
+                    BWT_, bw_n, (s0,)
+                )
+                SOA_ = jax.lax.dynamic_update_slice(
+                    SOA_, so_n, (s0,)
+                )
+                return SA_, LCP_, BWT_, SOA_
+
+            def apply_glob(args):
+                SA_, LCP_, BWT_, SOA_ = args
+                inwin = (iar_n > x) & (iar_n <= q)
+                SA_n = jnp.where(inwin, jnp.roll(SA_, 1), SA_)
+                LCP_n = jnp.where(inwin, jnp.roll(LCP_, 1), LCP_)
+                BWT_n = jnp.where(inwin, jnp.roll(BWT_, 1), BWT_)
+                SO_n = jnp.where(inwin, jnp.roll(SOA_, 1), SOA_)
+                SA_n = SA_n.at[x].set(saq)
+                LCP_n = LCP_n.at[x + 1].set(thr)
+                BWT_n = BWT_n.at[x].set(bwq)
+                SO_n = SO_n.at[x].set(soq)
+                return SA_n, LCP_n, BWT_n, SO_n
+
+            SA_, LCP_, BWT_, SOA_ = jax.lax.cond(
+                do_mv,
+                lambda args: jax.lax.cond(
+                    shallow, apply_win, apply_glob, args
+                ),
+                lambda args: args,
+                (SA_, LCP_, BWT_, SOA_),
+            )
+            qn = jnp.minimum(q + 1, npad - 1)
+            mv_upd = do_mv & (q < npad - 1) & (lcq < LCP_[qn])
+            lcponly = acc & ~move & (q < npad - 1) & (
+                (saq < beg[q])
+                & ((saq + centry_next[cj]) > beg[q])
+                & (LCP_[qn] > LCP_[q])
+            )
+            newv = jnp.where(
+                mv_upd, lcq,
+                jnp.where(lcponly, beg[q] - saq, LCP_[qn]),
+            )
+            LCP_ = LCP_.at[qn].set(newv)
+            return SA_, LCP_, BWT_, SOA_
+
+        def rbody(c):
+            SA_, LCP_, BWT_, SOA_, pend, it = c
+            npend = jnp.sum(pend.astype(i32))
+            (heads,) = jnp.nonzero(pend, size=RBV, fill_value=CCAP - 1)
+            iar_r = jnp.arange(RBV, dtype=i32)
+            hvalid = iar_r < npend
+            q = cq[heads]
+            b = beg[q]
+            saq = SA_[q]
+            lcq = LCP_[q]
+            thr = b - saq
+            move = (saq < b) & (saq + lcq > b)
+            if _winresolve is not None:
+                y = _winresolve(LCP_, q, thr)
+            else:
+                widx = q[:, None] - offs1[None, :]
+                lcpw = LCP_[jnp.maximum(widx, 0)]
+                candw = (widx >= 0) & (lcpw < thr[:, None])
+                y = jnp.max(jnp.where(candw, widx, -1), axis=1)
+            resolved = (y >= 0) | (q - _WRV <= 0)
+            x = jnp.maximum(y, 0)
+            ok = ~move | resolved
+            sid = jnp.clip(SEG_[q], 0, SMAX - 1)
+            prev_same = (
+                (iar_r > 0)
+                & (sid == jnp.roll(sid, 1))
+                & hvalid
+                & jnp.roll(hvalid, 1)
+            )
+            q_prev = jnp.where(
+                prev_same, jnp.roll(q, 1), jnp.int32(-2)
+            )
+            region_lo = jnp.where(move, x, q)
+            acc = hvalid & ok & (region_lo > q_prev + 1)
+            nacc = jnp.sum(acc.astype(i32))
+            fillu = jnp.int32(npad) + iar_r
+
+            def vec_branch(args):
+                SA_, LCP_, BWT_, SOA_, pend = args
+                accm = acc & move
+                xs = jnp.where(accm, x, fillu)
+                d = jnp.zeros(npad, i32)
+                d = d.at[jnp.where(accm, x + 1, fillu)].add(
+                    1, mode="drop", unique_indices=True
+                )
+                d = d.at[jnp.where(accm, q + 1, fillu)].add(
+                    -1, mode="drop", unique_indices=True
+                )
+                inrot = jnp.cumsum(d) > 0
+                SA2 = jnp.where(inrot, shift1(SA_, 0), SA_)
+                BWT2 = jnp.where(inrot, shift1(BWT_, 0), BWT_)
+                SO2 = jnp.where(inrot, shift1(SOA_, 0), SOA_)
+                LCP2 = jnp.where(inrot, shift1(LCP_, 0), LCP_)
+                SA2 = SA2.at[xs].set(
+                    saq, mode="drop", unique_indices=True
+                )
+                BWT2 = BWT2.at[xs].set(
+                    BWT_[q], mode="drop", unique_indices=True
+                )
+                SO2 = SO2.at[xs].set(
+                    SOA_[q], mode="drop", unique_indices=True
+                )
+                LCP2 = LCP2.at[
+                    jnp.where(accm, x + 1, fillu)
+                ].set(thr, mode="drop", unique_indices=True)
+                qn = jnp.minimum(q + 1, npad - 1)
+                lcp_qn = LCP_[qn]
+                mv_upd = accm & (q < npad - 1) & (lcq < lcp_qn)
+                lcponly = (
+                    acc & ~move & (q < npad - 1)
+                    & (saq < b)
+                    & ((saq + centry_next[heads]) > b)
+                    & (lcp_qn > lcq)
+                )
+                newv = jnp.where(
+                    mv_upd, lcq,
+                    jnp.where(lcponly, b - saq, lcp_qn),
+                )
+                wr = mv_upd | lcponly
+                LCP2 = LCP2.at[jnp.where(wr, qn, fillu)].set(
+                    newv, mode="drop", unique_indices=True
+                )
+                pend2 = pend.at[
+                    jnp.where(acc, heads, CCAP + iar_r)
+                ].set(False, mode="drop", unique_indices=True)
+                return SA2, LCP2, BWT2, SO2, pend2
+
+            def seq_branch(args):
+                SA_, LCP_, BWT_, SOA_, pend = args
+                j = heads[0]
+                q1, x1, mv1, thr1, saq1, lcq1 = resolve(SA_, LCP_, j)
+                bwq1 = BWT_[q1]
+                soq1 = SOA_[q1]
+                SA2, LCP2, BWT2, SO2 = apply_one(
+                    SA_, LCP_, BWT_, SOA_, q1, x1, mv1, thr1, saq1,
+                    lcq1, bwq1, soq1, j, hvalid[0],
+                )
+                pend2 = pend.at[j].set(False)
+                return SA2, LCP2, BWT2, SO2, pend2
+
+            SA_, LCP_, BWT_, SOA_, pend = jax.lax.cond(
+                nacc > 0, vec_branch, seq_branch,
+                (SA_, LCP_, BWT_, SOA_, pend),
+            )
+            return SA_, LCP_, BWT_, SOA_, pend, it + 1
+
+        def rcond(c):
+            pend, it = c[4], c[5]
+            return jnp.any(pend) & (it < CCAP) & (dbg != 1)
+
+        SA, LCP, BWT, SOA, _, iters = jax.lax.while_loop(
+            rcond, rbody, (SA, LCP, BWT, SOA, pend0, jnp.int32(0))
+        )
+        steps = steps.at[2].add(iters)
+        return SA, LCP, BWT, SOA, abort, steps
+
+    _kern_cache[key] = run
+    return run
+
+
+def forest_pop_order_multi(parents: np.ndarray, cls: np.ndarray):
+    """Serial LIFO pop order for multi anchors: push order parallel/
+    leading/trailing per step (reveal.c:1295-1324) with pop from the
+    end => preorder walk with child order trailing, leading, parallel.
+    Roots carry parent < 0 (-1 full-root, -2-did deferred forest);
+    returns {root_key: order array} with root_key = -1 or defer id."""
+    A = len(parents)
+    lead = np.full(A, -1, np.int64)
+    trail = np.full(A, -1, np.int64)
+    par = np.full(A, -1, np.int64)
+    roots = {}
+    for i in range(A):
+        p, c = int(parents[i]), int(cls[i])
+        if p < 0:
+            roots[-1 if p == -1 else -2 - p] = i
+        elif c == 1:
+            lead[p] = i
+        elif c == 2:
+            trail[p] = i
+        else:
+            par[p] = i
+    out = {}
+    for key, root in roots.items():
+        order = []
+        stack = [root]
+        while stack:
+            t = stack.pop()
+            order.append(t)
+            # push par, lead, trail -> pop trail first
+            if par[t] >= 0:
+                stack.append(int(par[t]))
+            if lead[t] >= 0:
+                stack.append(int(lead[t]))
+            if trail[t] >= 0:
+                stack.append(int(trail[t]))
+        out[key] = np.asarray(order, np.int64)
+    return out
+
+
+def rem_device_multi(
+    T: np.ndarray,
+    SA: np.ndarray,
+    LCP: np.ndarray,
+    SO: np.ndarray,
+    nsep: np.ndarray,
+    minlength: int,
+    minn: int,
+    maxmums: int,
+    wscore: int = 1,
+    wpen: int = 1,
+    root_mums: int = 256,
+):
+    """Whole multi-genome recursion as ONE device dispatch
+    (_build_kernel_multi).  Returns (anchors, T_out, levels) with
+    anchors int64 (A, 4+3D) in serial pop order, or None on abort."""
+    import jax
+
+    n = len(SA)
+    D = len(nsep)
+    if n >= 2**30 or minlength < 1 or D < 2 or D > 8:
+        return None
+    npad = _next_pow2(n)
+    ntext = _next_pow2(len(T))
+    caps = {
+        "K": _next_pow2(max(2048, 4 * root_mums)),
+        "SMAX": 512,
+        "ACAP": max(4096, npad // 64),
+        "CCAP": max(1024, npad // 256),
+        "CW": _next_pow2(max(64, root_mums)),
+    }
+    T_p = np.zeros(ntext, dtype=np.uint8)
+    T_p[: len(T)] = np.asarray(T, dtype=np.uint8)
+    SA_p = np.full(npad, n - 1, dtype=np.int32)
+    SA_p[:n] = np.asarray(SA, dtype=np.int32)
+    LCP_p = np.zeros(npad, dtype=np.int32)
+    LCP_p[:n] = np.asarray(LCP, dtype=np.int32)
+    SEG_p = np.full(npad, -1, dtype=np.int32)
+    SEG_p[:n] = 0
+    SOA_p = np.zeros(npad, dtype=np.int32)
+    SOA_p[:n] = np.asarray(SO, dtype=np.int64)[SA_p[:n]].astype(
+        np.int32
+    )
+
+    dispatches = 0
+    for _attempt in range(6):
+        TW = 2 + 3 * D
+        seg_tab = np.zeros((caps["SMAX"], TW), dtype=np.int32)
+        seg_tab[:, 0] = 0
+        begs = np.full(D, -1, np.int32)
+        ends = np.full(D, -1, np.int32)
+        key0 = 0
+        for s in range(D):
+            b = 0 if s == 0 else int(nsep[s - 1]) + 1
+            e = int(nsep[s])
+            if e > b:
+                begs[s] = b
+                ends[s] = e
+                key0 |= 1 << s
+        seg_tab[0, 0] = -1            # root parent
+        seg_tab[0, 1] = 0
+        seg_tab[0, 2:2 + D] = begs
+        seg_tab[0, 2 + D:2 + 2 * D] = ends
+        seg_tab[0, 2 + 2 * D:] = -1
+        live_key = np.zeros(caps["SMAX"], dtype=np.int32)
+        live_key[0] = key0
+        fn = _build_kernel_multi(
+            npad, caps["K"], caps["SMAX"], caps["ACAP"],
+            caps["CCAP"], D, caps["CW"], ntext=ntext, minn=minn,
+        )
+        T_out, anchors, acount, abort, level, steps = fn(
+            T_p, SA_p, LCP_p, SOA_p, SEG_p, seg_tab, live_key,
+            np.int32(1), np.int32(minlength), np.int32(maxmums),
+            np.int32(wscore), np.int32(wpen),
+            np.int32(int(os.environ.get("REVEAL_TPU_DEVLOOP_DBG", "0"))),
+        )[:6]
+        dispatches += 1
+        abort = int(abort)
+        if abort in _RETRYABLE:
+            cap = _RETRYABLE[abort]
+            caps[cap] *= 2
+            log.info(
+                "device multi loop: %s overflow, retry %s=%d",
+                cap, cap, caps[cap],
+            )
+            continue
+        break
+
+    acount = int(acount)
+    steps = np.asarray(steps)
+    LAST_STATS.clear()
+    LAST_STATS.update(
+        levels=int(level), dispatches=dispatches, anchors=acount,
+        abort=abort, trim_steps=int(steps[0]),
+        chain_steps=int(steps[1]), repair_steps=int(steps[2]),
+    )
+    if abort:
+        log.info(
+            "device multi loop aborted (code %d) — host fallback",
+            abort,
+        )
+        return None
+    anchors = np.asarray(jax.device_get(anchors))[:acount].astype(
+        np.int64
+    )
+    T_out = np.asarray(jax.device_get(T_out))[: len(T)].astype(
+        np.uint8
+    )
+    if acount == 0:
+        return np.zeros((0, 5 + 3 * D), np.int64), T_out, 0
+    orders = forest_pop_order_multi(anchors[:, 2], anchors[:, 3])
+    order = orders.get(-1)
+    if order is None or len(order) != acount:
+        log.info("device multi loop: pop-order mismatch — fallback")
+        return None
+    return anchors[order], T_out, int(level)
