@@ -1287,16 +1287,16 @@ def read_fasta_into(
 
 def _multi_fast_eligible(
     G: PanGraph, root: ESAIndex, cfg: PickerConfig
-) -> bool:
+):
     """Eligibility for the whole-recursion multi device loop: plain
-    multi-fasta roots (one whole sequence per sample), default
-    largest/sumofpairs picking, no seeding/size gates."""
+    multi-fasta roots (whole contig-paths at offset 0, up to 8 paths,
+    >=3 samples), default largest/sumofpairs picking, no seeding/size
+    gates.  Returns (path_ivs, path_samples) or None."""
     main = root.main
-    D = main.nsamples
+    DS = main.nsamples
     if (
         getattr(G, "multi", False)
-        or D < 3
-        or D > 8
+        or DS < 3
         or os.environ.get("REVEAL_TPU_DISABLE_FASTPICK")
         or cfg.splitchain != "largest"
         or cfg.gcmodel != "sumofpairs"
@@ -1309,19 +1309,36 @@ def _multi_fast_eligible(
         or cfg.minlength < 1
         or root.skipmums
     ):
-        return False
-    nsep = main.nsep
-    want = set()
-    prev = 0
-    for s in range(D):
-        want.add((prev, int(nsep[s])))
-        prev = int(nsep[s]) + 1
-    if root.nodes != want:
-        return False
-    pid = G.graph.get("path2id")
-    if pid is None or sorted(pid.values()) != list(range(D)):
-        return False
-    return True
+        return None
+    nodes = sorted(
+        iv for iv in root.nodes if not isinstance(iv, str)
+    )
+    if len(nodes) > 8:
+        return None
+    path_ivs = []
+    path_samples = []
+    for iv in nodes:
+        offs = G.nodes[iv]["offsets"]
+        if len(offs) != 1:
+            return None
+        (pid, off), = offs.items()
+        if off != 0 and True:
+            # non-zero offsets appear for graph inputs only
+            return None
+        path_ivs.append((int(iv[0]), int(iv[1])))
+        path_samples.append(int(main.SO[iv[0]]))
+    # path dim order must equal path id order for the replay's
+    # node-offset arithmetic; require path ids == sorted position order
+    pid_of = []
+    for iv in nodes:
+        (pid, _), = G.nodes[iv]["offsets"].items()
+        pid_of.append(pid)
+    if pid_of != sorted(pid_of):
+        return None
+    pidvals = sorted(G.graph.get("path2id", {}).values())
+    if pidvals != list(range(len(pidvals))):
+        return None
+    return path_ivs, path_samples
 
 
 def _rem_multi_replay(G: PanGraph, anchors, D: int):
@@ -1452,8 +1469,10 @@ def _rem_device_multi_loop(
     or None when ineligible/aborted (caller falls back)."""
     if os.environ.get("REVEAL_TPU_DISABLE_DEVLOOP"):
         return None
-    if not _multi_fast_eligible(G, root, cfg):
+    elig = _multi_fast_eligible(G, root, cfg)
+    if elig is None:
         return None
+    path_ivs, path_samples = elig
     from ..index.devloop import rem_device_multi
 
     main = root.main
@@ -1468,8 +1487,8 @@ def _rem_device_multi_loop(
         main.T,
         root.SA,
         root.LCP,
-        main.SO,
-        main.nsep,
+        path_ivs,
+        path_samples,
         cfg.minlength,
         cfg.minn,
         cfg.maxmums,
@@ -1481,7 +1500,7 @@ def _rem_device_multi_loop(
         return None
     anchors, T_out, levels = res
     main.T[:] = T_out
-    _rem_multi_replay(G, anchors, main.nsamples)
+    _rem_multi_replay(G, anchors, len(path_ivs))
     log.debug(
         "device multi loop: %d anchors in %d levels, graph replayed",
         len(anchors),

@@ -257,8 +257,11 @@ def batch_posteriors_cut(pairs):
                 [len(pairs[i][1]) for i in idxs] + [1] * npad,
                 dtype=np.int32,
             )
-            p, tot = posterior_batch(xb, yb, lx, ly)
-            vq, iq, cnt, tot, scores = fetch_posteriors_compact(p, tot)
+            from .pairhmm import posterior_pack_fused
+
+            vq, iq, cnt, tot, scores = posterior_pack_fused(
+                posterior_batch, xb, yb, lx, ly
+            )
             for bi, i in enumerate(idxs):
                 L1 = int(lx[bi]) + 1
                 out[i] = (

@@ -612,6 +612,62 @@ def fetch_posteriors_compact(p, tot):
     )
 
 
+_fused_fns = {}
+
+
+def posterior_pack_fused(posterior_batch, xb, yb, lx, ly):
+    """ONE dispatch for posterior + cut + ragged pack: the separate
+    pack dispatch costs a tunnel round trip (~20-40 ms of the 150 ms
+    e2e at B=128 L=512, profiled r5), so the pack fn is jit-composed
+    around the Pallas posterior call.  Ladder escalation (K / CAPM)
+    re-runs the fused fn; sticky, so steady state is one dispatch +
+    one device_get per batch."""
+    global _cut_k_current, _pack_capm_current
+    import jax
+
+    if not PACKED_POST:
+        p, tot = posterior_batch(xb, yb, lx, ly)
+        return fetch_posteriors_compact(p, tot)
+    while True:
+        K = _cut_k_current
+        CAPM = _pack_capm_current
+        key = (id(posterior_batch), K, CAPM)
+        fn = _fused_fns.get(key)
+        if fn is None:
+            pk = _get_pack_fn(K, CAPM)
+
+            def _make(pb, pk):
+                @jax.jit
+                def f(xb, yb, lx, ly):
+                    p, tot = pb(xb, yb, lx, ly)
+                    pv, pi, cnt, sc, S = pk(p)
+                    return pv, pi, cnt, sc, S, tot
+
+                return f
+
+            fn = _make(posterior_batch, pk)
+            _fused_fns[key] = fn
+        pv, pi, cnt, scores, S, tot_h = jax.device_get(
+            fn(xb, yb, lx, ly)
+        )
+        cnt = np.asarray(cnt).astype(np.int32)
+        S = int(S)
+        B, L1p = cnt.shape
+        if int(cnt.max(initial=0)) > K:
+            _cut_k_current = 32 if K < 32 else SPARSE_TRANSFER_K
+            continue
+        if S > B * L1p * CAPM:
+            _pack_capm_current = CAPM * 2
+            continue
+        break
+    v = np.zeros((B, L1p, K), np.float32)
+    i = np.zeros((B, L1p, K), pi.dtype)
+    valid = np.arange(K)[None, None, :] < cnt[..., None]
+    v[valid] = pv[:S]
+    i[valid] = pi[:S]
+    return v, i, cnt, np.asarray(tot_h), np.asarray(scores)
+
+
 def fetch_posteriors_cut(p, tot):
     """Dense-reconstructing wrapper over fetch_posteriors_compact (the
     hardware oracle test compares against the dense fetch; production

@@ -1975,11 +1975,22 @@ def rem_device_forest(
 def _build_kernel_multi(
     npad: int, K: int, SMAX: int, ACAP: int, CCAP: int, D: int,
     chain_width: int, ntext=None, minn: int = 2,
+    sample_of_path=None,
 ):
     if ntext is None:
         ntext = npad
     CW = chain_width
-    key = ("multi", npad, K, SMAX, ACAP, CCAP, D, CW, ntext, minn)
+    # D = number of PATH dims (one per contig-path); samples can own
+    # several paths (multi-contig fasta).  Distinctness / subset keys
+    # are SAMPLE-based (SO semantics); positions, intervals, trim,
+    # chain, split and repair are PATH-based.  sample_of_path maps dim
+    # -> sample id (identity when every sample is single-contig).
+    sop = tuple(
+        range(D) if sample_of_path is None else
+        [int(x) for x in sample_of_path]
+    )
+    DS = max(sop) + 1
+    key = ("multi", npad, K, SMAX, ACAP, CCAP, D, CW, ntext, minn, sop)
     fn = _kern_cache.get(key)
     if fn is not None:
         return fn
@@ -2060,7 +2071,7 @@ def _build_kernel_multi(
     # (schemes.py:161-191; all D coords shift by the trimmed overlap,
     # absent dims stay -1).  Segments whose subset lacks dim d are made
     # inert with spaced fake positions (no containment, no overlap).
-    def trim_dim_multi(cseg, cl, cord, cw, P, j):
+    def trim_dim_multi(cseg, cl, cord, cw, cpm, P, j):
         iar = jnp.arange(K, dtype=i32)
         # the j-th WINDOW coordinate of each candidate (sample id from
         # ordpack nibble j); candidates with fewer than j+1 coords are
@@ -2075,9 +2086,9 @@ def _build_kernel_multi(
         pos = jnp.where(has, posd, iar)
         leff = jnp.where(has, cl, 0)
         alive0 = cseg < BIG
-        seg_s, l_s, le_s, pos_s, ord_s, w_s, iar_s = sort_by(
+        seg_s, l_s, le_s, pos_s, ord_s, w_s, pm_s, iar_s = sort_by(
             (cseg, jnp.where(alive0, pos, BIG), -cl, iar),
-            (cseg, cl, leff, pos, cord, cw, iar),
+            (cseg, cl, leff, pos, cord, cw, cpm, iar),
         )
         alive = seg_s < BIG
         end = jnp.where(alive, pos_s + le_s, BIG)
@@ -2098,8 +2109,9 @@ def _build_kernel_multi(
             first, keep_first | last, end_prev < end
         )
         seg_k = jnp.where(keep, seg_s, BIG)
-        seg_c, l_c, le_c, pos_c, ord_c, w_c, iar_c = sort_by(
-            (seg_k, iar), (seg_k, l_s, le_s, pos_s, ord_s, w_s, iar_s)
+        seg_c, l_c, le_c, pos_c, ord_c, w_c, pm_c, iar_c = sort_by(
+            (seg_k, iar),
+            (seg_k, l_s, le_s, pos_s, ord_s, w_s, pm_s, iar_s),
         )
         Pc = P[iar_c]
         alive = seg_c < BIG
@@ -2154,7 +2166,7 @@ def _build_kernel_multi(
         ok = (seg_c < BIG) & (newl > 0)
         seg_o = jnp.where(ok, seg_c, BIG)
         Pn = jnp.where(Pc >= 0, Pc + front[:, None], Pc)
-        return seg_o, newl, ord_c, w_c, Pn, n_alive
+        return seg_o, newl, ord_c, w_c, pm_c, Pn, n_alive
 
     @jax.jit
     def run(
@@ -2165,7 +2177,14 @@ def _build_kernel_multi(
         bitmask per root segment.  Roots carry parent = -2 - defer_id."""
         T = Tu8.astype(i32)
         BWT = T[jnp.maximum(SA - 1, 0)]
-        SOA = SOA0.astype(i32)
+        SOA = SOA0.astype(i32)  # PATH id per slot (COA)
+        sop_arr = np.asarray(sop, dtype=np.int32)
+
+        def sample_of(pathids):
+            out = jnp.zeros_like(pathids)
+            for d in range(D):
+                out = jnp.where(pathids == d, int(sop_arr[d]), out)
+            return out
 
         anchors0 = jnp.zeros((ACAP + 1, AREC), i32)
         iar_n = jnp.arange(npad, dtype=i32)
@@ -2222,22 +2241,29 @@ def _build_kernel_multi(
                 | (BWT == SENTINEL)
                 | ((BWT >= ord("a")) & (BWT <= ord("z")))
             )
-            keymask = jnp.zeros(npad, i32)
-            ordp = jnp.zeros(npad, i32)
+            keymask = jnp.zeros(npad, i32)   # SAMPLE bits
+            pathmask = jnp.zeros(npad, i32)  # PATH bits
+            ordp = jnp.zeros(npad, i32)      # PATH nibbles, window order
             anylm = jnp.zeros(npad, bool)
+            SMPA = sample_of(SOA)
             for rel in range(-D, D):
                 inwin = (rel >= -jb) & (rel <= jf - 1)
-                so_r = shiftk(SOA, -rel, jnp.int32(0))
+                co_r = shiftk(SOA, -rel, jnp.int32(0))
+                sm_r = shiftk(SMPA, -rel, jnp.int32(0))
                 keymask = jnp.where(
-                    inwin, keymask | (1 << jnp.clip(so_r, 0, 30)),
+                    inwin, keymask | (1 << jnp.clip(sm_r, 0, 30)),
                     keymask,
+                )
+                pathmask = jnp.where(
+                    inwin, pathmask | (1 << jnp.clip(co_r, 0, 30)),
+                    pathmask,
                 )
                 jwin = jnp.clip(rel + jb, 0, 7)
                 ordp = jnp.where(
                     inwin,
                     ordp
                     | jnp.left_shift(
-                        jnp.clip(so_r, 0, 15), 4 * jwin
+                        jnp.clip(co_r, 0, 15), 4 * jwin
                     ),
                     ordp,
                 )
@@ -2247,7 +2273,7 @@ def _build_kernel_multi(
                         inpair & shiftk(lmp, -rel, False)
                     )
             pcnt = jnp.zeros(npad, i32)
-            for d in range(D):
+            for d in range(DS):
                 pcnt = pcnt + ((keymask >> d) & 1)
             cand = cand & (pcnt == width) & anylm
             ccount = jnp.sum(cand.astype(i32))
@@ -2268,6 +2294,7 @@ def _build_kernel_multi(
             cjf = jf[slots]
             cub = slots + cjf - 1
             ckey = jnp.where(valid, keymask[slots], 0)
+            cpm = jnp.where(valid, pathmask[slots], 0)
             cord = jnp.where(valid, ordp[slots], 0)
             cw = jnp.where(valid, width[slots], 0)
             # per-sample positions
@@ -2285,9 +2312,9 @@ def _build_kernel_multi(
             # the repo's pinned multiMUM emission order
             # (esa_index.getmultimums_arrays / index.mums.multimums)
             clb = jnp.where(valid, slots - cjb, BIG)
-            cseg, cl, clb2, cub2, ckey, cord, cw, ord0 = sort_by(
+            cseg, cl, clb2, cub2, ckey, cpm, cord, cw, ord0 = sort_by(
                 (cseg, cl, clb, cub, iar_k),
-                (cseg, cl, clb, cub, ckey, cord, cw, iar_k),
+                (cseg, cl, clb, cub, ckey, cpm, cord, cw, iar_k),
             )
             P = P[ord0]
 
@@ -2304,9 +2331,8 @@ def _build_kernel_multi(
             # ---- subset selection (graphmumpicker all-sample filter +
             # segment(), schemes.py:107-124,227-231) -------------------
             alive = cseg < BIG
-            lkey = live_key[segc]
             lcnt = jnp.zeros(SMAX, i32)
-            for d in range(D):
+            for d in range(DS):
                 lcnt = lcnt + ((live_key >> d) & 1)
             isfull = alive & (cw == lcnt[segc])
             anyfull = (
@@ -2314,8 +2340,8 @@ def _build_kernel_multi(
                 .at[jnp.where(isfull, segc, SMAX - 1)]
                 .max(isfull, mode="drop")
             )
-            # segment(): per (seg, key) sum of l and first walk index
-            NK = 1 << D
+            # segment(): per (seg, SAMPLE-key) sum of l + first index
+            NK = 1 << DS
             gsum = jnp.zeros((SMAX, NK), i32).at[
                 (segc, jnp.clip(ckey, 0, NK - 1))
             ].add(jnp.where(alive, cl, 0), mode="drop")
@@ -2323,7 +2349,7 @@ def _build_kernel_multi(
                 (segc, jnp.clip(ckey, 0, NK - 1))
             ].min(jnp.where(alive, iar_k, K), mode="drop")
             kpop = jnp.zeros(NK, i32)
-            for d in range(D):
+            for d in range(DS):
                 kpop = kpop + ((jnp.arange(NK) >> d) & 1).astype(i32)
             z = gsum * kpop[None, :]
             zmax = jnp.max(z, axis=1)
@@ -2338,12 +2364,10 @@ def _build_kernel_multi(
                 anyfull[segc], isfull, ckey == bestkey[segc]
             )
             cseg = jnp.where(keep, cseg, BIG)
-            # picked subset key per segment (for split classification)
-            segkey = jnp.where(anyfull, live_key, bestkey)
 
             # compact kept candidates (stable)
-            cseg, cl, ckey, cord, cw, ord1 = sort_by(
-                (cseg, iar_k), (cseg, cl, ckey, cord, cw, iar_k)
+            cseg, cl, ckey, cpm, cord, cw, ord1 = sort_by(
+                (cseg, iar_k), (cseg, cl, ckey, cpm, cord, cw, iar_k)
             )
             P = P[ord1]
             steps = steps.at[0].add(jnp.sum((cseg < BIG).astype(i32)))
@@ -2354,10 +2378,41 @@ def _build_kernel_multi(
             # tuples) — pass j trims the j-th window coordinate,
             # decoded per candidate from ordpack
             for j in range(D):
-                cseg, cl, cord, cw, P, na = trim_dim_multi(
-                    cseg, cl, cord, cw, P, j
+                cseg, cl, cord, cw, cpm, P, na = trim_dim_multi(
+                    cseg, cl, cord, cw, cpm, P, j
                 )
                 steps = steps.at[0].add(na)
+
+            # relmums same-keys subset (schemes.py:249 keys()==last's):
+            # keep only candidates sharing the PATH set of the LAST
+            # relmum in (n, l) ascending order (same n per segment ->
+            # max l, ties resolved to the latest in trim order)
+            alive_t = cseg < BIG
+            iar_t = jnp.arange(K, dtype=i32)
+            segc_t = jnp.clip(cseg, 0, SMAX - 1)
+            maxl_t = (
+                jnp.full(SMAX, -1, i32)
+                .at[jnp.where(alive_t, segc_t, SMAX - 1)]
+                .max(jnp.where(alive_t, cl, -1), mode="drop")
+            )
+            ismax_t = alive_t & (cl == maxl_t[segc_t])
+            best_row = (
+                jnp.full(SMAX, -1, i32)
+                .at[jnp.where(ismax_t, segc_t, SMAX - 1)]
+                .max(jnp.where(ismax_t, iar_t, -1), mode="drop")
+            )
+            segpkey = jnp.where(
+                best_row >= 0, cpm[jnp.clip(best_row, 0, K - 1)], 0
+            )
+            keep2 = alive_t & (cpm == segpkey[segc_t])
+            cseg = jnp.where(keep2, cseg, BIG)
+            cseg, cl, cord, cw, ord3 = sort_by(
+                (cseg, iar_t), (cseg, cl, cord, cw, iar_t)
+            )
+            P = P[ord3]
+            # picked SAMPLE key per segment (split classification uses
+            # path dims via s_P; segkey retained for bookkeeping)
+            segkey = segpkey
 
             # ---- dense chain + pick ----------------------------------
             seg_live = sarange < nseg
@@ -2410,12 +2465,20 @@ def _build_kernel_multi(
             )
             par_iv_b = jnp.where(~insub & (pbeg >= 0), pbeg, -1)
             par_iv_e = jnp.where(~insub & (pbeg >= 0), pend, -1)
-            nlead_d = jnp.sum((lead_iv_b >= 0).astype(i32), axis=1)
-            ntrail_d = jnp.sum((trail_iv_b >= 0).astype(i32), axis=1)
-            npar_d = jnp.sum((par_iv_b >= 0).astype(i32), axis=1)
-            lead_live = picked & (nlead_d >= 2)
-            trail_live = picked & (ntrail_d >= 2)
-            par_live = picked & (npar_d >= 2)
+            def _scount(ivb):
+                k = jnp.zeros(SMAX, i32)
+                for d in range(D):
+                    k = k | jnp.where(
+                        ivb[:, d] >= 0, 1 << int(sop_arr[d]), 0
+                    )
+                c = jnp.zeros(SMAX, i32)
+                for s in range(DS):
+                    c = c + ((k >> s) & 1)
+                return c
+
+            lead_live = picked & (_scount(lead_iv_b) >= 2)
+            trail_live = picked & (_scount(trail_iv_b) >= 2)
+            par_live = picked & (_scount(par_iv_b) >= 2)
             nl = jnp.cumsum(lead_live.astype(i32))
             nt = jnp.cumsum(trail_live.astype(i32))
             npr = jnp.cumsum(par_live.astype(i32))
@@ -2468,14 +2531,15 @@ def _build_kernel_multi(
             trail_key = jnp.zeros(SMAX, i32)
             par_key = jnp.zeros(SMAX, i32)
             for d in range(D):
+                sb = 1 << int(sop_arr[d])
                 lead_key = lead_key | jnp.where(
-                    lead_iv_b[:, d] >= 0, 1 << d, 0
+                    lead_iv_b[:, d] >= 0, sb, 0
                 )
                 trail_key = trail_key | jnp.where(
-                    trail_iv_b[:, d] >= 0, 1 << d, 0
+                    trail_iv_b[:, d] >= 0, sb, 0
                 )
                 par_key = par_key | jnp.where(
-                    par_iv_b[:, d] >= 0, 1 << d, 0
+                    par_iv_b[:, d] >= 0, sb, 0
                 )
             new_live_key_w = new_live_key_w.at[lead_id].set(
                 lead_key, mode="drop"
@@ -3308,8 +3372,8 @@ def rem_device_multi(
     T: np.ndarray,
     SA: np.ndarray,
     LCP: np.ndarray,
-    SO: np.ndarray,
-    nsep: np.ndarray,
+    path_ivs,
+    path_samples,
     minlength: int,
     minn: int,
     maxmums: int,
@@ -3318,13 +3382,16 @@ def rem_device_multi(
     root_mums: int = 256,
 ):
     """Whole multi-genome recursion as ONE device dispatch
-    (_build_kernel_multi).  Returns (anchors, T_out, levels) with
-    anchors int64 (A, 4+3D) in serial pop order, or None on abort."""
+    (_build_kernel_multi).  path_ivs: [(beg, end), ...] one interval
+    per contig-path (dim); path_samples: sample id per path.  Returns
+    (anchors, T_out, levels) with anchors int64 (A, 5+3D) in serial
+    pop order, or None on abort."""
     import jax
 
     n = len(SA)
-    D = len(nsep)
-    if n >= 2**30 or minlength < 1 or D < 2 or D > 8:
+    D = len(path_ivs)
+    DS = max(path_samples) + 1
+    if n >= 2**30 or minlength < 1 or DS < 2 or D > 8:
         return None
     npad = _next_pow2(n)
     ntext = _next_pow2(len(T))
@@ -3332,7 +3399,10 @@ def rem_device_multi(
         "K": _next_pow2(max(2048, 4 * root_mums)),
         "SMAX": 512,
         "ACAP": max(4096, npad // 64),
-        "CCAP": max(1024, npad // 256),
+        # multi-genome repair passes see far more crossing suffixes
+        # than pairwise (one pass per matched sample begin; measured
+        # 65536 pending on the 6-way 1a-1f) — start at npad/16
+        "CCAP": max(4096, npad // 16),
         "CW": _next_pow2(max(64, root_mums)),
     }
     T_p = np.zeros(ntext, dtype=np.uint8)
@@ -3343,10 +3413,12 @@ def rem_device_multi(
     LCP_p[:n] = np.asarray(LCP, dtype=np.int32)
     SEG_p = np.full(npad, -1, dtype=np.int32)
     SEG_p[:n] = 0
+    # path id per text position -> per slot (COA)
+    pof = np.zeros(len(T) + 1, dtype=np.int32)
+    for pid, (b, e) in enumerate(path_ivs):
+        pof[b:e] = pid
     SOA_p = np.zeros(npad, dtype=np.int32)
-    SOA_p[:n] = np.asarray(SO, dtype=np.int64)[SA_p[:n]].astype(
-        np.int32
-    )
+    SOA_p[:n] = pof[np.minimum(SA_p[:n], len(T))]
 
     dispatches = 0
     for _attempt in range(6):
@@ -3356,13 +3428,11 @@ def rem_device_multi(
         begs = np.full(D, -1, np.int32)
         ends = np.full(D, -1, np.int32)
         key0 = 0
-        for s in range(D):
-            b = 0 if s == 0 else int(nsep[s - 1]) + 1
-            e = int(nsep[s])
+        for pid, (b, e) in enumerate(path_ivs):
             if e > b:
-                begs[s] = b
-                ends[s] = e
-                key0 |= 1 << s
+                begs[pid] = b
+                ends[pid] = e
+                key0 |= 1 << int(path_samples[pid])
         seg_tab[0, 0] = -1            # root parent
         seg_tab[0, 1] = 0
         seg_tab[0, 2:2 + D] = begs
@@ -3373,6 +3443,7 @@ def rem_device_multi(
         fn = _build_kernel_multi(
             npad, caps["K"], caps["SMAX"], caps["ACAP"],
             caps["CCAP"], D, caps["CW"], ntext=ntext, minn=minn,
+            sample_of_path=path_samples,
         )
         T_out, anchors, acount, abort, level, steps = fn(
             T_p, SA_p, LCP_p, SOA_p, SEG_p, seg_tab, live_key,
