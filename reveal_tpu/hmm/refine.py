@@ -731,69 +731,93 @@ def refine_all(
 
         if use_dev and native_post_ok(all_pairs):
             use_dev = False
-        # small-workload fast path: the WHOLE per-bubble DoAlign
-        # (posteriors, consistency, tree, progressive MEA, refinement,
-        # confidence) as one threaded native call (Probcons.cc:312-544
-        # pipeline; VERDICT r5 item 3a).  MSA strings are differentially
-        # pinned against probcons_align (tests/test_msa_native.py);
-        # confidence values can differ by +-1 at int-truncation
-        # boundaries (numpy pairwise summation vs sequential f64) —
-        # conf is not serialized to GFA, so refined outputs only change
-        # under a nonzero --minconf.
-        if (
-            not use_dev
-            and native_post_ok(all_pairs)
-            and os.environ.get("REVEAL_TPU_NATIVE_MSA", "1") != "0"
-        ):
+        # native whole-MSA routing (VERDICT r5 item 3a): the complete
+        # per-bubble DoAlign (posteriors, consistency, tree,
+        # progressive MEA, refinement, confidence) as one threaded
+        # native call (Probcons.cc:312-544 pipeline).  Small-workload
+        # runs route EVERY bubble here; device-sized runs still route
+        # their SMALL bubbles here (per-bubble cells below the
+        # crossover — a tiny bubble padded into a big device bucket
+        # costs orders of magnitude more than the host DP), keeping
+        # only genuinely large bubbles on the device.  MSA strings are
+        # differentially pinned against probcons_align
+        # (tests/test_msa_native.py); confidence values can differ by
+        # +-1 at int-truncation boundaries (not serialized to GFA).
+        small_cells = int(
+            os.environ.get("REVEAL_TPU_NATIVE_MSA_BUBBLE", 4_000_000)
+        )
+        if os.environ.get("REVEAL_TPU_NATIVE_MSA", "1") != "0":
             from . import msa as _msa
 
             if not _msa._logadd_compat:
                 try:
                     from ..native import msa_batch_native
 
-                    t0 = time.time()
-                    res = msa_batch_native(
-                        [aobjs for (_b, _sg, _o, _p, aobjs) in work],
-                        consistency=kwargs.get("constrans", 2),
-                        consgap=kwargs.get("consgap", True),
-                        nrounds=kwargs.get("nrefinements", 100),
-                    )
-                    if res is not None:
-                        msa_for = res
-                        done = all(r is not None for r in res)
-                        log.info(
-                            "native MSA batch for %d bubbles "
-                            "(%d pairs) in %.2fs",
-                            len(work),
-                            len(all_pairs),
-                            time.time() - t0,
+                    bcells = [
+                        sum(
+                            (len(aobjs[i][1]) + 1)
+                            * (len(aobjs[j][1]) + 1)
+                            for i in range(len(aobjs))
+                            for j in range(i + 1, len(aobjs))
                         )
+                        for (_b, _sg, _o, _p, aobjs) in work
+                    ]
+                    native_idx = [
+                        i
+                        for i in range(len(work))
+                        if not use_dev or bcells[i] <= small_cells
+                    ]
+                    if native_idx:
+                        t0 = time.time()
+                        res = msa_batch_native(
+                            [work[i][4] for i in native_idx],
+                            consistency=kwargs.get("constrans", 2),
+                            consgap=kwargs.get("consgap", True),
+                            nrounds=kwargs.get("nrefinements", 100),
+                        )
+                        if res is not None:
+                            for i, r in zip(native_idx, res):
+                                msa_for[i] = r
+                            done = all(
+                                m is not None for m in msa_for
+                            )
+                            log.info(
+                                "native MSA batch for %d/%d bubbles "
+                                "in %.2fs",
+                                len(native_idx),
+                                len(work),
+                                time.time() - t0,
+                            )
                 except Exception as e:  # pragma: no cover
                     log.warning(
                         "native MSA batch failed (%s); host path", e
                     )
-        if use_dev:
+        rem_idx = [
+            i for i in range(len(work)) if msa_for[i] is None
+        ]
+        if use_dev and rem_idx and not done:
             t0 = time.time()
             try:
                 stage12 = batch_stage12_device(
                     [
-                        [sq for _n, sq in aobjs]
-                        for (bubble, sg, offsets, paths, aobjs) in work
+                        [sq for _n, sq in work[i][4]]
+                        for i in rem_idx
                     ],
                     consistency=kwargs.get("constrans", 2),
                     consgap=kwargs.get("consgap", True),
                 )
                 # oversized / failed buckets come back as None entries:
                 # those bubbles fall back per problem below
-                mats_for = [md[0] if md else None for md in stage12]
-                dist_for = [md[1] if md else None for md in stage12]
+                for i, md in zip(rem_idx, stage12):
+                    if md:
+                        mats_for[i] = md[0]
+                        dist_for[i] = md[1]
                 done = True
                 log.info(
                     "device posterior+consistency chain for %d/%d "
-                    "bubbles (%d pairs) in %.2fs",
-                    sum(m is not None for m in mats_for),
-                    len(work),
-                    len(all_pairs),
+                    "bubbles in %.2fs",
+                    sum(mats_for[i] is not None for i in rem_idx),
+                    len(rem_idx),
                     time.time() - t0,
                 )
             except Exception as e:
@@ -804,35 +828,53 @@ def refine_all(
                 )
         if not done:
             t0 = time.time()
-            # stage-1 with on-device sparsification: only cutoff
-            # survivors + device MEA scores cross the link
+            # stage-1 with on-device sparsification, remaining bubbles
+            # only: cutoff survivors + device MEA scores cross the link
             # (msa.batch_posteriors_cut; SparseMatrix.h:14,54 semantics)
-            trip = batch_posteriors_cut(all_pairs)
-            posteriors = [(p, tot) for p, tot, _ in trip]
-            pair_scores = [s for _, _, s in trip]
+            rem_pairs = []
+            rem_slices = {}
+            for i in rem_idx:
+                s, e = pair_slices[i]
+                rem_slices[i] = (
+                    len(rem_pairs),
+                    len(rem_pairs) + (e - s),
+                )
+                rem_pairs.extend(all_pairs[s:e])
+            trip = batch_posteriors_cut(rem_pairs)
+            posteriors = [None] * len(all_pairs)
+            pair_scores = [None] * len(all_pairs)
+            for i in rem_idx:
+                s, e = pair_slices[i]
+                rs, re_ = rem_slices[i]
+                posteriors[s:e] = [
+                    (p, tot) for p, tot, _ in trip[rs:re_]
+                ]
+                pair_scores[s:e] = [s_ for _, _, s_ in trip[rs:re_]]
             log.info(
                 "computed %d pair posteriors for %d bubbles in %.2fs",
-                len(all_pairs),
-                len(work),
+                len(rem_pairs),
+                len(rem_idx),
                 time.time() - t0,
             )
-            if use_dev:
+            if use_dev and rem_idx:
                 t0 = time.time()
                 problems = [
                     (
-                        [sq for _n, sq in aobjs],
-                        posteriors[s:e],
+                        [sq for _n, sq in work[i][4]],
+                        posteriors[
+                            pair_slices[i][0]:pair_slices[i][1]
+                        ],
                     )
-                    for (bubble, sg, offsets, paths, aobjs), (s, e) in zip(
-                        work, pair_slices
-                    )
+                    for i in rem_idx
                 ]
                 try:
-                    mats_for = batch_consistency(
+                    consq = batch_consistency(
                         problems,
                         consistency=kwargs.get("constrans", 2),
                         consgap=kwargs.get("consgap", True),
                     )
+                    for i, m in zip(rem_idx, consq):
+                        mats_for[i] = m
                     log.info(
                         "device consistency transform for %d bubbles "
                         "in %.2fs",
@@ -843,7 +885,6 @@ def refine_all(
                     log.warning(
                         "device consistency failed (%s); host fallback", e
                     )
-                    mats_for = [None] * len(work)
 
     # phase 2: per-bubble MSA on worker threads (refine_bubble only
     # reads its own subgraph + precomputed mats; the native MEA DP
