@@ -812,7 +812,11 @@ def refine_all(
                     if md:
                         mats_for[i] = md[0]
                         dist_for[i] = md[1]
-                done = True
+                # bubbles the chain could not take (oversized buckets)
+                # still need the two-phase fallback below
+                done = all(
+                    mats_for[i] is not None for i in rem_idx
+                )
                 log.info(
                     "device posterior+consistency chain for %d/%d "
                     "bubbles in %.2fs",
