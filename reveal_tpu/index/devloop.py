@@ -1256,18 +1256,24 @@ def _build_kernel(
             )
             bwt_up = (BWT >= ord("A")) & (BWT <= ord("Z"))
             BWT = jnp.where(bwt_m & bwt_up, BWT + 32, BWT)
-            BWT = jnp.zeros(npad, i32).at[newpos].set(
-                BWT, mode="drop", unique_indices=True
+            # apply the partition as ONE inverse-permutation scatter +
+            # ONE packed row gather: npad-wide scatters cost ~10 ms
+            # each at 2M on this chip (scalar-core bound; payload
+            # packing does NOT amortize scatters but DOES amortize
+            # gathers — 8-col gather ~= 1-col scatter, measured r5)
+            invp = jnp.full(npad, npad, i32).at[newpos].set(
+                iar_n, mode="drop", unique_indices=True
             )
-            SA = jnp.zeros(npad, i32).at[newpos].set(
-                SA, mode="drop", unique_indices=True
+            pvalid = invp < npad
+            invc = jnp.minimum(invp, npad - 1)
+            packed = jnp.stack(
+                [BWT, SA, newlcp, jnp.clip(nsg, 0, SMAX)], axis=1
             )
-            lcp_p = jnp.zeros(npad, i32).at[newpos].set(
-                newlcp, mode="drop", unique_indices=True
-            )
-            segk = jnp.full(npad, SMAX, i32).at[newpos].set(
-                jnp.clip(nsg, 0, SMAX), mode="drop", unique_indices=True
-            )
+            rows2 = packed[invc]
+            BWT = jnp.where(pvalid, rows2[:, 0], 0)
+            SA = jnp.where(pvalid, rows2[:, 1], 0)
+            lcp_p = jnp.where(pvalid, rows2[:, 2], 0)
+            segk = jnp.where(pvalid, rows2[:, 3], SMAX)
             SEG = jnp.where(segk >= SMAX, jnp.int32(-1), segk)
             sprev = shift1(SEG, -9)
             firstslot = SEG != sprev
@@ -2682,22 +2688,23 @@ def _build_kernel_multi(
             BWT = jnp.where(
                 live_parent & bwt_m & bwt_up, BWT + 32, BWT
             )
-            BWT2 = jnp.zeros(npad, i32).at[newpos].set(
-                BWT, mode="drop", unique_indices=True
+            # one inverse-permutation scatter + one packed gather (see
+            # the pairwise kernel partition note)
+            invp = jnp.full(npad, npad, i32).at[newpos].set(
+                iar_n, mode="drop", unique_indices=True
             )
-            SA2 = jnp.zeros(npad, i32).at[newpos].set(
-                SA, mode="drop", unique_indices=True
+            pvalid = invp < npad
+            invc = jnp.minimum(invp, npad - 1)
+            packed = jnp.stack(
+                [BWT, SA, SOA, newlcp, jnp.clip(nsg, 0, SMAX)],
+                axis=1,
             )
-            SOA2 = jnp.zeros(npad, i32).at[newpos].set(
-                SOA, mode="drop", unique_indices=True
-            )
-            lcp_p = jnp.zeros(npad, i32).at[newpos].set(
-                newlcp, mode="drop", unique_indices=True
-            )
-            segk = jnp.full(npad, SMAX, i32).at[newpos].set(
-                jnp.clip(nsg, 0, SMAX), mode="drop",
-                unique_indices=True,
-            )
+            rows2 = packed[invc]
+            BWT2 = jnp.where(pvalid, rows2[:, 0], 0)
+            SA2 = jnp.where(pvalid, rows2[:, 1], 0)
+            SOA2 = jnp.where(pvalid, rows2[:, 2], 0)
+            lcp_p = jnp.where(pvalid, rows2[:, 3], 0)
+            segk = jnp.where(pvalid, rows2[:, 4], SMAX)
             SEG2 = jnp.where(segk >= SMAX, jnp.int32(-1), segk)
             sprev = shift1(SEG2, -9)
             firstslot = SEG2 != sprev
