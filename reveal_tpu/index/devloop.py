@@ -1135,33 +1135,35 @@ def _build_kernel(
             # order (partition invariant), so row i of a table belongs
             # to the i-th run.
             segstart = SEG != shift1(SEG, -9)
-            liveseg = segstart & (SEG >= 0)
-            rnks = jnp.cumsum(liveseg.astype(i32)) - 1
-            starts = (
-                jnp.full(SMAX + npad, npad, i32)
-                .at[jnp.where(liveseg, rnks, SMAX + iar_n)]
-                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
+            # per-slot views of per-segment values as ONE packed
+            # (SMAX, C) table-row gather by SEG — multi-column gathers
+            # amortize to ~1 scatter's cost (measured r5), replacing
+            # the old rank-scatter + forward-fill-scan per column
+            seg_safe = jnp.clip(SEG, 0, SMAX - 1)
+            btab = jnp.stack(
+                [
+                    picked.astype(i32), s_ma, s_mb, s_l,
+                    seg_tab[:, 0], seg_tab[:, 1],
+                    seg_tab[:, 2], seg_tab[:, 3],
+                    lead_live.astype(i32), trail_live.astype(i32),
+                    lead_id, trail_id,
+                ],
+                axis=1,
             )
-
-            def segbcast(col):
-                tmp = jnp.zeros(npad, i32).at[starts].set(
-                    col.astype(i32), mode="drop", unique_indices=True
-                )
-                return last_value_scan(tmp, segstart)
-
+            brows = btab[seg_safe]
             pos = SA
-            pickedb = segbcast(picked) > 0
-            b_sma = segbcast(s_ma)
-            b_smb = segbcast(s_mb)
-            pl = segbcast(s_l)
-            b_t0 = segbcast(seg_tab[:, 0])
-            b_t1 = segbcast(seg_tab[:, 1])
-            b_t2 = segbcast(seg_tab[:, 2])
-            b_t3 = segbcast(seg_tab[:, 3])
-            b_ll = segbcast(lead_live) > 0
-            b_tl = segbcast(trail_live) > 0
-            b_lid = segbcast(lead_id)
-            b_tid = segbcast(trail_id)
+            pickedb = brows[:, 0] > 0
+            b_sma = brows[:, 1]
+            b_smb = brows[:, 2]
+            pl = brows[:, 3]
+            b_t0 = brows[:, 4]
+            b_t1 = brows[:, 5]
+            b_t2 = brows[:, 6]
+            b_t3 = brows[:, 7]
+            b_ll = brows[:, 8] > 0
+            b_tl = brows[:, 9] > 0
+            b_lid = brows[:, 10]
+            b_tid = brows[:, 11]
             pma = jnp.where(pickedb, b_sma, -1)
             pmb = jnp.where(pickedb, b_smb, -1)
             in_lead = ((pos >= b_t0) & (pos < pma)) | (
@@ -1302,24 +1304,15 @@ def _build_kernel(
             # per-slot new_tab views over the POST-partition layout —
             # same scatter+forward-fill trick as segbcast above (new
             # child ids ascend in slot order too)
-            liveseg2 = firstslot & (SEG >= 0)
-            rnks2 = jnp.cumsum(liveseg2.astype(i32)) - 1
-            starts2 = (
-                jnp.full(SMAX + npad, npad, i32)
-                .at[jnp.where(liveseg2, rnks2, SMAX + iar_n)]
-                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
+            seg2_safe = jnp.clip(SEG, 0, SMAX - 1)
+            btab2 = jnp.stack(
+                [new_tab[:, 5], new_tab[:, 6], new_tab[:, 7]], axis=1
             )
-
-            def segbcast2(col):
-                tmp = jnp.zeros(npad, i32).at[starts2].set(
-                    col.astype(i32), mode="drop", unique_indices=True
-                )
-                return last_value_scan(tmp, firstslot)
-
-            is_lead_b = (SEG >= 0) & (segbcast2(new_tab[:, 5]) == 1)
+            brows2 = btab2[seg2_safe]
+            is_lead_b = (SEG >= 0) & (brows2[:, 0] == 1)
             beg_both = (
-                jnp.where(is_lead_b, segbcast2(new_tab[:, 6]), -1),
-                jnp.where(is_lead_b, segbcast2(new_tab[:, 7]), -1),
+                jnp.where(is_lead_b, brows2[:, 1], -1),
+                jnp.where(is_lead_b, brows2[:, 2], -1),
             )
 
             def repair_pass(T, SA, LCP, BWT, which, abort, steps):
@@ -2559,31 +2552,20 @@ def _build_kernel_multi(
             new_live_key = new_live_key_w[:SMAX]
 
             # ---- classify + split + lowercase -------------------------
-            segstart = SEG != shift1(SEG, -9)
-            liveseg = segstart & (SEG >= 0)
-            rnks = jnp.cumsum(liveseg.astype(i32)) - 1
-            starts = (
-                jnp.full(SMAX + npad, npad, i32)
-                .at[jnp.where(liveseg, rnks, SMAX + iar_n)]
-                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
-            )
-
-            def segbcast_pack(cols):
-                tmps = [
-                    jnp.zeros(npad, i32).at[starts].set(
-                        c.astype(i32), mode="drop",
-                        unique_indices=True,
-                    )
-                    for c in cols
-                ]
-                return last_value_scan_multi(tmps, segstart)
-
+            # per-slot views of per-segment values as ONE packed
+            # (SMAX, C) table-row gather by SEG (see the pairwise
+            # kernel note)
+            seg_safe = jnp.clip(SEG, 0, SMAX - 1)
             pos = SA
-            sca = [picked, s_l, lead_id, trail_id, par_id]
+            sca = [picked.astype(i32), s_l, lead_id, trail_id, par_id]
             anc_list = [s_P[:, d] for d in range(D)]
             beg_list = [seg_tab[:, 2 + d] for d in range(D)]
             end_list = [seg_tab[:, 2 + D + d] for d in range(D)]
-            bl = segbcast_pack(sca + anc_list + beg_list + end_list)
+            btab = jnp.stack(
+                sca + anc_list + beg_list + end_list, axis=1
+            )
+            browsx = btab[seg_safe]
+            bl = [browsx[:, c] for c in range(btab.shape[1])]
             pickedb = bl[0] > 0
             pl = bl[1]
             b_lid = bl[2]
@@ -2722,28 +2704,14 @@ def _build_kernel_multi(
             # ---- boundary repair: one pass per sample dim (matched
             # begins ascend with sample id — sample texts are ordered)
             SA3, LCP3, BWT3, SOA3 = SA2, LCP2, BWT2, SOA2
-            liveseg2 = firstslot & (SEG2 >= 0)
-            rnks2 = jnp.cumsum(liveseg2.astype(i32)) - 1
-            starts2 = (
-                jnp.full(SMAX + npad, npad, i32)
-                .at[jnp.where(liveseg2, rnks2, SMAX + iar_n)]
-                .set(iar_n, mode="drop", unique_indices=True)[:SMAX]
-            )
-
-            def segbcast2_pack(cols):
-                tmps = [
-                    jnp.zeros(npad, i32).at[starts2].set(
-                        c.astype(i32), mode="drop",
-                        unique_indices=True,
-                    )
-                    for c in cols
-                ]
-                return last_value_scan_multi(tmps, firstslot)
-
-            bl2 = segbcast2_pack(
+            seg2_safe = jnp.clip(SEG2, 0, SMAX - 1)
+            btab2 = jnp.stack(
                 [new_tab[:, 1]]
-                + [new_tab[:, 2 + 2 * D + d] for d in range(D)]
+                + [new_tab[:, 2 + 2 * D + d] for d in range(D)],
+                axis=1,
             )
+            brows2 = btab2[seg2_safe]
+            bl2 = [brows2[:, c] for c in range(btab2.shape[1])]
             is_lead_b = (SEG2 >= 0) & (bl2[0] == 1)
             beg_ds = bl2[1:]
 
